@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json against DuckDB views over the same
+testdata tables, and diffs (columns sorted by name, rows sorted by all
+columns, exact values). Dev-tool only — the engine itself has no Python
+dependency.
+"""
+import duckdb, sys, os, json
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            want = con.execute(oracle[name]).df()
+            g, w = norm(got), norm(want)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                          check_exact=True)
+            print(f"OK   {name}  ({len(g)} rows)")
+            n_ok += 1
+        except Exception as e:
+            n_fail += 1
+            msg = str(e).replace("\n", " | ")[:500]
+            print(f"FAIL {name}: {msg}")
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,393 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory over the star-schema testdata —
+  * re-expresses SURVEY.md §2.1-§2.7 Spark-first.
+  *
+  * Each operator row from the survey maps to a declarative DataFrame plan so
+  * Catalyst gets predicate pushdown, column pruning, partial aggregation and
+  * join-strategy selection for free. Scale posture (100 TB):
+  *  - dimension tables (region/nation/customer at its fact-relative size)
+  *    join via `broadcast()` hints — no shuffle of the fact side;
+  *  - fact-fact joins shuffle on the join key once and reuse that exchange;
+  *  - top-k is orderBy+limit → planned as TakeOrderedAndProject (no global
+  *    sort materialization);
+  *  - scalar thresholds (min/max/percentile) are tiny aggregates cross-joined
+  *    back via broadcast, never a `Window.partitionBy()` over the whole
+  *    dataset (which would single-partition the data).
+  *
+  * Reference provenance is cited per query (sa = streamlit_app.py,
+  * ing = src/ingest/spark_ingest.py in /root/reference).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter → hash agg.
+    * Survey ops: S2 (parquet scan), P1 (cleansing filter), A1/A3 (aggs).
+    * Reference: sa:276-303 KPI scalars + sa:322 hourly rollup.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      // Cross-engine determinism policy (see QueryDef): round(sum, k) where k
+      // = the data's true decimal scale is an EXACT restore (never a rounding
+      // tie); averages are that exact sum divided by the exact count, left
+      // unrounded (identical input bits + identical op → identical output).
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (round(sum("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+      | sum(l_quantity) / count(*) AS avg_qty,
+      | round(sum(l_extendedprice),2) / count(*) AS avg_price,
+      | round(sum(l_discount),2) / count(*) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + conjunctive filter, row-level arithmetic; filters/columns
+    * push into the parquet scan (visible as PushedFilters in explain).
+    * Survey ops: P1/P6 (predicates), P2 (derived projection), F7 (casts).
+    */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 30 && col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // raw IEEE product, no rounding: the same double multiply is
+        // bit-identical in any engine, while round() at half-way points is not
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val filterProjectSql =
+    """SELECT l_orderkey, l_linenumber,
+      | l_extendedprice*(1-l_discount) AS net_price,
+      | CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem WHERE l_quantity >= 30 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Fact-fact shuffle join (lineitem⋈orders on orderkey) + broadcast dim
+    * join (customer) + agg + top-k. Survey ops: J1/J5, A1, T2/T5.
+    * At 100 TB the lineitem⋈orders exchange hashes on the join key once;
+    * customer is broadcast so the fact side never reshuffles for it.
+    */
+  def topRevenueCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        // price*(1-disc) has true scale 4 → round(sum,4) is an exact restore
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(10)
+  }
+
+  private val topRevenueCustomersSql =
+    """SELECT c_custkey, c_name,
+      | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+      | count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |JOIN customer ON o_custkey=c_custkey
+      |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** Broadcast-chain snowflake join: supplier ⋈ nation ⋈ region, rollup per
+    * region. Survey ops: J1 (equi-join chain), A7 (group means), S8 (dim
+    * scan). Both dims are broadcast — zero shuffles on the supplier side.
+    */
+  def regionSupplierRollup(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        (round(sum("s_acctbal"), 2) / count(lit(1))).as("avg_acctbal"),
+        round(sum("s_acctbal"), 2).as("total_acctbal"))
+      .orderBy("r_name")
+  }
+
+  private val regionSupplierRollupSql =
+    """SELECT r_name, count(*) AS n_suppliers,
+      | round(sum(s_acctbal),2) / count(*) AS avg_acctbal,
+      | round(sum(s_acctbal),2) AS total_acctbal
+      |FROM supplier JOIN nation ON s_nationkey=n_nationkey
+      |JOIN region ON n_regionkey=r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** NPS-proxy conditional aggregate: 100·(avg(promoter) − avg(detractor)).
+    * Survey ops: A2 (NPS proxy), P6 (promoter/detractor predicates).
+    * Reference: sa:257-261, 288-303.
+    */
+  def segmentNps(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      // promoter/detractor counts are exact → the whole NPS expression is
+      // bit-deterministic with no rounding needed
+      .agg(
+        (sum(when(col("c_acctbal") >= 7000, 1.0).otherwise(0.0)) * 100 / count(lit(1)) -
+         sum(when(col("c_acctbal") < 1000, 1.0).otherwise(0.0)) * 100 / count(lit(1))).as("nps"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  private val segmentNpsSql =
+    """SELECT c_mktsegment,
+      | sum(CASE WHEN c_acctbal >= 7000 THEN 1.0 ELSE 0.0 END)*100 / count(*)
+      |      - sum(CASE WHEN c_acctbal < 1000 THEN 1.0 ELSE 0.0 END)*100 / count(*) AS nps,
+      | count(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Exact interpolating percentiles + sample stddev per group. Spark's
+    * exact `percentile` (linear interpolation) = pandas quantile = DuckDB
+    * quantile_cont — pinned per SURVEY §7.5.5. NOT approx_percentile (that
+    * would break the oracle). Survey ops: A1/A6/A11, A4 (stddev_samp).
+    */
+  def groupPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
+        round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val groupPercentilesSql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.5),6) AS p50_price,
+      | round(quantile_cont(l_extendedprice, 0.95),6) AS p95_price,
+      | round(stddev_samp(l_extendedprice),6) AS sd_price,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact count-distinct per group (A9). Exact, not approx_count_distinct —
+    * the reference's nunique is exact; approx is exposed separately for the
+    * 100 TB path where a 2% error is acceptable.
+    */
+  def statusCountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  private val statusCountDistinctSql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+      | count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Dedup-keep-latest via row_number window (Survey W5; reference
+    * sa:971-975 drop_duplicates keep="last"). Deterministic tie-break on
+    * o_orderkey per SURVEY §7.5.7.
+    */
+  def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        to_date(col("o_orderdate")).as("latest_date"))
+      .orderBy("o_custkey")
+  }
+
+  private val latestOrderPerCustomerSql =
+    """SELECT o_custkey, o_orderkey AS latest_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Trailing 3-row rolling mean per key (Survey W2; reference sa:697-700
+    * per-cell rolling(3, min_periods=1)). Spark's frame naturally shrinks at
+    * partition edges = pandas min_periods=1.
+    */
+  def rollingAvgOrderPrice(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    // Spelled as an explicit lag-composed 3-term mean rather than a sliding
+    // frame avg: sliding-frame add/remove accumulates engine-specific float
+    // error, while this exact expression over raw inputs is bit-identical.
+    val p1 = lag("o_totalprice", 1).over(w)
+    val p2 = lag("o_totalprice", 2).over(w)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ((coalesce(p2, lit(0.0)) + coalesce(p1, lit(0.0)) + col("o_totalprice")) /
+          (p2.isNotNull.cast("int") + p1.isNotNull.cast("int") + lit(1))).as("rolling_avg_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val rollingAvgOrderPriceSql =
+    """SELECT o_custkey, o_orderkey,
+      | (coalesce(lag(o_totalprice, 2) OVER w, 0.0) + coalesce(lag(o_totalprice, 1) OVER w, 0.0) + o_totalprice)
+      |  / (CAST(lag(o_totalprice, 2) OVER w IS NOT NULL AS INT)
+      |     + CAST(lag(o_totalprice, 1) OVER w IS NOT NULL AS INT) + 1) AS rolling_avg_price
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Lag-diff per key with fillna(0) (Survey W4/F11; reference sa:702
+    * `c.diff().fillna(0)`).
+    */
+  def orderPriceDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        coalesce(col("o_totalprice") - lag("o_totalprice", 1).over(w), lit(0.0))
+          .as("price_delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val orderPriceDeltaSql =
+    """SELECT o_custkey, o_orderkey,
+      | coalesce(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS price_delta
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Semi/anti-join: customers with vs without an URGENT order, per segment.
+    * Spark plans left_semi/left_anti (no row multiplication, no payload
+    * shuffle of the right side beyond the key). Survey: §2.3 note (Spark
+    * supplies semi/anti beyond the reference's merges).
+    */
+  def urgentSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withU = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_urgent"))
+    val withoutU = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_urgent"))
+    withU.join(withoutU, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_with_urgent", "n_without_urgent"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val urgentSemiAntiSql =
+    """WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT c_mktsegment,
+      | count(u.o_custkey) AS n_with_urgent,
+      | count(*) - count(u.o_custkey) AS n_without_urgent
+      |FROM customer LEFT JOIN u ON c_custkey = u.o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Hierarchical ROLLUP grouping sets (status × priority). The reference
+    * has no grouping sets; Catalyst supplies them free (SURVEY §2.4 note).
+    */
+  def statusPriorityRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
+  private val statusPriorityRollupSql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total_price
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Min-max rescale against global scalars (Survey A13/F10; reference
+    * sa:996-1002 map sizing). Scalars come from a tiny agg broadcast back —
+    * NOT a `Window` over the full data (that would single-partition 100 TB).
+    */
+  def acctbalRescaled(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val stats = c.agg(min("c_acctbal").as("mn"), max("c_acctbal").as("mx"))
+    c.crossJoin(broadcast(stats))
+      .select(
+        col("c_custkey"),
+        ((col("c_acctbal") - col("mn")) / (col("mx") - col("mn"))).as("acctbal_scaled"))
+      .orderBy("c_custkey")
+  }
+
+  private val acctbalRescaledSql =
+    """SELECT c_custkey,
+      | (c_acctbal - (SELECT min(c_acctbal) FROM customer))
+      |     / ((SELECT max(c_acctbal) FROM customer) - (SELECT min(c_acctbal) FROM customer)) AS acctbal_scaled
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Top-k with deterministic tie-break (Survey T1-T5; SURVEY §7.5.7).
+    * Plans as TakeOrderedAndProject — a per-partition heap + driver merge,
+    * no global sort.
+    */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("order_date"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+
+  private val topOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Union + unpivot (Survey U1/U3; reference sa:425-430 melt for the
+    * comparison chart). Wide per-status aggregates → long (status, metric,
+    * value) via Spark's native unpivot (Spark ≥3.4).
+    */
+  def statusUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        (round(sum("o_totalprice"), 2) / count(lit(1))).as("avg_price"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_price"))
+      .unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("avg_price"), col("p50_price")),
+        "metric", "value")
+      .orderBy("o_orderstatus", "metric")
+
+  private val statusUnpivotSql =
+    """WITH w AS (
+      |  SELECT o_orderstatus, round(sum(o_totalprice),2) / count(*) AS avg_price,
+      |         round(quantile_cont(o_totalprice,0.5),4) AS p50_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, 'avg_price' AS metric, avg_price AS value FROM w
+      |UNION ALL
+      |SELECT o_orderstatus, 'p50_price' AS metric, p50_price AS value FROM w
+      |ORDER BY o_orderstatus, metric""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
+    QueryDef("q03_top_revenue_customers", topRevenueCustomers, Some(topRevenueCustomersSql)),
+    QueryDef("q04_region_supplier_rollup", regionSupplierRollup, Some(regionSupplierRollupSql)),
+    QueryDef("q05_segment_nps", segmentNps, Some(segmentNpsSql)),
+    QueryDef("q06_group_percentiles", groupPercentiles, Some(groupPercentilesSql)),
+    QueryDef("q07_status_count_distinct", statusCountDistinct, Some(statusCountDistinctSql)),
+    QueryDef("q08_latest_order_per_customer", latestOrderPerCustomer, Some(latestOrderPerCustomerSql)),
+    QueryDef("q09_rolling_avg_order_price", rollingAvgOrderPrice, Some(rollingAvgOrderPriceSql)),
+    QueryDef("q10_order_price_delta", orderPriceDelta, Some(orderPriceDeltaSql)),
+    QueryDef("q11_urgent_semi_anti", urgentSemiAnti, Some(urgentSemiAntiSql)),
+    QueryDef("q12_status_priority_rollup", statusPriorityRollup, Some(statusPriorityRollupSql)),
+    QueryDef("q13_acctbal_rescaled", acctbalRescaled, Some(acctbalRescaledSql)),
+    QueryDef("q14_top_orders", topOrders, Some(topOrdersSql)),
+    QueryDef("q15_status_unpivot", statusUnpivot, Some(statusUnpivotSql)),
+  )
+}

@@ -1,0 +1,344 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operator inventory over the `events` table — re-expresses the
+  * reference's telemetry analytics (SURVEY.md §2.2 P5/P8, §2.4 A3-A12, §2.5
+  * W1-W4, §2.8 F2-F9, §2.9 streaming batch-twins) on the driver testdata.
+  *
+  * Timestamp discipline: `events.ts` is parquet TIMESTAMP(NANOS); both
+  * engines (our loader, DuckDB) truncate to µs — see [[graft.Tables.events]].
+  * Timestamps in outputs are emitted as epoch-microsecond longs
+  * (`unix_micros` ≡ DuckDB `epoch_us`) so hash comparison is type-stable.
+  *
+  * Scale posture: hour-of-day baselines are 24-row aggregates joined back by
+  * broadcast; tumbling/sliding buckets are hash aggregations (partial+final);
+  * sessionization is a window + running-sum over (user_id, ts) — partitioned
+  * by key, so it scales with the number of users, not a global sort.
+  */
+object Temporal {
+
+  /** Hourly rollup + centered 3-bucket moving average (Survey A3 + W1;
+    * reference sa:322 hourly mean, sa:326-331 rolling(center=True,
+    * min_periods=1)). The MA window frame (-1,1) shrinks at the series
+    * edges, matching pandas min_periods=1.
+    */
+  def hourlyValueMa(s: SparkSession, dir: String): DataFrame = {
+    // Deterministic mean: round(sum,2) exactly restores the 2-decimal data's
+    // sum, and the division by the exact count is then bit-identical in any
+    // engine (see the determinism policy on QueryDef).
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 2).as("sv"), count(lit(1)).as("n"))
+      .withColumn("avg_value", col("sv") / col("n"))
+    // Global orderBy window over ~hours-count rows (tiny relative to input —
+    // one row per hour) — acceptable single-partition window; the heavy data
+    // was already reduced by the aggregation above. The centered MA is spelled
+    // as an explicit lag/lead sum (not a sliding frame avg): sliding-frame
+    // implementations accumulate add/remove float error engine-specifically,
+    // while this exact 3-term expression is bit-identical everywhere.
+    val w = Window.orderBy("h")
+    // The 3-term centered mean over those bit-identical means is again exact
+    // arithmetic in a fixed order — no rounding anywhere, immune to .xxxx5
+    // rounding-boundary flips.
+    val v = col("avg_value")
+    val prev = lag(v, 1).over(w)
+    val next = lead(v, 1).over(w)
+    hourly.select(
+        unix_micros(col("h")).as("h_us"),
+        v.as("avg_value"),
+        ((coalesce(prev, lit(0.0)) + v + coalesce(next, lit(0.0))) /
+          (prev.isNotNull.cast("int") + lit(1) + next.isNotNull.cast("int"))).as("ma3_value"),
+        col("n"))
+      .orderBy("h_us")
+  }
+
+  private val hourlyValueMaSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, round(sum(value),2)/count(*) AS v, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT epoch_us(h) AS h_us, v AS avg_value,
+      | (coalesce(lag(v) OVER (ORDER BY h),0) + v + coalesce(lead(v) OVER (ORDER BY h),0))
+      |   / (CAST(lag(v) OVER (ORDER BY h) IS NOT NULL AS INT) + 1
+      |      + CAST(lead(v) OVER (ORDER BY h) IS NOT NULL AS INT)) AS ma3_value,
+      | n
+      |FROM hourly ORDER BY h_us""".stripMargin
+
+  /** Hour-of-day baseline z-score (Survey A4/J2/F8; reference sa:536-541).
+    * Semantic traps pinned per SURVEY §7.5: stddev_samp (pandas ddof=1);
+    * the σ==0→1e-9 guard replaces ONLY exact zero — a null σ (single-row
+    * group) propagates a null z. Baseline is 24 rows → broadcast join.
+    */
+  def hourBaselineZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("hr", hour(col("ts")))
+    val base = ev.groupBy("hr")
+      .agg(avg("value").as("b_mean"), stddev_samp(col("value")).as("b_std"))
+    ev.join(broadcast(base), Seq("hr"))
+      .select(
+        col("event_id"), col("hr"), col("value"),
+        round((col("value") - col("b_mean")) /
+          when(col("b_std") === 0, lit(1e-9)).otherwise(col("b_std")), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val hourBaselineZscoreSql =
+    """WITH base AS (
+      |  SELECT hour(ts) AS hr, avg(value) AS b_mean, stddev_samp(value) AS b_std
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, hr, value,
+      | round((value - b_mean) / (CASE WHEN b_std = 0 THEN 1e-9 ELSE b_std END), 4) AS z
+      |FROM events JOIN base ON hour(ts) = hr ORDER BY event_id""".stripMargin
+
+  /** Latest-snapshot filter: rows at the global max timestamp (Survey P8;
+    * reference sa:713-714). The max is a one-number aggregate broadcast back
+    * — never a window over the full data.
+    */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mx = ev.agg(max("ts").as("max_ts"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") === col("max_ts"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val latestSnapshotSql =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events WHERE ts = (SELECT max(ts) FROM events) ORDER BY event_id""".stripMargin
+
+  /** Threshold risk-flag aggregation (Survey P5; reference sa:342-350).
+    * Fixed threshold keeps the >= boundary bit-identical across engines;
+    * the quantile-derived variant of this pattern is exercised (rounded)
+    * in q06/t09.
+    */
+  def riskShareByType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") >= 400.0, 1L).otherwise(0L)).as("n_risky"),
+        (sum(when(col("value") >= 400.0, 1.0).otherwise(0.0)) / count(lit(1))).as("risky_share"))
+      .orderBy("event_type")
+
+  private val riskShareByTypeSql =
+    """SELECT event_type, count(*) AS n,
+      | sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS n_risky,
+      | sum(CASE WHEN value >= 400.0 THEN 1.0 ELSE 0.0 END) / count(*) AS risky_share
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Calendar features: weekday (Mon=0 — Spark `weekday`, NOT `dayofweek`
+    * which is Sun=1; SURVEY §7.5.4) and is_weekend rollup (Survey F4/F5;
+    * reference sa:710-711).
+    */
+  def weekdayRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(weekday(col("ts")).as("dow"),
+        (weekday(col("ts")) >= 5).cast("int").as("is_weekend"), col("value"))
+      .groupBy("dow", "is_weekend")
+      .agg(count(lit(1)).as("n"),
+        (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
+      .orderBy("dow")
+
+  // DuckDB dayofweek is Sun=0..Sat=6 → (dayofweek+6)%7 = Mon=0.
+  private val weekdayRollupSql =
+    """SELECT (dayofweek(ts) + 6) % 7 AS dow,
+      | CAST((dayofweek(ts) + 6) % 7 >= 5 AS INT) AS is_weekend,
+      | count(*) AS n, round(sum(value),2) / count(*) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY dow""".stripMargin
+
+  /** JSON extraction from the `props` payload column (SURVEY §7.6;
+    * `get_json_object` ≡ DuckDB `json_extract_string`).
+    */
+  def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        // integer sums are exact in both engines → exact division, no round
+        (sum("k") / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+
+  private val jsonPropsStatsSql =
+    """SELECT event_type, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k,
+      | sum(k) / count(k) AS avg_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props,'$.k') AS INT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling 1-hour window aggregation — the batch twin of the Structured
+    * Streaming query in [[graft.streaming.StreamOps]] (Survey §2.9). Uses
+    * Spark's `window()` bucketing so the exact same expression runs under
+    * `readStream` with a watermark.
+    */
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("bucket_us", "event_type")
+
+  private val tumblingHourlySql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+      | count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
+
+  /** Sliding 2-hour window, 1-hour stride (each event lands in 2 buckets).
+    * Batch twin of the streaming sliding-window aggregate.
+    */
+  def slidingTwoHour(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("bucket_us", "event_type")
+
+  private val slidingTwoHourSql =
+    """SELECT bucket_us, event_type, count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR), event_type, value FROM events)
+      |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
+
+  /** Top-k anomaly ranking: worst z per user, top 50 (Survey A8/T3/T4;
+    * reference sa:544-549, 617-622). Deterministic tie-break on user_id.
+    */
+  def topAnomalousUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("hr", hour(col("ts")))
+    val base = ev.groupBy("hr")
+      .agg(avg("value").as("b_mean"), stddev_samp(col("value")).as("b_std"))
+    ev.join(broadcast(base), Seq("hr"))
+      .withColumn("z", (col("value") - col("b_mean")) /
+        when(col("b_std") === 0, lit(1e-9)).otherwise(col("b_std")))
+      .groupBy("user_id")
+      .agg(round(max("z"), 4).as("max_z"), count(lit(1)).as("n_events"))
+      .orderBy(desc("max_z"), col("user_id"))
+      .limit(50)
+  }
+
+  private val topAnomalousUsersSql =
+    """WITH base AS (
+      |  SELECT hour(ts) AS hr, avg(value) AS b_mean, stddev_samp(value) AS b_std
+      |  FROM events GROUP BY 1),
+      |z AS (
+      |  SELECT user_id, (value - b_mean) / (CASE WHEN b_std = 0 THEN 1e-9 ELSE b_std END) AS z
+      |  FROM events JOIN base ON hour(ts) = hr)
+      |SELECT user_id, round(max(z),4) AS max_z, count(*) AS n_events
+      |FROM z GROUP BY user_id ORDER BY max_z DESC, user_id LIMIT 50""".stripMargin
+
+  /** Per-type vs global hour-of-day comparison + delta (Survey J1/U2/A12;
+    * reference sa:398-452 cell-vs-network compare). Left join of the
+    * per-type series onto the 24-row global baseline (broadcast).
+    */
+  def typeVsGlobalHourly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("hr", hour(col("ts")))
+    val glob = ev.groupBy("hr")
+      .agg((round(sum("value"), 2) / count(lit(1))).as("global_avg"))
+    val byType = ev.groupBy("event_type", "hr")
+      .agg((round(sum("value"), 2) / count(lit(1))).as("type_avg"))
+    byType.join(broadcast(glob), Seq("hr"))
+      .select(col("event_type"), col("hr"),
+        col("type_avg"), col("global_avg"),
+        (col("type_avg") - col("global_avg")).as("delta"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val typeVsGlobalHourlySql =
+    """WITH gbase AS (SELECT hr, round(sum(value),2)/count(*) AS global_avg
+      |  FROM (SELECT hour(ts) AS hr, value FROM events) GROUP BY hr),
+      |bytype AS (SELECT event_type, hr, round(sum(value),2)/count(*) AS type_avg
+      |  FROM (SELECT event_type, hour(ts) AS hr, value FROM events) GROUP BY 1, 2)
+      |SELECT event_type, bytype.hr AS hr, type_avg, global_avg,
+      | type_avg - global_avg AS delta
+      |FROM bytype JOIN gbase ON bytype.hr = gbase.hr
+      |ORDER BY event_type, hr""".stripMargin
+
+  /** Data-contract audit (Survey A10/P4; reference sa:39-105): one-row
+    * summary of null counts, range violations, and cardinalities.
+    */
+  def dataContractAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(isnull(col("value")).cast("long")).as("null_value"),
+        sum(isnull(col("user_id")).cast("long")).as("null_user"),
+        sum(isnull(col("props")).cast("long")).as("null_props"),
+        sum((col("value") < 0).cast("long")).as("neg_value"),
+        sum((col("value") > 10000).cast("long")).as("huge_value"),
+        countDistinct("user_id").as("n_users"),
+        countDistinct("event_type").as("n_types"))
+
+  private val dataContractAuditSql =
+    """SELECT count(*) AS n_rows,
+      | count(*) FILTER (WHERE value IS NULL) AS null_value,
+      | count(*) FILTER (WHERE user_id IS NULL) AS null_user,
+      | count(*) FILTER (WHERE props IS NULL) AS null_props,
+      | count(*) FILTER (WHERE value < 0) AS neg_value,
+      | count(*) FILTER (WHERE value > 10000) AS huge_value,
+      | count(DISTINCT user_id) AS n_users,
+      | count(DISTINCT event_type) AS n_types
+      |FROM events""".stripMargin
+
+  /** Sessionization (gaps-and-islands): split each user's event stream at
+    * >30-minute gaps, aggregate per session. Batch twin of the streaming
+    * `session_window` query. Windows partition by user_id — scales with
+    * key cardinality, no global sort.
+    */
+  def userSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min("ts")).as("start_us"),
+        unix_micros(max("ts")).as("end_us"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  private val userSessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, count(*) AS n_events,
+      | epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      | round(sum(value),2) AS sum_value
+      |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
+    QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
+    QueryDef("t03_latest_snapshot", latestSnapshot, Some(latestSnapshotSql)),
+    QueryDef("t04_risk_share_by_type", riskShareByType, Some(riskShareByTypeSql)),
+    QueryDef("t05_weekday_rollup", weekdayRollup, Some(weekdayRollupSql)),
+    QueryDef("t06_json_props_stats", jsonPropsStats, Some(jsonPropsStatsSql)),
+    QueryDef("t07_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),
+    QueryDef("t08_sliding_two_hour", slidingTwoHour, Some(slidingTwoHourSql)),
+    QueryDef("t09_top_anomalous_users", topAnomalousUsers, Some(topAnomalousUsersSql)),
+    QueryDef("t10_type_vs_global_hourly", typeVsGlobalHourly, Some(typeVsGlobalHourlySql)),
+    QueryDef("t11_data_contract_audit", dataContractAudit, Some(dataContractAuditSql)),
+    QueryDef("t12_user_sessions", userSessions, Some(userSessionsSql)),
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pinned semantics from SURVEY.md §7.5 — the traps that differ between
+  * pandas/DuckDB/Spark, asserted on hand-computed frames.
+  */
+class SemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weekday is Mon=0 (pandas dayofweek), not Spark dayofweek Sun=1") {
+    // 2024-01-01 was a Monday
+    val d = Seq("2024-01-01", "2024-01-06", "2024-01-07").toDF("s")
+      .select(weekday(to_timestamp($"s")).as("wd"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(0, 5, 6))
+  }
+
+  test("stddev_samp of a single row is null; guard replaces only exact 0") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("k", "v")
+      .groupBy("k").agg(stddev_samp($"v").as("sd"))
+    val m = df.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(m("a").isEmpty, "single-row group must have null stddev")
+    assert(m("b").contains(0.0), "zero-variance group has sd 0 (guard target)")
+    // F8 guard: only sd===0 becomes 1e-9; null propagates
+    val z = Seq(("a", Option.empty[Double]), ("b", Some(0.0)), ("c", Some(2.0)))
+      .toDF("k", "sd")
+      .select($"k", when($"sd" === 0, lit(1e-9)).otherwise($"sd").as("g"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(z("a").isEmpty && z("b").contains(1e-9) && z("c").contains(2.0))
+  }
+
+  test("exact percentile interpolates linearly (pandas quantile semantics)") {
+    val p = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+      .selectExpr("percentile(v, 0.5) p50", "percentile(v, 0.95) p95")
+      .collect()(0)
+    assert(p.getDouble(0) == 2.5)
+    assert(math.abs(p.getDouble(1) - 3.85) < 1e-12) // 0.95*(4-1)=2.85 → 3 + 0.85
+  }
+
+  test("dedup-keep-latest returns exactly one row per key, the latest") {
+    val df = Seq(("k1", 1, "old"), ("k1", 3, "new"), ("k1", 2, "mid"), ("k2", 9, "only"))
+      .toDF("k", "ts", "tag")
+    val w = Window.partitionBy("k").orderBy($"ts".desc)
+    val out = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("k", "tag").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("k1" -> "new", "k2" -> "only"))
+  }
+
+  test("trailing 3-row mean shrinks at partition start (min_periods=1)") {
+    val df = Seq(("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0), ("k", 4, 40.0))
+      .toDF("k", "i", "v")
+    val w = Window.partitionBy("k").orderBy("i")
+    val p1 = lag("v", 1).over(w); val p2 = lag("v", 2).over(w)
+    val out = df.select($"i",
+      ((coalesce(p2, lit(0.0)) + coalesce(p1, lit(0.0)) + $"v") /
+        (p2.isNotNull.cast("int") + p1.isNotNull.cast("int") + lit(1))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1 -> 10.0, 2 -> 15.0, 3 -> 20.0, 4 -> 30.0))
+  }
+
+  test("centered MA matches pandas rolling(3, center=True, min_periods=1)") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 60.0)).toDF("i", "v")
+    val w = Window.orderBy("i")
+    val prev = lag($"v", 1).over(w); val next = lead($"v", 1).over(w)
+    val out = df.select($"i",
+      ((coalesce(prev, lit(0.0)) + $"v" + coalesce(next, lit(0.0))) /
+        (prev.isNotNull.cast("int") + lit(1) + next.isNotNull.cast("int"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1 -> 15.0, 2 -> 30.0, 3 -> 40.0))
+  }
+
+  test("events loader truncates nanosecond timestamps to microseconds") {
+    val ev = Tables.events(spark, sf0001)
+    val t = ev.select(min(unix_micros($"ts"))).collect()(0).getLong(0)
+    // 2024-01-01T00:09:58.778549Z — matches DuckDB's µs truncation
+    assert(t == 1704067798778549L)
+  }
+
+  test("session windows split at >30min gaps (gaps-and-islands)") {
+    val rows = graft.operators.Temporal.userSessions(spark, sf0001)
+    val bad = rows.filter($"end_us" < $"start_us").count()
+    assert(bad == 0)
+    assert(rows.count() > 0)
+  }
+}
