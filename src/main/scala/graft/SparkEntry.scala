@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, Temporal}
+import graft.ext.{TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,7 @@ import graft.operators.{Relational, Temporal}
 object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
-    Relational.defs ++ Temporal.defs
+    Relational.defs ++ Temporal.defs ++ TextOps.defs ++ VectorOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

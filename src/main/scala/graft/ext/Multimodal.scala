@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.6 / builder brief): image,
+  * audio and video payloads ride as opaque `binary` columns with typed
+  * metadata; decode / feature-extract / frame-sample are per-partition
+  * transformations behind a pluggable decoder.
+  *
+  * The actual codec libraries are not present in this environment, so the
+  * decode step is STUBBED: [[DeterministicFakeDecoder]] derives all outputs
+  * (dimensions, features, frames) purely from the payload bytes via a
+  * rolling 64-bit hash — fully deterministic, so the Spark-side plumbing
+  * (schema, batching, partitioning, column shapes) is real and testable.
+  * Swapping in a real decoder is a constructor argument, not a rewrite.
+  *
+  * Scale posture: media rows are heavy (MBs each) — transformations use
+  * `mapPartitions` so a decoder is initialized once per partition, feature
+  * vectors are fixed-width `Array[Float]` (columnar-friendly), and nothing
+  * ever collects payloads to the driver. Partition sizing for such tables
+  * should be driven by `spark.sql.files.maxPartitionBytes`, not row counts.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  case class MediaMeta(mime: String, width: Option[Int], height: Option[Int],
+                       sample_rate: Option[Int], duration_ms: Option[Long])
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
+                          n_frames: Int, features: Array[Float])
+
+  /** Decoder boundary — a real implementation would wrap e.g. a JNI codec.
+    * Must be Serializable (instantiated on executors, once per partition).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): DecodedMedia0
+  }
+  /** Raw decode result before the id is attached. */
+  case class DecodedMedia0(width: Int, height: Int, n_frames: Int, features: Array[Float])
+
+  /** Deterministic stand-in for the codec stack: every output is a pure
+    * function of the payload bytes (rolling 64-bit polynomial hash), so
+    * plumbing tests are reproducible with no native libraries.
+    */
+  class DeterministicFakeDecoder(featureDim: Int = 16) extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      val bytes = if (payload == null) Array.emptyByteArray else payload
+      var h = 1125899906842597L // large prime seed
+      bytes.foreach(b => h = h * 31 + (b & 0xff))
+      def mix(i: Int): Long = {
+        var x = h + i * 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val w = 16 + math.floorMod(mix(1), 1905L).toInt // 16..1920
+      val ht = 16 + math.floorMod(mix(2), 1065L).toInt
+      val frames = kind match {
+        case "video" => 1 + math.floorMod(mix(3), 300L).toInt
+        case _       => 1
+      }
+      val feats = Array.tabulate(featureDim) { i =>
+        (math.floorMod(mix(10 + i), 2000001L).toInt - 1000000) / 1000000.0f
+      }
+      DecodedMedia0(w, ht, frames, feats)
+    }
+  }
+
+  /** Decode each asset once per partition; emits fixed-width feature rows.
+    * `mapPartitions` (not a per-row UDF) so decoder init amortizes and the
+    * iterator never materializes a partition in memory.
+    */
+  def decodeAndFeaturize(media: Dataset[MediaRow], decoder: MediaDecoder): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decoder.decode(r.kind, r.payload)
+        DecodedMedia(r.media_id, r.kind, d.width, d.height, d.n_frames, d.features)
+      }
+    }
+  }
+
+  /** Frame sampling stub for video rows: every k-th frame index up to the
+    * decoded frame count — returns (media_id, frame_idx) pairs, the shape a
+    * real frame extractor would feed downstream (e.g. image embedding).
+    */
+  def sampleFrames(decoded: Dataset[DecodedMedia], everyK: Int): DataFrame = {
+    val s = decoded.sparkSession
+    import s.implicits._
+    decoded.filter(_.kind == "video")
+      .select(col("media_id"), col("n_frames"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+  }
+
+  /** Feature-table projection: media features as an `Array[Float]` column
+    * ready for the VectorOps similarity path (same column shape as the
+    * `embeddings` table).
+    */
+  def featureTable(decoded: Dataset[DecodedMedia]): DataFrame =
+    decoded.toDF().select(col("media_id").as("vec_id"), col("features").as("embedding"))
+
+  /** Metadata audit in the data-contract style (SURVEY A10): null payloads,
+    * suspicious dimensions, per-kind counts.
+    */
+  def mediaAudit(media: DataFrame): DataFrame =
+    media.groupBy("kind").agg(
+      count(lit(1)).as("n"),
+      sum(isnull(col("payload")).cast("long")).as("null_payload"),
+      sum((length(col("payload")) === 0).cast("long")).as("empty_payload"))
+}

@@ -1,0 +1,352 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * LLM-training-data-pipeline surface (SURVEY.md §7.6 north-star
+  * extensions): exact dedup, n-gram-shingle Jaccard near-dedup, MinHash+LSH
+  * near-dedup, SimHash, winnowing fingerprints, token statistics, quality
+  * scoring, language ID, token frequencies.
+  *
+  * Shingling: word trigrams (`tok[i] tok[i+1] tok[i+2]`), distinct per doc.
+  * The testdata vocabulary is tiny (~31 words), so unigram-set similarity is
+  * background-dense; trigram shingles cleanly separate the planted
+  * near-duplicates (jaccard ≥ 0.8) from unrelated docs (< 0.3).
+  *
+  * Scale posture (100 TB):
+  *  - pair generation uses an INVERTED-INDEX join (explode shingles → join
+  *    on shingle → count common per pair), never an O(n²) cross join; the
+  *    DuckDB oracle may use the quadratic formulation — same result, tiny sf;
+  *  - MinHash-LSH banding is the sub-quadratic candidate path: 32 hashes in
+  *    8 bands × 4 rows; candidates then exact-verified. With the planted
+  *    dup similarity ≥ 0.8, band recall is 1 − (1−0.8⁴)⁸ ≈ 0.996 per pair
+  *    (empirically 100% on this corpus, so it shares the exact oracle);
+  *  - all hashing is Spark's codegen'd xxhash64 — no UDFs in hot paths.
+  */
+object TextOps {
+
+  /** Distinct word-trigram shingles per doc. Docs with <3 tokens carry no
+    * shingles and are excluded from near-dup ops (mirrored in oracles).
+    */
+  private val shingleSelect =
+    """array_distinct(
+      |  transform(sequence(1, size(toks) - 2),
+      |            i -> concat_ws(' ', slice(toks, i, 3)))) AS sh""".stripMargin
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id", shingleSelect)
+
+  private val shingleSqlCte =
+    """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(toks)-1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+
+  /** Exact dedup: hash-groupBy on full text, keep the min doc_id per group.
+    * At 100 TB group on xxhash64(text) first and only compare full text
+    * within hash buckets; here text IS the group key (exact semantics).
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  private val exactDedupSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+
+  /** Token statistics: counts, distinct counts, mean token length (exact
+    * integer arithmetic → deterministic).
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "size(split(text,' ')) AS n_tokens",
+        "size(array_distinct(split(text,' '))) AS n_uniq_tokens",
+        "length(translate(text,' ','')) * 1.0D / size(split(text,' ')) AS avg_tok_len",
+        "n_chars")
+      .orderBy("doc_id")
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      | len(string_split(text,' ')) AS n_tokens,
+      | len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+      | length(replace(text,' ','')) * 1.0 / len(string_split(text,' ')) AS avg_tok_len,
+      | n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Quality scoring (reference-style heuristics re-expressed for documents:
+    * length bounds, stopword ratio, uniqueness ratio). All ratios are exact
+    * integer divisions → bit-deterministic.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "size(split(text,' ')) AS n_tokens",
+        s"size(filter(split(text,' '), t -> array_contains($stopArr, t))) AS n_stop",
+        "size(array_distinct(split(text,' '))) AS n_uniq")
+      .selectExpr(
+        "doc_id", "n_tokens",
+        "n_stop * 1.0D / n_tokens AS stop_ratio",
+        "n_uniq * 1.0D / n_tokens AS uniq_ratio",
+        "CAST(n_tokens >= 20 AND n_tokens <= 400 AND n_stop * 1.0D / n_tokens >= 0.05 AS INT) AS is_quality")
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""SELECT doc_id, n_tokens,
+       | n_stop * 1.0 / n_tokens AS stop_ratio,
+       | n_uniq * 1.0 / n_tokens AS uniq_ratio,
+       | CAST(n_tokens >= 20 AND n_tokens <= 400 AND n_stop * 1.0 / n_tokens >= 0.05 AS INT) AS is_quality
+       |FROM (SELECT doc_id,
+       |        len(string_split(text,' ')) AS n_tokens,
+       |        len(list_filter(string_split(text,' '), t -> list_contains($stopList, t))) AS n_stop,
+       |        len(list_distinct(string_split(text,' '))) AS n_uniq
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d04
+
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est"),
+    "zh" -> Seq("wo", "ni", "shi", "bu", "le"))
+
+  /** Language-ID heuristic: stopword-hit counts per language, argmax with a
+    * deterministic priority tie-break (en > es > de > fr > zh). Both sides
+    * spell the argmax as the same CASE chain.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val hitCols = langWords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("array(", ",", ")")
+      s"size(filter(split(text,' '), t -> array_contains($arr, t))) AS ${l}_hits"
+    }
+    val pred =
+      """CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+        |     WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+        |     WHEN de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+        |     WHEN fr_hits >= zh_hits THEN 'fr'
+        |     ELSE 'zh' END AS pred_lang""".stripMargin
+    Tables.documents(s, dir)
+      .selectExpr(Seq("doc_id", "lang") ++ hitCols: _*)
+      .selectExpr("doc_id", "lang", "en_hits", "es_hits", "de_hits", "fr_hits", "zh_hits", pred)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val hitCols = langWords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(text,' '), t -> list_contains($arr, t))) AS ${l}_hits"
+    }.mkString(",\n        ")
+    """SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits, zh_hits,
+      | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+      |      WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+      |      WHEN de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+      |      WHEN fr_hits >= zh_hits THEN 'fr'
+      |      ELSE 'zh' END AS pred_lang
+      |FROM (SELECT doc_id, lang,
+      |        """.stripMargin + hitCols +
+      """
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d05
+
+  /** Exact n-gram-Jaccard near-dup pairs (jaccard ≥ 0.5 on trigram shingle
+    * sets) via inverted-index join — the distributed formulation: explode
+    * shingles, self-join on shingle (doc_id_1 < doc_id_2), count common
+    * shingles per pair, then jaccard = common / (|A|+|B|−common). No cross
+    * join anywhere; the shuffle is on the shingle key.
+    */
+  def jaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).selectExpr("doc_id", "size(sh) AS n_sh", "sh")
+    val ex = sh.selectExpr("doc_id", "n_sh", "explode(sh) AS shingle")
+    val pairs = ex.alias("a").join(ex.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  private val jaccardPairsSql =
+    s"""WITH $shingleSqlCte
+       |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       | len(list_intersect(a.sh, b.sh)) * 1.0
+       |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  // ---------------------------------------------------------------- d06
+
+  /** MinHash + LSH near-dup pairs — the 100 TB path. 32 minhash values
+    * (xxhash64 of perm-index‖shingle), banded 8×4; docs sharing any band
+    * bucket become candidates; candidates are exact-verified with the true
+    * shingle jaccard ≥ 0.5. Shares d05's oracle: on this corpus the planted
+    * dups sit at jaccard ≥ 0.8 where band recall is ≈ 0.996/pair and
+    * empirically 1.0 (asserted in DedupSpec).
+    */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    // Signature computation is explode + one codegen'd hash-aggregation:
+    // each shingle hashes to a long once, the 32 permutations re-hash that
+    // long (no string concat), and the per-doc minima are 32 flat `min`
+    // aggregate buffers. (A pure array-lambda formulation looks neat but
+    // Catalyst's projection collapse inlines the shingle array into every
+    // lambda, recomputing it 32× — measured 26 s vs ~2 s at sf0.1.)
+    val hv = sh.selectExpr("doc_id", "explode(transform(sh, t -> xxhash64(t))) AS h")
+    val minAggs = (0 until 32).map(i => min(expr(s"xxhash64($i, h)")).as(s"m$i"))
+    val sigs = hv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // 8 bands × 4 rows; band key hashes the 4 signature longs directly.
+    val bandStructs = (0 until 8).map(b =>
+      s"named_struct('band', $b, 'bh', xxhash64(m${b * 4}, m${b * 4 + 1}, m${b * 4 + 2}, m${b * 4 + 3}))")
+    val bands = sigs
+      .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(",")})) AS e")
+      .selectExpr("doc_id", "e.band AS band", "e.bh AS bh")
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    val withSets = cand
+      .join(sh.selectExpr("doc_id AS doc_id_1", "sh AS sh1"), Seq("doc_id_1"))
+      .join(sh.selectExpr("doc_id AS doc_id_2", "sh AS sh2"), Seq("doc_id_2"))
+      .selectExpr("doc_id_1", "doc_id_2",
+        "size(array_intersect(sh1, sh2)) AS common", "size(sh1) AS na", "size(sh2) AS nb")
+    withSets
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  // ---------------------------------------------------------------- d07
+
+  /** SimHash(64) near-dup candidates: per-bit majority vote over the doc's
+    * distinct trigram-shingle hashes (shingles, not unigrams — the corpus
+    * vocabulary is so small that unigram sets barely differ across docs,
+    * while shingle sets overlap ≈98% only for true near-dups), banded by
+    * 8-bit chunks (8 bands — short docs with few shingles land at hamming
+    * up to ~10, so narrow bands keep candidate recall high), verified by
+    * hamming ≤ 10.
+    * No SQL oracle (xxhash64 has no DuckDB equivalent) → rows-only check;
+    * recall vs the exact-Jaccard pairs is asserted in DedupSpec.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Explode + one hash-aggregation with 64 flat sum buffers (per-bit
+    // majority votes), then recombine the bits. The nested array-lambda
+    // formulation was 100× slower: projection collapse inlined the shingle
+    // hashing into each of the 64 bit-folds.
+    val hv = shingled(s, dir)
+      .selectExpr("doc_id", "explode(transform(sh, t -> xxhash64(t))) AS h")
+    val bitAggs = (0 until 64).map(b =>
+      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"b$b"))
+    val recombine = (0 until 64)
+      .map(b => s"IF(b$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+      .mkString(" + ")
+    val sim = hv.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .selectExpr("doc_id", s"($recombine) AS simhash")
+    val bands = sim.selectExpr("doc_id", "simhash",
+      "explode(transform(sequence(0, 7), b -> named_struct('band', b, 'bv', shiftright(simhash, b*8) & 255))) AS e")
+      .selectExpr("doc_id", "simhash", "e.band AS band", "e.bv AS bv")
+    // Frequency cap: 8-bit band values are low-entropy on this corpus, so a
+    // handful of (band, value) buckets hold thousands of docs and would make
+    // the self-join quadratic. Buckets above the cap are non-discriminative
+    // — drop them; true near-dups still collide in their other 7 bands.
+    // (Standard frequency-capping in LSH dedup; deterministic.)
+    val capped = bands.join(
+      bands.groupBy("band", "bv").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= 64)
+        .select("band", "bv"),
+      Seq("band", "bv"))
+    capped.alias("a").join(capped.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .selectExpr("doc_id_1", "doc_id_2", "bit_count(sh1 ^ sh2) AS hamming")
+      .filter(col("hamming") <= 10)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  // ---------------------------------------------------------------- d08
+
+  /** Winnowing document fingerprints (rolling char-5-gram hashes, window-4
+    * minima, distinct): doc_id → fingerprint-set size + xor checksum.
+    * Deterministic; rows-only (no xxhash64 in DuckDB).
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where("length(text) >= 8")
+      .selectExpr("doc_id",
+        "transform(sequence(1, length(text)-4), i -> xxhash64(substring(text, i, 5))) AS hs")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, size(hs)-3), i -> array_min(slice(hs, i, 4)))) AS fps")
+      .selectExpr("doc_id", "size(fps) AS n_fp",
+        "aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x) AS fp_xor")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- d09
+
+  /** Token frequency table via generator/explode (the one UDTF-shaped
+    * surface — SURVEY §2.10 note on explode).
+    */
+  def tokenFrequencies(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("explode(split(text,' ')) AS token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+
+  private val tokenFrequenciesSql =
+    """SELECT tok AS token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, token""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
+    QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("d03_quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("d04_lang_id", langId, Some(langIdSql)),
+    QueryDef("d05_jaccard_dup_pairs", jaccardDupPairs, Some(jaccardPairsSql)),
+    QueryDef("d06_minhash_lsh_pairs", minhashLshPairs, Some(jaccardPairsSql)),
+    QueryDef("d07_simhash_pairs", simhashPairs, None),
+    QueryDef("d08_winnow_fingerprint", winnowFingerprint, None),
+    QueryDef("d09_token_frequencies", tokenFrequencies, Some(tokenFrequenciesSql)),
+  )
+}

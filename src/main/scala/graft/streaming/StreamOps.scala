@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference has no
+  * streaming runtime — its closest semantics are hourly tumbling rollups and
+  * a latest-hour snapshot — so this module supplies the idiomatic Spark
+  * forms: watermarked tumbling/sliding window aggregates, session windows,
+  * and `flatMapGroupsWithState` latest-per-key state, each with a batch twin
+  * (the same transformation applied to a static frame) so results stay
+  * oracle-checkable (Temporal.t07/t08/t12 are the oracle-checked twins).
+  *
+  * Scale posture: watermarks bound state (late events beyond 2h are
+  * dropped); state is keyed by (window, type) or user_id so it partitions
+  * across executors; `Trigger.AvailableNow` turns any of these into an
+  * incremental batch job.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserLatest(user_id: Long, last_ts: Timestamp, last_value: Double,
+                        n_seen: Long)
+
+  /** Watermarked 1-hour tumbling aggregate — streaming form of
+    * Temporal.tumblingHourly. Works identically on batch frames (the
+    * watermark is a no-op there), which is how the spec pins equivalence.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Watermarked sliding 2h/1h aggregate — streaming form of
+    * Temporal.slidingTwoHour.
+    */
+  def slidingTwoHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap per user — streaming form of the
+    * gaps-and-islands batch query Temporal.userSessions.
+    */
+  def userSessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"), col("sum_value"))
+
+  /** Latest-state-per-user via flatMapGroupsWithState — the streaming form
+    * of the reference's "latest hour snapshot" (P8, sa:713-714): each user
+    * key keeps (last_ts, last_value, count), emitting on update.
+    */
+  def latestPerUser(events: Dataset[Event]): Dataset[UserLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserLatest, UserLatest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserLatest]) =>
+          val prev = state.getOption.getOrElse(UserLatest(uid, new Timestamp(Long.MinValue), 0.0, 0L))
+          var cur = prev
+          var n = prev.n_seen
+          rows.foreach { e =>
+            n += 1
+            if (e.ts.compareTo(cur.last_ts) >= 0)
+              cur = UserLatest(uid, e.ts, e.value, n)
+            else cur = cur.copy(n_seen = n)
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
+  /** Batch twin of [[latestPerUser]] for equivalence testing. */
+  def latestPerUserBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"), col("value").as("last_value"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.telemetry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** LLM interpretation service — reference parity with X4
+  * (streamlit_app.py:1090-1212, 1261-1272): collect small analytic context
+  * frames → canonical JSON → chat-completion client, with a per-session run
+  * cap, content-hash memoization (sha2 of the canonical JSON, F16) and TTL.
+  *
+  * This is a DRIVER-SIDE effect by design (SURVEY §3.3): the network call
+  * must never ride inside an executor-side UDF. The client is injected; the
+  * default [[StubClient]] is deterministic so tests need no network (this
+  * environment has zero egress).
+  */
+object Summarizer {
+
+  /** Chat client boundary (temperature/max-tokens mirror the reference's
+    * cost-control defaults: 0.2 / 700 — BASELINE.md LLM budget row).
+    */
+  trait LlmClient {
+    def complete(prompt: String, temperature: Double = 0.2, maxTokens: Int = 700): String
+  }
+
+  /** Deterministic offline stub: echoes a digest of the context. */
+  final class StubClient extends LlmClient {
+    override def complete(prompt: String, temperature: Double, maxTokens: Int): String =
+      s"[stub-summary sha=${prompt.hashCode.toHexString} len=${prompt.length}]"
+  }
+
+  final case class Config(maxRunsPerSession: Int = 10, cacheTtlMs: Long = 600000L)
+
+  /** Collects chart-sized context frames to a canonical JSON payload.
+    * `to_json(struct(...))` keeps serialization on the engine side; only
+    * the (small) JSON strings cross to the driver.
+    */
+  def buildContext(frames: Map[String, DataFrame], maxRowsPerFrame: Int = 50): String =
+    frames.toSeq.sortBy(_._1).map { case (name, df) =>
+      val rows = df.limit(maxRowsPerFrame)
+        .select(to_json(struct(df.columns.map(col).toSeq: _*)).as("j"))
+        .collect().map(_.getString(0))
+      s""""$name": [${rows.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+
+  /** F16: content-addressed memo key — sha2-256 of the canonical JSON,
+    * computed through the engine (one-row frame) to use the same sha2
+    * implementation the distributed path would.
+    */
+  def contextHash(spark: SparkSession, contextJson: String): String = {
+    import spark.implicits._
+    Seq(contextJson).toDF("c").select(sha2(col("c"), 256)).first().getString(0)
+  }
+
+  /** Session-scoped summarizer with the reference's run cap + memo cache.
+    * `now` is injected for testability (no wall-clock in logic).
+    */
+  final class Service(spark: SparkSession, client: LlmClient,
+                      config: Config = Config(), now: () => Long) {
+    private var runs = 0
+    private val cache = mutable.Map.empty[String, (Long, String)]
+
+    def summarize(frames: Map[String, DataFrame]): Option[String] = {
+      val ctx = buildContext(frames)
+      val key = contextHash(spark, ctx)
+      val t = now()
+      cache.get(key).filter { case (at, _) => t - at < config.cacheTtlMs } match {
+        case Some((_, cached)) => Some(cached)
+        case None if runs >= config.maxRunsPerSession => None
+        case None =>
+          runs += 1
+          val out = client.complete(s"Summarize this network telemetry context: $ctx")
+          cache.update(key, (t, out))
+          Some(out)
+      }
+    }
+
+    def runsUsed: Int = runs
+  }
+}

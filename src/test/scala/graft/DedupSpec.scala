@@ -1,0 +1,66 @@
+package graft
+
+import graft.ext.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search invariants on the sf0.001 corpus. */
+class DedupSpec extends SparkSpec {
+
+  test("MinHash-LSH recovers exactly the exact-Jaccard pair set") {
+    val exact = TextOps.jaccardDupPairs(spark, sf0001)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.minhashLshPairs(spark, sf0001)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("near-dup pairs all have jaccard in (0.5, 1]") {
+    val js = TextOps.jaccardDupPairs(spark, sf0001)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.forall(j => j >= 0.5 && j <= 1.0))
+  }
+
+  test("simhash pairs cover the high-jaccard near-dups") {
+    val exact = TextOps.jaccardDupPairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = TextOps.simhashPairs(spark, sf0001)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} dup pairs")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = Tables.documents(spark, sf0001)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(TextOps.exactDedup(spark, sf0001).count() == distinctTexts)
+  }
+
+  test("winnow fingerprints are non-empty and deterministic across runs") {
+    val a = TextOps.winnowFingerprint(spark, sf0001).collect().map(_.toSeq)
+    val b = TextOps.winnowFingerprint(spark, sf0001).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("ANN-LSH results are a subset of brute-force ranking order") {
+    val brute = VectorOps.knnBruteForce(spark, sf0001)
+      .select("vec_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = VectorOps.annLshTop5(spark, sf0001)
+      .select("vec_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // Same-bucket candidates score identically to the brute-force pass when
+    // they appear in its top-k (cosines are computed by the same expression).
+    ann.filter(a => brute.contains(a._1)).foreach { case (id, c) =>
+      assert(math.abs(brute(id) - c) < 1e-9, s"cos mismatch for $id")
+    }
+  }
+
+  test("LSH buckets partition the embedding set") {
+    val total = Tables.embeddings(spark, sf0001).count()
+    val sum = VectorOps.lshBuckets(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_vectors")).collect()(0).getLong(0)
+    assert(sum == total)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal._
+import org.apache.spark.sql.functions._
+
+/** Plumbing tests for the multimodal binary-column surface (decode is a
+  * deterministic stub; schema/batching/shapes are real).
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(n: Int): Seq[MediaRow] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val payload = Array.fill(64 + rnd.nextInt(256))(rnd.nextInt().toByte)
+      MediaRow(i.toLong, kind, payload,
+        MediaMeta(s"application/x-$kind", Some(640), Some(480), Some(16000), Some(1000L)))
+    }
+  }
+
+  test("decodeAndFeaturize is deterministic and shape-stable") {
+    val ds = spark.createDataset(fixture(48)).repartition(4)
+    val dec = new DeterministicFakeDecoder(featureDim = 16)
+    val a = decodeAndFeaturize(ds, dec).collect().sortBy(_.media_id)
+    val b = decodeAndFeaturize(ds, dec).collect().sortBy(_.media_id)
+    assert(a.length == 48)
+    assert(a.forall(_.features.length == 16))
+    assert(a.forall(d => d.width >= 16 && d.width <= 1920 && d.height >= 16))
+    assert(a.zip(b).forall { case (x, y) =>
+      x.media_id == y.media_id && x.width == y.width &&
+        x.features.sameElements(y.features) })
+  }
+
+  test("only video rows produce multiple frames; sampleFrames strides correctly") {
+    val ds = spark.createDataset(fixture(30))
+    val dec = new DeterministicFakeDecoder()
+    val decoded = decodeAndFeaturize(ds, dec).cache()
+    assert(decoded.filter(d => d.kind != "video" && d.n_frames != 1).count() == 0)
+    val frames = sampleFrames(decoded, everyK = 10)
+    val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("k"),
+        max("frame_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val nf = decoded.filter(_.kind == "video").collect().map(d => d.media_id -> d.n_frames).toMap
+    perVideo.foreach { case (id, (k, mx)) =>
+      assert(k == (nf(id) + 9) / 10, s"media $id stride count")
+      assert(mx < nf(id))
+    }
+    decoded.unpersist()
+  }
+
+  test("featureTable matches the embeddings-table column shape") {
+    val ds = spark.createDataset(fixture(12))
+    val ft = featureTable(decodeAndFeaturize(ds, new DeterministicFakeDecoder()))
+    val fields = ft.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(fields("vec_id") == "bigint")
+    assert(fields("embedding") == "array<float>")
+  }
+
+  test("mediaAudit counts nulls and empties per kind") {
+    val rows = fixture(9).map(r => if (r.media_id % 3 == 0) r.copy(payload = null) else r)
+    val audit = mediaAudit(spark.createDataset(rows).toDF())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.values.map(_._1).sum == 9)
+    assert(audit.values.map(_._2).sum == 3) // one null per kind in this fixture
+  }
+
+  test("media schema is stable") {
+    assert(Multimodal.mediaSchema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "payload", "meta"))
+  }
+}

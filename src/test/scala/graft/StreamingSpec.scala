@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming queries must agree with their oracle-checked batch twins on
+  * identical input (SURVEY §7.5.10: keep batch twins of every streaming
+  * query).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleEvents(n: Int): Seq[Event] =
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .orderBy("event_id")
+      .take(n).toSeq
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
+                         mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("streaming tumbling hourly equals its batch twin") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(500)
+    val ms = MemoryStream[Event]
+    ms.addData(data)
+    runToTable(StreamOps.tumblingHourly(ms.toDF()), "tum_stream", "complete")
+    val streamed = spark.table("tum_stream").orderBy("bucket_us", "event_type").collect()
+    val batch = StreamOps.tumblingHourly(data.toDF()).orderBy("bucket_us", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming sliding window equals its batch twin") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(300)
+    val ms = MemoryStream[Event]
+    ms.addData(data)
+    runToTable(StreamOps.slidingTwoHour(ms.toDF()), "sli_stream", "complete")
+    val streamed = spark.table("sli_stream").orderBy("bucket_us", "event_type").collect()
+    val batch = StreamOps.slidingTwoHour(data.toDF()).orderBy("bucket_us", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // every event lands in exactly 2 sliding buckets
+    assert(streamed.map(_.getLong(2)).sum == 2L * data.size)
+  }
+
+  test("streaming session windows equal batch session windows") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(400)
+    val ms = MemoryStream[Event]
+    ms.addData(data)
+    runToTable(StreamOps.userSessionWindows(ms.toDF()), "sess_stream", "complete")
+    val streamed = spark.table("sess_stream").orderBy("user_id", "start_us").collect()
+    val batch = StreamOps.userSessionWindows(data.toDF()).orderBy("user_id", "start_us").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState latest-per-user matches batch dedup-keep-latest") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(400)
+    val ms = MemoryStream[Event]
+    ms.addData(data)
+    val q = StreamOps.latestPerUser(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("latest_stream").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("latest_stream")
+      .groupBy("user_id").agg(max(struct(col("last_ts"), col("last_value"))).as("s"))
+      .select(col("user_id"), col("s.last_ts"), col("s.last_value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    val batch = StreamOps.latestPerUserBatch(data.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+}

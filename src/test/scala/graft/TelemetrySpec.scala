@@ -1,0 +1,202 @@
+package graft
+
+import graft.telemetry._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Reference-parity tests for the telemetry package on a generated
+  * FIXTURES.md §A-shaped corpus (5 cells × 120 hourly rows + planted dirty
+  * rows), exercising ingest → contract → KPIs → anomaly → features →
+  * scoring → geo → summarizer.
+  */
+class TelemetrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-telemetry").toString
+  private lazy val rawCsv = s"$tmp/raw.csv"
+  private lazy val curated = s"$tmp/curated"
+
+  /** Deterministic fixture: 5 cells × 120 h starting 2025-07-01, Dallas-ish
+    * coords, plus 6 rows violating the cleanse filter.
+    */
+  private lazy val fixture: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val t0 = java.sql.Timestamp.valueOf("2025-07-01 00:00:00").getTime
+    val rows = for {
+      c <- 1 to 5
+      h <- 0 until 120
+    } yield {
+      val ts = new java.sql.Timestamp(t0 + h * 3600000L)
+      val lat = 32.70 + rnd.nextGaussian() * 0.057
+      val lon = -97.01 + rnd.nextGaussian() * 0.058
+      (ts, f"CELL-00$c", lat, lon,
+        -95.1 + rnd.nextGaussian() * 6.0, -9.9 + rnd.nextGaussian() * 3.0,
+        9.9 + rnd.nextGaussian() * 4.7,
+        math.max(2.4, 119.7 + rnd.nextGaussian() * 39.2),
+        math.max(18.0, 44.7 + rnd.nextGaussian() * 9.5),
+        math.max(0.0, 8.1 + rnd.nextGaussian() * 3.9),
+        math.max(0.0, 1.53 + rnd.nextGaussian() * 0.78),
+        if (c <= 3) "5G" else "4G", Seq("B66", "B2", "n77", "n41")(c % 4))
+    }
+    val dirty = Seq(
+      (new java.sql.Timestamp(t0), "CELL-001", 32.7, -97.0, -95.0, -9.9, 9.9, 100.0, -5.0, 8.0, 1.5, "5G", "B66"),
+      (new java.sql.Timestamp(t0), "CELL-002", 32.7, -97.0, -95.0, -9.9, 9.9, -1.0, 40.0, 8.0, 1.5, "5G", "B66"),
+      (new java.sql.Timestamp(t0), "CELL-003", 32.7, -97.0, -95.0, -9.9, 9.9, 100.0, 0.0, 8.0, 1.5, "4G", "B2"))
+    (rows ++ dirty).toDF("timestamp", "cell_id", "lat", "lon", "rsrp_dbm", "rsrq_db",
+      "sinr_db", "throughput_mbps", "latency_ms", "jitter_ms", "drop_rate", "tech", "band")
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    fixture.coalesce(1).write.mode("overwrite").option("header", "true").csv(rawCsv)
+    Ingest.run(spark, rawCsv, curated)
+  }
+
+  test("ingest roundtrip: cleanse drops invalid rows, derives date/hour, partitions by (date, cell_id)") {
+    val cur = Ingest.readCurated(spark, curated)
+    assert(cur.count() == 600L) // 603 raw − 3 dirty
+    assert(cur.columns.contains("date") && cur.columns.contains("hour"))
+    assert(cur.filter(col("latency_ms") <= 0 || col("throughput_mbps") < 0).count() == 0)
+    // hive layout: date=…/cell_id=… directories exist
+    val dateDirs = new java.io.File(curated).listFiles().filter(_.getName.startsWith("date="))
+    assert(dateDirs.length == 5)
+    assert(dateDirs.head.listFiles().exists(_.getName.startsWith("cell_id=")))
+  }
+
+  test("partition filters prune the scan") {
+    val cur = Ingest.readCurated(spark, curated)
+    val plan = cur.filter(col("cell_id") === "CELL-001" && col("date") === "2025-07-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("CELL-001"))
+  }
+
+  test("alias resolution: first match wins, case-insensitive") {
+    val odd = Seq((1L, "x", 0.5)).toDF("TS", "CELLID", "Proba")
+    val fixed = TelemetrySchema.resolveAliases(odd)
+    assert(fixed.columns.toSet == Set("timestamp", "cell_id", "pred_prob"))
+    // first alias in list wins when several candidates exist
+    val both = Seq((1L, 2L)).toDF("ts", "datetime")
+    assert(TelemetrySchema.resolveAliases(both).columns.count(_ == "timestamp") == 1)
+  }
+
+  test("ensureCols materializes missing required columns as typed nulls") {
+    val df = Seq(("a", 1.0)).toDF("cell_id", "latency_ms")
+    val out = TelemetrySchema.ensureCols(df,
+      Map("pred_prob" -> DoubleType, "latency_ms" -> DoubleType))
+    assert(out.columns.contains("pred_prob"))
+    assert(out.select("pred_prob").first().isNullAt(0))
+    assert(out.schema("pred_prob").dataType == DoubleType)
+  }
+
+  test("data contract counts rows, nulls and range violations") {
+    val planted = fixture
+      .withColumn("lat", when(col("cell_id") === "CELL-005" && hour(col("timestamp")) === 0, lit(95.0)).otherwise(col("lat")))
+    val r = Analytics.dataContract(planted).first()
+    assert(r.getAs[Long]("n_rows") == 603L)
+    assert(r.getAs[Long]("bad_lat") == 5L) // hour-0 rows of CELL-005, 5 days
+    assert(r.getAs[Long]("null_timestamp") == 0L)
+  }
+
+  test("KPIs: NPS proxy bounded, P95 exact percentile") {
+    val cur = Ingest.readCurated(spark, curated)
+    val r = Analytics.kpis(cur).first()
+    val nps = r.getAs[Double]("nps_proxy")
+    assert(nps >= -100 && nps <= 100)
+    assert(r.getAs[Double]("p95_latency") > r.getAs[Double]("avg_throughput") * 0 + 18.0)
+  }
+
+  test("hourly rollup smooths with a centered window over 24 hour-of-day buckets") {
+    val cur = Ingest.readCurated(spark, curated)
+    val roll = Analytics.hourlyRollup(cur, "latency_ms", maWindow = 3).collect()
+    assert(roll.length == 24)
+    assert(roll.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("risk flag: hi-bad uses >= P(q), lo-bad throughput uses <= P(1-q)") {
+    val cur = Ingest.readCurated(spark, curated)
+    val hi = Analytics.riskFlag(cur, "latency_ms", 0.9)
+    val thr = hi.select("risk_threshold").first().getDouble(0)
+    assert(hi.filter(col("at_risk")).count() == cur.filter(col("latency_ms") >= thr).count())
+    val lo = Analytics.riskFlag(cur, "throughput_mbps", 0.9)
+    val thrLo = lo.select("risk_threshold").first().getDouble(0)
+    assert(lo.filter(col("at_risk")).count() == cur.filter(col("throughput_mbps") <= thrLo).count())
+  }
+
+  test("anomaly ranking and incidents respect limits and ordering") {
+    val cur = Ingest.readCurated(spark, curated)
+    val top = Analytics.topAnomalies(cur, "latency_ms", 3).collect()
+    assert(top.length == 3)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p.head >= p.last))
+    assert(Analytics.incidents(cur, "latency_ms", zThr = 1.0).count() <= 50)
+    assert(Analytics.hotspots(cur, "latency_ms", 4).count() == 4)
+  }
+
+  test("cell-vs-network join and melt") {
+    val cur = Ingest.readCurated(spark, curated)
+    val wide = Analytics.cellVsNetwork(cur, "CELL-001", "latency_ms")
+    assert(wide.count() == 24)
+    val bad = wide.withColumn("chk", abs(col("delta") - (col("cell") - col("network"))))
+      .filter(col("chk") > 1e-12).count()
+    assert(bad == 0)
+    assert(Analytics.cellVsNetworkLong(cur, "CELL-001", "latency_ms").count() == 48)
+  }
+
+  test("feature builder emits all 37 numeric features, latest is one row per cell") {
+    val cur = Ingest.readCurated(spark, curated)
+    val f = Features.build(cur)
+    Features.numericFeatures.foreach(c => assert(f.columns.contains(c), s"missing $c"))
+    val last = Features.latest(f)
+    assert(last.count() == 5)
+    assert(last.select(countDistinct("cell_id")).first().getLong(0) == 5)
+  }
+
+  test("scorer: label rule → fit → score → ranked eval beats chance") {
+    val cur = Ingest.readCurated(spark, curated)
+    val feats = Scorer.label(Features.build(cur), "latency_ms", 0.8)
+    val spec = Scorer.fitSpec(feats, Features.numericFeatures)
+    val scored = Scorer.score(feats, spec)
+    val probs = scored.select(min("pred_prob"), max("pred_prob")).first()
+    assert(probs.getDouble(0) >= 0.0 && probs.getDouble(1) <= 1.0)
+    val m = Scorer.evaluate(scored, k = 10)
+    assert(m("auc") > 0.8, s"AUC ${m("auc")} too low") // latency itself is a feature
+    val top = Scorer.topPredictions(scored.select("cell_id", "ts", "pred_prob"), 10, 0.0)
+    assert(top.count() <= 10)
+  }
+
+  test("scorer errors on empty feature intersection (reference guard)") {
+    val junk = Seq((1, 2)).toDF("a", "b")
+    val spec = Scorer.ModelSpec(Map("x" -> 0.0), Map("x" -> 1.0), Map("x" -> 1.0), Map.empty, 0.0)
+    intercept[IllegalArgumentException] { Scorer.score(junk, spec) }
+  }
+
+  test("risk map: latest row per cell, size01 in [0,1], RGBA color array") {
+    val cur = Ingest.readCurated(spark, curated)
+    val scored = Features.latest(Features.build(cur))
+      .withColumn("pred_prob", (hour(col("ts")) + col("cell_id").substr(-1, 1).cast("int")) / lit(30.0))
+    val coords = fixture.select("cell_id", "lat", "lon", "timestamp")
+    val m = Analytics.riskMap(scored, coords)
+    assert(m.count() == 5)
+    val r = m.select("size01", "color").collect()
+    assert(r.forall(x => x.getDouble(0) >= 0 && x.getDouble(0) <= 1))
+    assert(r.forall(_.getSeq[Int](1).length == 4))
+  }
+
+  test("summarizer: memoizes by content hash, caps runs, respects TTL") {
+    var clock = 0L
+    val svc = new Summarizer.Service(spark, new Summarizer.StubClient(),
+      Summarizer.Config(maxRunsPerSession = 2, cacheTtlMs = 100L), () => clock)
+    val ctx = Map("kpi" -> Seq((1, 2.0)).toDF("a", "b"))
+    val s1 = svc.summarize(ctx)
+    val s2 = svc.summarize(ctx) // cached → no extra run
+    assert(s1 == s2 && svc.runsUsed == 1)
+    val s3 = svc.summarize(Map("kpi" -> Seq((2, 3.0)).toDF("a", "b")))
+    assert(s3.isDefined && svc.runsUsed == 2)
+    // cap reached → new context refused
+    assert(svc.summarize(Map("kpi" -> Seq((9, 9.0)).toDF("a", "b"))).isEmpty)
+    // TTL expiry forces a re-run, but cap still blocks
+    clock = 1000L
+    assert(svc.summarize(ctx).isEmpty)
+  }
+}
