@@ -373,6 +373,46 @@ object Relational {
       |SELECT o_orderstatus, 'p50_price' AS metric, p50_price AS value FROM w
       |ORDER BY o_orderstatus, metric""".stripMargin
 
+  /** INTERSECT / EXCEPT set operations (absent from the reference; Catalyst
+    * built-ins — SURVEY §2.7 note). Customers with both F- and O-status
+    * orders vs F-only, as tagged counts.
+    */
+  def statusSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = f.intersect(op).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+    val fOnly = f.except(op).agg(count(lit(1)).as("n")).withColumn("tag", lit("f_only"))
+    both.unionByName(fOnly).select("tag", "n").orderBy("tag")
+  }
+
+  private val statusSetOpsSql =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+      |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+      |SELECT 'both' AS tag, count(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+      |UNION ALL
+      |SELECT 'f_only' AS tag, count(*) AS n FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+      |ORDER BY tag""".stripMargin
+
+  /** CUBE grouping sets over (status, priority) — all 4 grouping
+    * combinations, keys sentineled with 'ALL'.
+    */
+  def statusPriorityCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
+  private val statusPriorityCubeSql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -389,5 +429,7 @@ object Relational {
     QueryDef("q13_acctbal_rescaled", acctbalRescaled, Some(acctbalRescaledSql)),
     QueryDef("q14_top_orders", topOrders, Some(topOrdersSql)),
     QueryDef("q15_status_unpivot", statusUnpivot, Some(statusUnpivotSql)),
+    QueryDef("q16_status_set_ops", statusSetOps, Some(statusSetOpsSql)),
+    QueryDef("q17_status_priority_cube", statusPriorityCube, Some(statusPriorityCubeSql)),
   )
 }

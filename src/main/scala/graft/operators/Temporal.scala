@@ -327,6 +327,61 @@ object Temporal {
       | round(sum(value),2) AS sum_value
       |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
+  /** As-of join — an operator Spark lacks natively (SURVEY custom-operator
+    * preference (a): compose existing ops). For every `error` event, the
+    * most recent `purchase` by the same user at-or-before its timestamp.
+    * Implemented as tagged-union + running `last(..., ignoreNulls)` window,
+    * which is the linear single-shuffle formulation (partition by user,
+    * one sort) — no point-in-time cross join anywhere.
+    * On equal timestamps the purchase sorts first (inclusive `<=` as-of).
+    */
+  def asofPurchaseBeforeError(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), (col("event_type") === "error").cast("int"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("purchase_ts_us",
+        last(when(col("event_type") === "purchase", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("purchase_ts_us"))
+      .orderBy("event_id")
+  }
+
+  private val asofPurchaseBeforeErrorSql =
+    """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      | (SELECT max(epoch_us(p.ts)) FROM events p
+      |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts) AS purchase_ts_us
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
+  /** Broadcast range join (non-equi): events bucketed into value tiers via
+    * BETWEEN against a tiny tier dimension. The dim is broadcast — the
+    * non-equi predicate runs as BroadcastNestedLoopJoin over 4 rows, never
+    * a shuffle.
+    */
+  def valueTierRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("bronze", 0.0, 100.0), ("silver", 100.0, 250.0),
+      ("gold", 250.0, 400.0), ("platinum", 400.0, 1e9))
+      .toDF("tier", "lo", "hi")
+    Tables.events(s, dir)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("tier")
+  }
+
+  private val valueTierRangeJoinSql =
+    """SELECT tier, count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM events JOIN (VALUES ('bronze', 0.0, 100.0), ('silver', 100.0, 250.0),
+      |                        ('gold', 250.0, 400.0), ('platinum', 400.0, 1e9)) AS t(tier, lo, hi)
+      |  ON value >= lo AND value < hi
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -340,5 +395,7 @@ object Temporal {
     QueryDef("t10_type_vs_global_hourly", typeVsGlobalHourly, Some(typeVsGlobalHourlySql)),
     QueryDef("t11_data_contract_audit", dataContractAudit, Some(dataContractAuditSql)),
     QueryDef("t12_user_sessions", userSessions, Some(userSessionsSql)),
+    QueryDef("t13_asof_purchase_before_error", asofPurchaseBeforeError, Some(asofPurchaseBeforeErrorSql)),
+    QueryDef("t14_value_tier_range_join", valueTierRangeJoin, Some(valueTierRangeJoinSql)),
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{CosineSimilarity, GraftFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The native cosine expression must agree with the interpreted
+  * zip_with/aggregate formulation in both codegen and eval paths, and
+  * handle nulls/degenerate vectors.
+  */
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered(): SparkSession = { GraftFunctions.register(spark); spark }
+
+  test("matches the interpreted higher-order-function formulation exactly") {
+    registered()
+    val df = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .limit(50)
+    val both = df.alias("a").join(df.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .selectExpr(
+        "cosine_similarity(a.v, b.v) AS fast",
+        """aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+          | / (sqrt(aggregate(transform(a.v, x -> x * x), 0D, (acc, x) -> acc + x))
+          |    * sqrt(aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x))) AS slow""".stripMargin)
+    val bad = both.filter(abs(col("fast") - col("slow")) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("works directly on float arrays (no cast needed)") {
+    registered()
+    val r = Tables.embeddings(spark, sf0001).alias("a")
+      .crossJoin(Tables.embeddings(spark, sf0001).alias("b"))
+      .filter(col("a.vec_id") === 1 && col("b.vec_id") === 1)
+      .selectExpr("cosine_similarity(a.embedding, b.embedding) AS c")
+      .first().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("null inputs and zero vectors yield null") {
+    registered()
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(0.0f, 0.0f))),
+      (None, Some(Seq(1.0f, 1.0f)))
+    ).toDF("a", "b")
+    val out = df.selectExpr("cosine_similarity(a, b) AS c").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    // Literal fold uses interpreted eval; compare against a known value.
+    registered()
+    val v = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c")
+      .first().getDouble(0)
+    assert(math.abs(v - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
+  test("type check rejects non-array inputs with a clear message") {
+    registered()
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(1, 2)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_similarity"))
+  }
+
+  test("extension class injects the function into a fresh session") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val v = s2.sql("SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
+        .first().getDouble(0)
+      assert(math.abs(v) < 1e-15)
+    } finally { /* shared JVM: do not stop the default session */ }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Relational, Temporal}
+import graft.ext.VectorOps
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the properties that make these queries scale are
+  * asserted, not assumed — filter pushdown into the parquet scan, column
+  * pruning, broadcast joins for baselines/dims, TakeOrderedAndProject for
+  * top-k, whole-stage codegen coverage. If a refactor silently degrades a
+  * plan (e.g. a broadcast becomes a shuffle), these fail.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate predicate is pushed into the parquet scan") {
+    val p = plan(Relational.pricingSummary(spark, sf0001))
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q02: column pruning — scan reads only referenced columns") {
+    val p = plan(Relational.filterProject(spark, sf0001))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey") && !p.contains("l_returnflag"), p)
+  }
+
+  test("q03: customer dim joins via BroadcastHashJoin") {
+    val p = plan(Relational.topRevenueCustomers(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04: snowflake dims broadcast — no shuffle on the supplier side") {
+    val p = plan(Relational.regionSupplierRollup(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    // the only exchanges allowed are broadcast + the final 5-row agg/sort
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q14: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topOrders(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t02: hour-of-day baseline joins via broadcast") {
+    val p = plan(Temporal.hourBaselineZscore(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t14: range join against the tier dim is a broadcast nested loop") {
+    val p = plan(Temporal.valueTierRangeJoin(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aggregation pipelines run under whole-stage codegen") {
+    // AQE materializes codegen stages only at execution — run, then inspect
+    // the final adaptive plan.
+    val df = Relational.pricingSummary(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert(p.contains("*("), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("e04: native cosine expression sits inside the generated join stage") {
+    val p = plan(VectorOps.topSimilarPairs(spark, sf0001))
+    assert(p.contains("cosine_similarity"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("partition-pruned telemetry scan (hive layout) prunes at planning") {
+    // covered in TelemetrySpec via PartitionFilters on the curated store;
+    // here: the testdata single-file scans carry no partition filters but
+    // must still show pushed predicates for value filters
+    val p = plan(Tables.lineitem(spark, sf0001).filter("l_quantity >= 30"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
+  }
+}

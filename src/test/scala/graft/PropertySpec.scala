@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.2) — ScalaCheck generators drawn
+  * with fixed seeds so failures reproduce.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Draw n deterministic samples from a generator. */
+  private def draw[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("NPS proxy is always within [-100, 100]") {
+    val datasets = draw(Gen.nonEmptyListOf(Gen.chooseNum(-10000.0, 10000.0)), 8)
+    datasets.foreach { xs =>
+      val nps = xs.toDF("v")
+        .agg((sum(when(col("v") >= 7000, 1.0).otherwise(0.0)) * 100 / count(lit(1)) -
+          sum(when(col("v") < 1000, 1.0).otherwise(0.0)) * 100 / count(lit(1))).as("nps"))
+        .first().getDouble(0)
+      assert(nps >= -100.0 && nps <= 100.0, s"nps=$nps for n=${xs.size}")
+    }
+  }
+
+  test("trailing rolling mean of a constant series is the constant") {
+    draw(Gen.chooseNum(-1000.0, 1000.0), 5).foreach { c =>
+      val df = (1 to 20).map(i => ("k", i, c)).toDF("k", "i", "v")
+      val w = Window.partitionBy("k").orderBy("i")
+      val p1 = lag("v", 1).over(w); val p2 = lag("v", 2).over(w)
+      val bad = df.select(
+        ((coalesce(p2, lit(c)) + coalesce(p1, lit(c)) + col("v")) / lit(3.0)).as("m"))
+        .filter(abs(col("m") - lit(c)) > 1e-9).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("dedup-keep-latest yields exactly one row per key, and it is the max") {
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      ts <- Gen.chooseNum(0L, 1000L)
+    } yield (k, ts))
+    draw(gen, 8).foreach { rows =>
+      val df = rows.toDF("k", "ts")
+      val w = Window.partitionBy("k").orderBy(col("ts").desc)
+      val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(out.count() == rows.map(_._1).distinct.size)
+      val expected = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      out.collect().foreach(r => assert(r.getLong(1) == expected(r.getString(0))))
+    }
+  }
+
+  test("partitioned write → read roundtrip preserves the multiset") {
+    val gen = Gen.listOfN(200, for {
+      k <- Gen.oneOf("p1", "p2", "p3")
+      v <- Gen.chooseNum(-1e6, 1e6)
+    } yield (k, v))
+    val rows = draw(gen, 1).head
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString + "/t"
+    rows.toDF("k", "v").write.mode("overwrite").partitionBy("k").parquet(dir)
+    val back = spark.read.parquet(dir).collect().map(r => (r.getString(1), r.getDouble(0)))
+    assert(back.sorted.toSeq == rows.sorted)
+  }
+
+  test("cosine_similarity(v, v) == 1 for any nonzero vector; symmetric for pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(x => x != 0.0f))
+    val vs = draw(vecGen, 10)
+    val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    val self = df.selectExpr("cosine_similarity(v, v) AS c")
+      .filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(self == 0)
+    val pairs = df.alias("a").join(df.alias("b"), col("a.id") < col("b.id"))
+      .selectExpr("cosine_similarity(a.v, b.v) AS ab", "cosine_similarity(b.v, a.v) AS ba")
+      .filter(abs(col("ab") - col("ba")) > 1e-15).count()
+    assert(pairs == 0)
+  }
+
+  test("z-score of the population against its own stats has ~zero mean") {
+    val gen = Gen.listOfN(100, Gen.chooseNum(-100.0, 100.0))
+    draw(gen, 5).foreach { xs =>
+      val df = xs.toDF("v")
+      val st = df.agg(avg("v").as("m"), stddev_samp(col("v")).as("s"))
+      val zbar = df.crossJoin(st)
+        .select(((col("v") - col("m")) /
+          when(col("s") === 0, 1e-9).otherwise(col("s"))).as("z"))
+        .agg(avg("z")).first().getDouble(0)
+      assert(math.abs(zbar) < 1e-8)
+    }
+  }
+}
