@@ -27,19 +27,42 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Distinct word-trigram shingles per doc. Docs with <3 tokens carry no
+  /** Distinct trigram-shingle hashes per doc. Docs with <3 tokens carry no
     * shingles and are excluded from near-dup ops (mirrored in oracles).
+    *
+    * Each shingle string is hashed to a long immediately, so every
+    * downstream join/set shuffles and compares 8-byte longs instead of
+    * strings. Set semantics equal the oracle's string-shingle form
+    * (`shingleSqlCte`) modulo 64-bit collisions (birthday bound ~1e-11 at
+    * this corpus's 27k distinct shingles). A/B-measured alternatives: the
+    * long-keyed self-join beat the string-keyed one ~2×; hashing the three
+    * tokens directly (multi-arg xxhash64 over element_at) was SLOWER than
+    * concat-then-hash, so the string shingle stays as an unmaterialized
+    * intermediate.
     */
-  private val shingleSelect =
-    """array_distinct(
-      |  transform(sequence(1, size(toks) - 2),
-      |            i -> concat_ws(' ', slice(toks, i, 3)))) AS sh""".stripMargin
-
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingleHashed(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
-      .selectExpr("doc_id", shingleSelect)
+      .selectExpr("doc_id",
+        """array_distinct(
+          |  transform(transform(sequence(1, size(toks) - 2),
+          |                      i -> concat_ws(' ', slice(toks, i, 3))),
+          |            t -> xxhash64(t))) AS shs""".stripMargin)
+
+  /** All ordered (x, y) pairs, x < y, from a sorted posting list `ds` of
+    * structs — the pair-generation kernel of the posting-list near-dup
+    * formulation: the inverted index is built ONCE, grouped on the
+    * key, and pairs are emitted per group. The self-join alternative
+    * computes the whole index subtree twice (once per side) and was
+    * measured ~2× slower end-to-end; at cluster scale the posting-list
+    * form also shuffles each index row once instead of twice. Callers
+    * must bound the list size (frequency cap) — emission is O(|ds|²).
+    */
+  private val pairExplode =
+    """explode(flatten(transform(sequence(1, size(ds) - 1),
+      |  i -> transform(slice(ds, i + 1, size(ds) - i),
+      |       d -> struct(element_at(ds, i) AS x, d AS y))))) AS p""".stripMargin
 
   private val shingleSqlCte =
     """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -177,19 +200,27 @@ object TextOps {
   // ---------------------------------------------------------------- d05
 
   /** Exact n-gram-Jaccard near-dup pairs (jaccard ≥ 0.5 on trigram shingle
-    * sets) via inverted-index join — the distributed formulation: explode
-    * shingles, self-join on shingle (doc_id_1 < doc_id_2), count common
-    * shingles per pair, then jaccard = common / (|A|+|B|−common). No cross
-    * join anywhere; the shuffle is on the shingle key.
+    * sets) via inverted-index POSTING LISTS — the distributed formulation:
+    * explode shingles, group by shingle collecting the (bounded) doc list,
+    * emit in-list pairs, count common shingles per pair, then
+    * jaccard = common / (|A|+|B|−common). No cross join anywhere; two
+    * shuffles total (by shingle, then by pair), and the index subtree is
+    * computed once — unlike a self-join, which computes it per side.
+    * Exactness requires no frequency cap, so extremely hot shingles are a
+    * skew risk at scale; the standard mitigation (drop shingles with
+    * df > cap as non-discriminative) changes `common` and is therefore
+    * reserved for the approximate paths (d06/d07).
     */
   def jaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).selectExpr("doc_id", "size(sh) AS n_sh", "sh")
-    val ex = sh.selectExpr("doc_id", "n_sh", "explode(sh) AS shingle")
-    val pairs = ex.alias("a").join(ex.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    val ex = shingleHashed(s, dir)
+      .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS h")
+    val posts = ex.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .where(size(col("ds")) > 1)
+    val pairs = posts.selectExpr(pairExplode)
+      .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
+        "p.x.n_sh AS na", "p.y.n_sh AS nb")
+      .groupBy("doc_id_1", "doc_id_2", "na", "nb")
       .agg(count(lit(1)).as("common"))
     pairs
       .withColumn("jaccard",
@@ -219,30 +250,34 @@ object TextOps {
     * empirically 1.0 (asserted in DedupSpec).
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+    val sh = shingleHashed(s, dir)
     // Signature computation is explode + one codegen'd hash-aggregation:
-    // each shingle hashes to a long once, the 32 permutations re-hash that
+    // each shingle is already a long, the 32 permutations re-hash that
     // long (no string concat), and the per-doc minima are 32 flat `min`
     // aggregate buffers. (A pure array-lambda formulation looks neat but
     // Catalyst's projection collapse inlines the shingle array into every
     // lambda, recomputing it 32× — measured 26 s vs ~2 s at sf0.1.)
-    val hv = sh.selectExpr("doc_id", "explode(transform(sh, t -> xxhash64(t))) AS h")
+    val hv = sh.selectExpr("doc_id", "explode(shs) AS h")
     val minAggs = (0 until 32).map(i => min(expr(s"xxhash64($i, h)")).as(s"m$i"))
     val sigs = hv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     // 8 bands × 4 rows; band key hashes the 4 signature longs directly.
     val bandStructs = (0 until 8).map(b =>
       s"named_struct('band', $b, 'bh', xxhash64(m${b * 4}, m${b * 4 + 1}, m${b * 4 + 2}, m${b * 4 + 3}))")
-    val bands = sigs
+    // Candidate pairs via band-bucket posting lists (index computed once;
+    // see pairExplode). No frequency cap here: the 64-bit band hash is
+    // high-entropy, so a large bucket is a REAL dup cluster whose pairs
+    // are all in the output — emission is output-bound, not skew.
+    val cand = sigs
       .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(",")})) AS e")
-      .selectExpr("doc_id", "e.band AS band", "e.bh AS bh")
-    val cand = bands.alias("a").join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .groupBy(col("e.band"), col("e.bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .selectExpr(pairExplode)
+      .selectExpr("p.x AS doc_id_1", "p.y AS doc_id_2")
       .distinct()
     val withSets = cand
-      .join(sh.selectExpr("doc_id AS doc_id_1", "sh AS sh1"), Seq("doc_id_1"))
-      .join(sh.selectExpr("doc_id AS doc_id_2", "sh AS sh2"), Seq("doc_id_2"))
+      .join(sh.selectExpr("doc_id AS doc_id_1", "shs AS sh1"), Seq("doc_id_1"))
+      .join(sh.selectExpr("doc_id AS doc_id_2", "shs AS sh2"), Seq("doc_id_2"))
       .selectExpr("doc_id_1", "doc_id_2",
         "size(array_intersect(sh1, sh2)) AS common", "size(sh1) AS na", "size(sh2) AS nb")
     withSets
@@ -270,8 +305,7 @@ object TextOps {
     // majority votes), then recombine the bits. The nested array-lambda
     // formulation was 100× slower: projection collapse inlined the shingle
     // hashing into each of the 64 bit-folds.
-    val hv = shingled(s, dir)
-      .selectExpr("doc_id", "explode(transform(sh, t -> xxhash64(t))) AS h")
+    val hv = shingleHashed(s, dir).selectExpr("doc_id", "explode(shs) AS h")
     val bitAggs = (0 until 64).map(b =>
       sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"b$b"))
     val recombine = (0 until 64)
@@ -280,24 +314,22 @@ object TextOps {
     val sim = hv.groupBy("doc_id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .selectExpr("doc_id", s"($recombine) AS simhash")
-    val bands = sim.selectExpr("doc_id", "simhash",
-      "explode(transform(sequence(0, 7), b -> named_struct('band', b, 'bv', shiftright(simhash, b*8) & 255))) AS e")
-      .selectExpr("doc_id", "simhash", "e.band AS band", "e.bv AS bv")
-    // Frequency cap: 8-bit band values are low-entropy on this corpus, so a
-    // handful of (band, value) buckets hold thousands of docs and would make
-    // the self-join quadratic. Buckets above the cap are non-discriminative
-    // — drop them; true near-dups still collide in their other 7 bands.
-    // (Standard frequency-capping in LSH dedup; deterministic.)
-    val capped = bands.join(
-      bands.groupBy("band", "bv").agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= 64)
-        .select("band", "bv"),
-      Seq("band", "bv"))
-    capped.alias("a").join(capped.alias("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+    // Candidate generation via band-bucket posting lists (index computed
+    // once; see pairExplode), with a frequency cap: 8-bit band values are
+    // low-entropy on this corpus, so a handful of (band, value) buckets
+    // hold thousands of docs and pair emission would go quadratic. Buckets
+    // above the cap are non-discriminative — drop them; true near-dups
+    // still collide in their other 7 bands. (Standard frequency-capping in
+    // LSH dedup; deterministic.)
+    sim.selectExpr("doc_id", "simhash",
+      "explode(sequence(0, 7)) AS band")
+      .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*8) & 255 AS bv")
+      .groupBy("band", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .where(size(col("ds")).between(2, 64))
+      .selectExpr(pairExplode)
+      .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
+        "p.x.simhash AS sh1", "p.y.simhash AS sh2")
       .distinct()
       .selectExpr("doc_id_1", "doc_id_2", "bit_count(sh1 ^ sh2) AS hamming")
       .filter(col("hamming") <= 10)
