@@ -59,7 +59,7 @@ object TextOps {
     * form also shuffles each index row once instead of twice. Callers
     * must bound the list size (frequency cap) — emission is O(|ds|²).
     */
-  private val pairExplode =
+  private[ext] val pairExplode =
     """explode(flatten(transform(sequence(1, size(ds) - 1),
       |  i -> transform(slice(ds, i + 1, size(ds) - i),
       |       d -> struct(element_at(ds, i) AS x, d AS y))))) AS p""".stripMargin
