@@ -370,6 +370,37 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
       |GROUP BY 1 ORDER BY n DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+
+  /** BPE-style pre-tokenization counting (GPT-2-ish pretokenizer classes:
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs) alongside plain whitespace counting — the two token-count
+    * surfaces a training-data pipeline meters by. Both engines' regex
+    * dialects (Java / RE2) agree on this alternation: leftmost-first, no
+    * lookaround. This corpus is lowercase words only, so the interesting
+    * classes match zero here — the operator surface is what's exercised.
+    */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val pat = """\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"""
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_ws_tokens",
+        s"regexp_extract_all(text, '$pat', 0) AS ts")
+      .selectExpr("doc_id", "n_ws_tokens",
+        "size(ts) AS n_bpe_tokens",
+        "size(array_distinct(ts)) AS n_uniq_bpe")
+      .orderBy("doc_id")
+  }
+
+  private val bpeTokenCountsSql = {
+    val pat = """''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"""
+    s"""SELECT doc_id,
+       | len(string_split(text, ' ')) AS n_ws_tokens,
+       | len(regexp_extract_all(text, '$pat')) AS n_bpe_tokens,
+       | len(list_distinct(regexp_extract_all(text, '$pat'))) AS n_uniq_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -380,5 +411,6 @@ object TextOps {
     QueryDef("d07_simhash_pairs", simhashPairs, None),
     QueryDef("d08_winnow_fingerprint", winnowFingerprint, None),
     QueryDef("d09_token_frequencies", tokenFrequencies, Some(tokenFrequenciesSql)),
+    QueryDef("d10_bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
   )
 }

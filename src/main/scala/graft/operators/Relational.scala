@@ -413,6 +413,32 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** PIVOT: order counts + summed price per status, pivoted wide by
+    * priority. Spark's `pivot` with an explicit value list (no extra
+    * distinct-values job — the list IS the contract at scale) lowers to
+    * conditional aggregation, which is exactly what the SQL oracle spells
+    * out; one hash aggregation either way.
+    */
+  def statusPivot(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", prios)
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("status") +:
+        prios.zipWithIndex.map { case (p, i) => col(p).as(s"total_${i + 1}") }: _*)
+      .orderBy("status")
+  }
+
+  private val statusPivotSql =
+    """SELECT o_orderstatus AS status,
+      | round(sum(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS total_1,
+      | round(sum(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END),2) AS total_2,
+      | round(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END),2) AS total_3,
+      | round(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END),2) AS total_4,
+      | round(sum(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2) AS total_5
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -431,5 +457,6 @@ object Relational {
     QueryDef("q15_status_unpivot", statusUnpivot, Some(statusUnpivotSql)),
     QueryDef("q16_status_set_ops", statusSetOps, Some(statusSetOpsSql)),
     QueryDef("q17_status_priority_cube", statusPriorityCube, Some(statusPriorityCubeSql)),
+    QueryDef("q18_status_pivot", statusPivot, Some(statusPivotSql)),
   )
 }

@@ -85,6 +85,27 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup on event_id with watermark-bounded state —
+    * the streaming form of d01-style exact dedup: duplicate deliveries
+    * (at-least-once sources) collapse to the first arrival, and state for
+    * ids older than the watermark is dropped, so memory is bounded by the
+    * 2-hour event-time horizon instead of the whole stream history.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin of [[dedupEvents]] for equivalence testing (batch frames
+    * have no state horizon, so it is a plain exact dedup keeping an
+    * arbitrary-but-deterministic first row per id).
+    */
+  def dedupEventsBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("ts"))
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** Batch twin of [[latestPerUser]] for equivalence testing. */
   def latestPerUserBatch(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

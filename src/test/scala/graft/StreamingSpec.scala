@@ -63,6 +63,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup-within-watermark collapses duplicate deliveries") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(200)
+    val dup = data ++ data.take(50) // simulate at-least-once redelivery
+    val ms = MemoryStream[Event]
+    ms.addData(dup)
+    runToTable(StreamOps.dedupEvents(ms.toDF()), "dedup_stream", "append")
+    val streamed = spark.table("dedup_stream")
+      .select("event_id", "user_id", "value").orderBy("event_id").collect()
+    val batch = StreamOps.dedupEventsBatch(dup.toDF())
+      .select("event_id", "user_id", "value").orderBy("event_id").collect()
+    assert(streamed.length == data.size) // one row per distinct event_id
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState latest-per-user matches batch dedup-keep-latest") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(400)
