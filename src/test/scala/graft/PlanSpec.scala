@@ -69,6 +69,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q18: explicit pivot values plan as ONE aggregation, no distinct pre-job") {
+    val df = Relational.statusPivot(spark, sf0001)
+    val p = plan(df)
+    // pivot with an explicit value list lowers to conditional aggregation:
+    // exactly one HashAggregate pair (partial+final), no extra collect job
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.toLowerCase.contains("expand"), p) // not grouping-sets shaped
+  }
+
+  test("d05: posting-list dedup has no join — pair emission is generate+agg") {
+    val p = plan(graft.ext.TextOps.jaccardDupPairs(spark, sf0001))
+    assert(!p.contains("Join"), p) // index built once; no self-join anywhere
+    assert(p.contains("Generate"), p) // explode of shingles and of pairs
+  }
+
+  test("e06: embedding near-dup likewise joins nothing") {
+    val p = plan(graft.ext.VectorOps.cosineNearDup(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("cosine_similarity"), p)
+  }
+
+  test("e07: IVF codebook and probe sides are broadcast, fact never reshuffles for them") {
+    val p = plan(graft.ext.VectorOps.annIvfTop5(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
