@@ -382,6 +382,26 @@ object Temporal {
       |  ON value >= lo AND value < hi
       |GROUP BY tier ORDER BY tier""".stripMargin
 
+  /** Exact distinct-count under skew via explicit two-stage aggregation —
+    * the salting pattern for heavy keys: stage 1 dedups on the WIDE key
+    * (event_type, user_id), spreading one hot event_type across all
+    * partitions (user_id is the salt); stage 2 counts the dedup'd rows per
+    * type. A direct `countDistinct` would funnel every row of a hot type
+    * through the handful of reducers owning that type. Catalyst plans
+    * built-in distinct aggregation similarly (Expand + regroup); this
+    * query keeps the shape explicit and auditable.
+    */
+  def saltedDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  private val saltedDistinctUsersSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -397,5 +417,6 @@ object Temporal {
     QueryDef("t12_user_sessions", userSessions, Some(userSessionsSql)),
     QueryDef("t13_asof_purchase_before_error", asofPurchaseBeforeError, Some(asofPurchaseBeforeErrorSql)),
     QueryDef("t14_value_tier_range_join", valueTierRangeJoin, Some(valueTierRangeJoinSql)),
+    QueryDef("t15_salted_distinct_users", saltedDistinctUsers, Some(saltedDistinctUsersSql)),
   )
 }

@@ -85,4 +85,22 @@ class SemanticsSpec extends SparkSpec {
     assert(bad == 0)
     assert(rows.count() > 0)
   }
+
+  test("approx_count_distinct tracks the exact distinct within HLL++ rsd bounds") {
+    // The scale option for A9/t15: sketches can't hash-match a DuckDB
+    // oracle (different sketch families), so the contract asserted here is
+    // relative error ≤ 3×rsd against the exact count on real data.
+    val rsd = 0.05
+    val rows = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(countDistinct($"user_id").as("exact"),
+        approx_count_distinct($"user_id", rsd).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 3 * rsd,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
 }
