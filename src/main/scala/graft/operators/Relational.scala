@@ -439,6 +439,38 @@ object Relational {
       | round(sum(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2) AS total_5
       |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  /** Ranking-window family (SURVEY §2.5 note: absent from the reference,
+    * supplied natively): rank / dense_rank / cume_dist over price within
+    * status, ntile(4) over a UNIQUE ordering. Determinism: rank,
+    * dense_rank and cume_dist depend only on the sort-key multiset, so
+    * price ties are safe; ntile depends on row order within ties, so its
+    * window adds the o_orderkey tiebreak. One shuffle (by status), one
+    * sort, all four functions in a single Window exec.
+    */
+  def orderPriceRanks(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
+    val unique = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        cume_dist().over(byPrice).as("cd"),
+        ntile(4).over(unique).as("quartile"))
+      .filter(col("rnk") <= 100)
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
+  private val orderPriceRanksSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |   rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+      |   dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk,
+      |   cume_dist()  OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS cd,
+      |   ntile(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+      |  FROM orders)
+      |WHERE rnk <= 100 ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -458,5 +490,6 @@ object Relational {
     QueryDef("q16_status_set_ops", statusSetOps, Some(statusSetOpsSql)),
     QueryDef("q17_status_priority_cube", statusPriorityCube, Some(statusPriorityCubeSql)),
     QueryDef("q18_status_pivot", statusPivot, Some(statusPivotSql)),
+    QueryDef("q19_order_price_ranks", orderPriceRanks, Some(orderPriceRanksSql)),
   )
 }
