@@ -43,6 +43,35 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("winnow fingerprints separate near-dups from unrelated docs") {
+    // The plagiarism-detection property that makes the rows-only d08
+    // trustworthy: near-dup pairs share a much larger fingerprint fraction
+    // than unrelated pairs. Fingerprint SETS are recomputed here with the
+    // same rolling-hash/window-min construction the query uses (the query
+    // itself outputs only count+checksum).
+    val fps = Tables.documents(spark, sf0001)
+      .where("length(text) >= 8")
+      .selectExpr("doc_id",
+        "transform(sequence(1, length(text)-4), i -> xxhash64(substring(text, i, 5))) AS hs")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, size(hs)-3), i -> array_min(slice(hs, i, 4)))) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Long, b: Long): Double =
+      (fps(a) & fps(b)).size.toDouble / math.max(1, math.min(fps(a).size, fps(b).size))
+    val dups = TextOps.jaccardDupPairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.nonEmpty)
+    val dupIds = dups.flatMap(p => Seq(p._1, p._2)).toSet
+    val unrelated = fps.keys.toSeq.sorted.filterNot(dupIds).take(40)
+    val unrelatedPairs = for (Seq(a, b) <- unrelated.sorted.grouped(2).toSeq if fps.contains(b)) yield (a, b)
+    val dupMean = dups.map((overlap _).tupled).sum / dups.size
+    val unrelMean = unrelatedPairs.map((overlap _).tupled).sum / unrelatedPairs.size
+    assert(dupMean >= 0.6, s"near-dup fingerprint overlap only $dupMean")
+    assert(dupMean >= unrelMean + 0.3,
+      s"no separation: dup $dupMean vs unrelated $unrelMean")
+  }
+
   test("ANN-LSH results are a subset of brute-force ranking order") {
     val brute = VectorOps.knnBruteForce(spark, sf0001)
       .select("vec_id", "cos_sim").collect()
