@@ -34,21 +34,21 @@ object TextOps {
     * downstream join/set shuffles and compares 8-byte longs instead of
     * strings. Set semantics equal the oracle's string-shingle form
     * (`shingleSqlCte`) modulo 64-bit collisions (birthday bound ~1e-11 at
-    * this corpus's 27k distinct shingles). A/B-measured alternatives: the
-    * long-keyed self-join beat the string-keyed one ~2×; hashing the three
-    * tokens directly (multi-arg xxhash64 over element_at) was SLOWER than
-    * concat-then-hash, so the string shingle stays as an unmaterialized
-    * intermediate.
+    * this corpus's 27k distinct shingles).
+    *
+    * Hashing runs through the native `word_trigram_hashes` expression
+    * (graft.functions.ShingleHash): one pass over the text bytes, one
+    * xxhash64 per trigram byte range, zero string materialization —
+    * bit-identical to the `xxhash64(concat_ws(' ', slice(toks, i, 3)))`
+    * formulation it replaces (equivalence pinned in CosineSimilaritySpec),
+    * which allocated a token array plus one string per shingle per row.
     */
-  private def shingleHashed(s: SparkSession, dir: String): DataFrame =
+  private def shingleHashed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .where("size(toks) >= 3")
-      .selectExpr("doc_id",
-        """array_distinct(
-          |  transform(transform(sequence(1, size(toks) - 2),
-          |                      i -> concat_ws(' ', slice(toks, i, 3))),
-          |            t -> xxhash64(t))) AS shs""".stripMargin)
+      .selectExpr("doc_id", "array_distinct(word_trigram_hashes(text)) AS shs")
+      .where("size(shs) > 0")
+  }
 
   /** All ordered (x, y) pairs, x < y, from a sorted posting list `ds` of
     * structs — the pair-generation kernel of the posting-list near-dup

@@ -110,12 +110,21 @@ object GraftFunctions {
     CosineSimilarity(exprs.head, exprs(1))
   }
 
+  private[functions] def buildTrigram(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"word_trigram_hashes requires exactly 1 argument, got ${exprs.length}")
+    WordTrigramHashes(exprs.head)
+  }
+
   /** Idempotent session-level registration so `selectExpr`/SQL can call
-    * `cosine_similarity(a, b)` without configuring extensions.
+    * the graft functions without configuring extensions.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_trigram_hashes", buildTrigram, "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook (SURVEY custom-operator preference (c)):
@@ -129,5 +138,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       GraftFunctions.build _))
+    ext.injectFunction((
+      FunctionIdentifier("word_trigram_hashes"),
+      new ExpressionInfo(classOf[WordTrigramHashes].getName, "word_trigram_hashes"),
+      GraftFunctions.buildTrigram _))
   }
 }

@@ -78,4 +78,46 @@ class CosineSimilaritySpec extends SparkSpec {
       assert(math.abs(v) < 1e-15)
     } finally { /* shared JVM: do not stop the default session */ }
   }
+
+  test("word_trigram_hashes is bit-identical to the concat_ws/xxhash64 formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    // edge cases: consecutive spaces (empty tokens), leading/trailing space,
+    // exactly 3 tokens, fewer than 3 tokens, multi-byte UTF-8, empty string
+    val samples = Seq(
+      "the quick brown fox", "a b c", "a  b c", " a b c", "a b c ",
+      "a b", "one", "", "héllo wörld ünïcode déjà", "x " * 200 + "y")
+    val df = samples.toDF("text")
+    val rows = df.selectExpr(
+      "word_trigram_hashes(text) AS fast",
+      """IF(size(split(text, ' ')) >= 3,
+        |   transform(sequence(1, size(split(text, ' ')) - 2),
+        |     i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3)))),
+        |   array()) AS slow""".stripMargin)
+      .collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch for '$s'")
+    }
+    // and across the real corpus, as the dedup operators consume it
+    val corpus = Tables.documents(spark, sf0001)
+      .selectExpr(
+        "word_trigram_hashes(text) AS fast",
+        """IF(size(split(text, ' ')) >= 3,
+          |   transform(sequence(1, size(split(text, ' ')) - 2),
+          |     i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3)))),
+          |   array()) AS slow""".stripMargin)
+      .filter("fast != slow").count()
+    assert(corpus == 0)
+  }
+
+  test("word_trigram_hashes arity and type errors are named") {
+    graft.functions.GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT word_trigram_hashes('a', 'b')").collect()
+    }
+    assert(e1.getMessage.contains("word_trigram_hashes"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT word_trigram_hashes(42)").collect()
+    }
+    assert(e2.getMessage.contains("word_trigram_hashes"))
+  }
 }
