@@ -93,6 +93,21 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: clamps each asset's decoded dimensions into a bounding
+    * box preserving aspect ratio — the shape (per-partition transform,
+    * dimension arithmetic on metadata, payload untouched at this layer) a
+    * real resampler plugs into; a real implementation would also rewrite
+    * `features` from resized pixels.
+    */
+  def resize(decoded: Dataset[DecodedMedia], maxW: Int, maxH: Int): Dataset[DecodedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    })
+  }
+
   /** Frame sampling stub for video rows: every k-th frame index up to the
     * decoded frame count — returns (media_id, frame_idx) pairs, the shape a
     * real frame extractor would feed downstream (e.g. image embedding).

@@ -70,4 +70,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mediaSchema.fieldNames.toSeq ==
       Seq("media_id", "kind", "payload", "meta"))
   }
+
+  test("resize clamps into the bounding box preserving aspect ratio") {
+    val decoded = Multimodal.decodeAndFeaturize(
+      spark.createDataset(fixture(40)), new Multimodal.DeterministicFakeDecoder())
+    val resized = Multimodal.resize(decoded, 256, 256).collect()
+    assert(resized.nonEmpty)
+    val orig = decoded.collect().map(d => d.media_id -> d).toMap
+    resized.foreach { d =>
+      assert(d.width <= 256 && d.height <= 256 && d.width >= 1 && d.height >= 1)
+      val o = orig(d.media_id)
+      if (o.width <= 256 && o.height <= 256) // already inside: untouched
+        assert(d.width == o.width && d.height == o.height)
+      else { // aspect ratio preserved within integer truncation
+        val r0 = o.width.toDouble / o.height
+        val r1 = d.width.toDouble / d.height
+        assert(math.abs(r0 - r1) / r0 < 0.05, s"${o.width}x${o.height} -> ${d.width}x${d.height}")
+      }
+    }
+  }
 }
