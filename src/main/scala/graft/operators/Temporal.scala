@@ -329,11 +329,14 @@ object Temporal {
 
   /** As-of join — an operator Spark lacks natively (SURVEY custom-operator
     * preference (a): compose existing ops). For every `error` event, the
-    * most recent `purchase` by the same user at-or-before its timestamp.
-    * Implemented as tagged-union + running `last(..., ignoreNulls)` window,
-    * which is the linear single-shuffle formulation (partition by user,
-    * one sort) — no point-in-time cross join anywhere.
-    * On equal timestamps the purchase sorts first (inclusive `<=` as-of).
+    * most recent `purchase` by the same user at-or-before its timestamp,
+    * carrying the matched purchase's payload (ts + value) as an as-of join
+    * must. Implemented as tagged-union + running `last(..., ignoreNulls)`
+    * window, which is the linear single-shuffle formulation (partition by
+    * user, one sort) — no point-in-time cross join anywhere.
+    * On equal timestamps the purchase sorts first (inclusive `<=` as-of);
+    * among equal-ts purchases the largest event_id wins (mirrored in the
+    * oracle's ORDER BY ... LIMIT 1).
     */
   def asofPurchaseBeforeError(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -342,19 +345,26 @@ object Temporal {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), (col("event_type") === "error").cast("int"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastPurchase = last(
+      when(col("event_type") === "purchase",
+        struct(unix_micros(col("ts")).as("ts_us"), col("value"))),
+      ignoreNulls = true).over(w)
     ev
-      .withColumn("purchase_ts_us",
-        last(when(col("event_type") === "purchase", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .withColumn("p", lastPurchase)
       .filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("purchase_ts_us"))
+        col("p.ts_us").as("purchase_ts_us"),
+        col("p.value").as("purchase_value"))
       .orderBy("event_id")
   }
 
   private val asofPurchaseBeforeErrorSql =
     """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
       | (SELECT max(epoch_us(p.ts)) FROM events p
-      |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts) AS purchase_ts_us
+      |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts) AS purchase_ts_us,
+      | (SELECT p.value FROM events p
+      |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+      |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_value
       |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
 
   /** Broadcast range join (non-equi): events bucketed into value tiers via

@@ -96,6 +96,20 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent incremental parquet sink via foreachBatch: each micro-batch
+    * lands in its own `batch_id=` directory with overwrite mode, so a
+    * retried batch replaces its previous (possibly partial) output instead
+    * of duplicating it — the standard exactly-once-to-storage recipe when
+    * the sink itself is not transactional. Pair with
+    * `Trigger.AvailableNow` for an incremental batch job; the checkpoint
+    * (caller-provided via `.option("checkpointLocation", …)`) carries the
+    * batch-id watermark across restarts.
+    */
+  def incrementalParquetSink(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+
   /** Batch twin of [[dedupEvents]] for equivalence testing (batch frames
     * have no state horizon, so it is a plain exact dedup keeping an
     * arbitrary-but-deterministic first row per id).
