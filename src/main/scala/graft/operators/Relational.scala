@@ -471,6 +471,39 @@ object Relational {
       |  FROM orders)
       |WHERE rnk <= 100 ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin
 
+  /** Correlated scalar subquery through the SQL front end: orders priced
+    * >1.5× their customer's average. Catalyst DECORRELATES the subquery
+    * into an aggregate + join (no per-row re-execution — asserted in
+    * PlanSpec), the rewrite the reference's eager pandas had to do by
+    * hand (scalar thresholds precomputed and inlined, SURVEY §4.1). Also
+    * exercises `spark.sql(...)` as an entry surface next to the
+    * DataFrame API.
+    */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey, count(*) AS n_above,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders_v o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+        |                            FROM orders_v i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY n_above DESC, o_custkey
+        |LIMIT 50""".stripMargin)
+  }
+
+  private val aboveAvgOrdersSql =
+    """SELECT o_custkey, count(*) AS n_above,
+      | round(max(o_totalprice), 2) AS max_price
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+      |                            FROM orders i
+      |                            WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |ORDER BY n_above DESC, o_custkey
+      |LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -491,5 +524,6 @@ object Relational {
     QueryDef("q17_status_priority_cube", statusPriorityCube, Some(statusPriorityCubeSql)),
     QueryDef("q18_status_pivot", statusPivot, Some(statusPivotSql)),
     QueryDef("q19_order_price_ranks", orderPriceRanks, Some(orderPriceRanksSql)),
+    QueryDef("q20_above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
   )
 }

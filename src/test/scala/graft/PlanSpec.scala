@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q20: correlated scalar subquery decorrelates into an aggregate+join") {
+    val p = plan(Relational.aboveAvgOrders(spark, sf0001))
+    // Catalyst rewrites the per-row subquery into a grouped aggregate
+    // joined back on the correlation key — no per-row subquery execution
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Subquery subquery"), p)
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
