@@ -401,6 +401,29 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d11
+
+  /** Top-50 tokens via the Misra-Gries heavy-hitters Aggregator
+    * (graft.functions.HeavyHittersAgg) — bounded-state frequent-items
+    * with ONE small map per partition shuffled to the final merge,
+    * instead of a full token-space groupBy (d09's exact formulation).
+    * Capacity 64 exceeds this corpus's vocabulary, so no eviction fires
+    * and the result is exact — shares d09's oracle shape with LIMIT.
+    */
+  def heavyHitterTokens(s: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHittersAgg(k = 50, capacity = 64))
+    Tables.documents(s, dir)
+      .selectExpr("explode(split(text,' ')) AS token")
+      .agg(hh(col("token")).as("hits"))
+      .selectExpr("inline(hits)")
+      .orderBy(desc("est_count"), col("token"))
+  }
+
+  private val heavyHitterTokensSql =
+    """SELECT tok AS token, count(*) AS est_count
+      |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+      |GROUP BY 1 ORDER BY est_count DESC, token LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -412,5 +435,6 @@ object TextOps {
     QueryDef("d08_winnow_fingerprint", winnowFingerprint, None),
     QueryDef("d09_token_frequencies", tokenFrequencies, Some(tokenFrequenciesSql)),
     QueryDef("d10_bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
+    QueryDef("d11_heavy_hitter_tokens", heavyHitterTokens, Some(heavyHitterTokensSql)),
   )
 }

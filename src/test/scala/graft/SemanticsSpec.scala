@@ -86,6 +86,38 @@ class SemanticsSpec extends SparkSpec {
     assert(rows.count() > 0)
   }
 
+  test("Misra-Gries under-capacity keeps heavy hitters within the n/(c+1) error bound") {
+    // Exercises the eviction path d11 never hits (its capacity exceeds the
+    // vocabulary): with capacity 8 over 31 tokens, estimates must obey the
+    // MG guarantee est <= true and true - est <= n/(capacity+1), and the
+    // true top token must survive compaction.
+    val toks = Tables.documents(spark, sf0001)
+      .selectExpr("explode(split(text,' ')) AS token")
+    val n = toks.count()
+    val truth = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = udaf(new graft.functions.HeavyHittersAgg(k = 8, capacity = 8))
+    val est = toks.agg(hh($"token").as("hits")).selectExpr("inline(hits)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && est.size <= 8)
+    val bound = n / 9 + 1
+    est.foreach { case (t, e) =>
+      assert(e <= truth(t), s"$t overestimated: $e > ${truth(t)}")
+      assert(truth(t) - e <= bound, s"$t error ${truth(t) - e} > $bound")
+    }
+    // Survival is only guaranteed for TRUE heavy hitters (count > n/(c+1));
+    // this corpus is near-uniform, so none qualify here — assert the
+    // guarantee on a synthetic skewed stream instead.
+    truth.filter(_._2 > bound).keys.foreach(t =>
+      assert(est.contains(t), s"guaranteed heavy hitter $t evicted"))
+    val skewed = (Seq.fill(500)("hot") ++ (1 to 200).map(i => s"tail${i % 50}")).toDF("token")
+    val hh2 = udaf(new graft.functions.HeavyHittersAgg(4, 4))
+    val est2 = skewed.agg(hh2($"token").as("h"))
+      .selectExpr("inline(h)").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2.contains("hot"), s"true heavy hitter evicted: $est2")
+    assert(math.abs(est2("hot") - 500L) <= 700 / 5 + 1, s"hot count ${est2("hot")}")
+  }
+
   test("approx_count_distinct tracks the exact distinct within HLL++ rsd bounds") {
     // The scale option for A9/t15: sketches can't hash-match a DuckDB
     // oracle (different sketch families), so the contract asserted here is
