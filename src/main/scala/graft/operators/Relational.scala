@@ -504,6 +504,33 @@ object Relational {
       |ORDER BY n_above DESC, o_custkey
       |LIMIT 50""".stripMargin
 
+  /** Promo-type revenue share per brand (TPC-H Q14 flavor): lineitem fact
+    * ⋈ broadcast part dim on partkey, p_type predicate pushed to the dim
+    * scan before the broadcast (the dim is filtered THEN shipped), share =
+    * conditional sum over total. One fact-side pass, no fact shuffle for
+    * the join.
+    */
+  def brandPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_type")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 4).as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  private val brandPromoShareSql =
+    """SELECT p_brand,
+      | round(sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) END),4) AS promo_revenue,
+      | round(sum(l_extendedprice*(1-l_discount)),4) AS total_revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -525,5 +552,6 @@ object Relational {
     QueryDef("q18_status_pivot", statusPivot, Some(statusPivotSql)),
     QueryDef("q19_order_price_ranks", orderPriceRanks, Some(orderPriceRanksSql)),
     QueryDef("q20_above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
+    QueryDef("q21_brand_promo_share", brandPromoShare, Some(brandPromoShareSql)),
   )
 }
