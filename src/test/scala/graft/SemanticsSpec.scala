@@ -118,6 +118,22 @@ class SemanticsSpec extends SparkSpec {
     assert(math.abs(est2("hot") - 500L) <= 700 / 5 + 1, s"hot count ${est2("hot")}")
   }
 
+  test("approx_percentile tracks the exact percentile within its accuracy rank bound") {
+    // The scale option for A1/A6/A11 (exact `percentile` stays the
+    // correctness-path choice — SURVEY §7.4): with accuracy a, the
+    // KLL-style sketch guarantees rank error <= n/a; assert the value
+    // returned sits within the exact values at ranks p*n ± n/a.
+    val acc = 1000
+    val vals = Tables.events(spark, sf0001)
+      .select($"value").collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    val approx = Tables.events(spark, sf0001)
+      .agg(expr(s"approx_percentile(value, 0.95, $acc)")).first().getDouble(0)
+    val lo = vals(math.max(0, (0.95 * n).toInt - n / acc - 1))
+    val hi = vals(math.min(n - 1, (0.95 * n).toInt + n / acc + 1))
+    assert(approx >= lo && approx <= hi, s"approx $approx outside [$lo, $hi]")
+  }
+
   test("approx_count_distinct tracks the exact distinct within HLL++ rsd bounds") {
     // The scale option for A9/t15: sketches can't hash-match a DuckDB
     // oracle (different sketch families), so the contract asserted here is
