@@ -412,6 +412,38 @@ object Temporal {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Interval join (batch twin of the stream-stream join in
+    * streaming.StreamOps.purchasesNearErrors): every (error, purchase)
+    * pair for the same user with the purchase in the hour preceding the
+    * error (inclusive both ends). Equi-key on user_id bounds the shuffle;
+    * the range predicate filters within the key group — the same plan
+    * shape Structured Streaming uses for watermarked interval joins,
+    * where the time bound is also what lets it expire state.
+    */
+  def purchasesNearErrors(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("ets"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"),
+        col("value").as("purchase_value"))
+    err.join(pur, Seq("user_id"))
+      .filter(col("pts") >= col("ets") - expr("INTERVAL 1 HOUR") && col("pts") <= col("ets"))
+      .select(col("error_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("ets")).as("error_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
+      .orderBy("error_id", "purchase_id")
+  }
+
+  private val purchasesNearErrorsSql =
+    """SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+      | epoch_us(e.ts) AS error_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+      | p.value AS purchase_value
+      |FROM events e JOIN events p
+      |  ON e.user_id = p.user_id AND e.event_type = 'error' AND p.event_type = 'purchase'
+      | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+      |ORDER BY error_id, purchase_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -428,5 +460,6 @@ object Temporal {
     QueryDef("t13_asof_purchase_before_error", asofPurchaseBeforeError, Some(asofPurchaseBeforeErrorSql)),
     QueryDef("t14_value_tier_range_join", valueTierRangeJoin, Some(valueTierRangeJoinSql)),
     QueryDef("t15_salted_distinct_users", saltedDistinctUsers, Some(saltedDistinctUsersSql)),
+    QueryDef("t16_purchases_near_errors", purchasesNearErrors, Some(purchasesNearErrorsSql)),
   )
 }

@@ -96,6 +96,29 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: (error, purchase) pairs per user with
+    * the purchase in the hour preceding the error — the streaming form of
+    * Temporal.purchasesNearErrors (its oracle-checked batch twin, t16).
+    * Both sides carry watermarks and the join condition bounds event time
+    * on BOTH ends, which is what lets Spark expire buffered state: a
+    * purchase older than (watermark − 1h) can never match a future error.
+    */
+  def purchasesNearErrors(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val err = errors
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("ets"))
+      .withWatermark("ets", "2 hours")
+    val pur = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"), col("value").as("purchase_value"))
+      .withWatermark("pts", "2 hours")
+    err.join(pur,
+        col("e_user") === col("p_user") &&
+          col("pts") >= col("ets") - expr("INTERVAL 1 HOUR") && col("pts") <= col("ets"))
+      .select(col("error_id"), col("purchase_id"), col("e_user").as("user_id"),
+        unix_micros(col("ets")).as("error_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
+  }
+
   /** Idempotent incremental parquet sink via foreachBatch: each micro-batch
     * lands in its own `batch_id=` directory with overwrite mode, so a
     * retried batch replaces its previous (possibly partial) output instead

@@ -78,6 +78,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join equals the oracle-checked batch twin (t16)") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(500)
+    val errs = MemoryStream[Event]; val purs = MemoryStream[Event]
+    errs.addData(data.filter(_.event_type == "error"))
+    purs.addData(data.filter(_.event_type == "purchase"))
+    runToTable(StreamOps.purchasesNearErrors(errs.toDF(), purs.toDF()), "ssj_stream", "append")
+    val streamed = spark.table("ssj_stream")
+      .orderBy("error_id", "purchase_id").collect()
+    val batchInput = data.toDF()
+    val err = batchInput.filter(col("event_type") === "error")
+    val pur = batchInput.filter(col("event_type") === "purchase")
+    val batch = StreamOps.purchasesNearErrors(err, pur)
+      .orderBy("error_id", "purchase_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("foreachBatch incremental parquet sink lands every row exactly once across batches") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/t"
