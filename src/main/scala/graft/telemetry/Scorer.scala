@@ -96,6 +96,35 @@ object Scorer {
     ModelSpec(means, scales, coefs, Map.empty, intercept)
   }
 
+  /** Native gradient-boosted-tree retraining (SURVEY §7.4's alternative
+    * route, matching the reference's selected model family — XGBoost,
+    * README.md:38 AUC 0.86): Spark ML GBTClassifier over the same feature
+    * frame and label rule, fixed seed for reproducibility. Returns the
+    * input with `pred_prob` attached, same contract as [[score]], so all
+    * downstream ranking/eval/map consumers are model-agnostic. Training
+    * is distributed (MLlib); inference here goes through the fitted
+    * model's transform (vectorized), not a UDF of ours.
+    */
+  def fitGbtScores(features: DataFrame, numCols: Seq[String],
+                   labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.ml.classification.GBTClassifier
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.linalg.Vector
+    val present = numCols.filter(features.columns.contains)
+    require(present.nonEmpty, "no model features present in frame")
+    val assembled = new VectorAssembler()
+      .setInputCols(present.toArray).setOutputCol("fvec").setHandleInvalid("keep")
+      .transform(features)
+    val model = new GBTClassifier()
+      .setFeaturesCol("fvec").setLabelCol(labelCol)
+      .setMaxIter(20).setMaxDepth(3).setSeed(42L)
+      .fit(assembled)
+    val p1 = udf((v: Vector) => v(1))
+    model.transform(assembled)
+      .withColumn("pred_prob", p1(col("probability")))
+      .drop("fvec", "rawPrediction", "probability", "prediction")
+  }
+
   /** T5: rank scored rows, apply the min-probability floor (null→0,
     * P7/sa:829-830), top N.
     */

@@ -165,6 +165,20 @@ class TelemetrySpec extends SparkSpec {
     assert(top.count() <= 10)
   }
 
+  test("scorer: native GBT retraining matches the reference model family's quality band") {
+    val cur = Ingest.readCurated(spark, curated)
+    val feats = Scorer.label(Features.build(cur), "latency_ms", 0.8)
+    val scored = Scorer.fitGbtScores(feats, Features.numericFeatures)
+    val m = Scorer.evaluate(scored, k = 10)
+    // reference's selected GBT (XGBoost) publishes AUC 0.86; on this
+    // fixture (latency among the features) the tree model must clear it
+    assert(m("auc") >= 0.86, s"GBT AUC ${m("auc")} below the baseline band")
+    assert(m("p_at_10") >= 0.8, s"P@10 ${m("p_at_10")}")
+    // same output contract as the linear scorer: consumers are agnostic
+    val top = Scorer.topPredictions(scored.select("cell_id", "ts", "pred_prob"), 10, 0.0)
+    assert(top.count() <= 10)
+  }
+
   test("scorer errors on empty feature intersection (reference guard)") {
     val junk = Seq((1, 2)).toDF("a", "b")
     val spec = Scorer.ModelSpec(Map("x" -> 0.0), Map("x" -> 1.0), Map("x" -> 1.0), Map.empty, 0.0)
