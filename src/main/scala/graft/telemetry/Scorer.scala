@@ -106,23 +106,44 @@ object Scorer {
     * model's transform (vectorized), not a UDF of ours.
     */
   def fitGbtScores(features: DataFrame, numCols: Seq[String],
-                   labelCol: String = "label"): DataFrame = {
+                   labelCol: String = "label"): DataFrame =
+    fitGbtScores(features, features, numCols, labelCol)
+
+  /** Train on `train`, score `toScore` — the held-out evaluation shape
+    * (pair with [[hashSplit]]); both frames must carry the feature
+    * columns, only `train` needs the label.
+    */
+  def fitGbtScores(train: DataFrame, toScore: DataFrame, numCols: Seq[String],
+                   labelCol: String): DataFrame = {
     import org.apache.spark.ml.classification.GBTClassifier
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.linalg.Vector
-    val present = numCols.filter(features.columns.contains)
+    val present = numCols.filter(c =>
+      train.columns.contains(c) && toScore.columns.contains(c))
     require(present.nonEmpty, "no model features present in frame")
-    val assembled = new VectorAssembler()
+    val assembler = new VectorAssembler()
       .setInputCols(present.toArray).setOutputCol("fvec").setHandleInvalid("keep")
-      .transform(features)
     val model = new GBTClassifier()
       .setFeaturesCol("fvec").setLabelCol(labelCol)
       .setMaxIter(20).setMaxDepth(3).setSeed(42L)
-      .fit(assembled)
+      .fit(assembler.transform(train))
     val p1 = udf((v: Vector) => v(1))
-    model.transform(assembled)
+    model.transform(assembler.transform(toScore))
       .withColumn("pred_prob", p1(col("probability")))
       .drop("fvec", "rawPrediction", "probability", "prediction")
+  }
+
+  /** Deterministic train/holdout split by key hash — the reproducible
+    * split every training-data pipeline needs (no RNG, no ordering
+    * dependence: a row's side is a pure function of its key, stable
+    * across runs, partitionings and engines). `trainFrac` of the hash
+    * space goes to train.
+    */
+  def hashSplit(df: DataFrame, keyCols: Seq[String],
+                trainFrac: Double): (DataFrame, DataFrame) = {
+    val bucket = pmod(xxhash64(keyCols.map(col): _*), lit(1000L))
+    val cut = (trainFrac * 1000).toLong
+    (df.filter(bucket < cut), df.filter(bucket >= cut))
   }
 
   /** T5: rank scored rows, apply the min-probability floor (null→0,

@@ -10,7 +10,24 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  /** The in-memory catalog is fresh per JVM but managed-table LOCATIONS
+    * persist on disk — drop both, or a rerun hits LOCATION_ALREADY_EXISTS.
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("join between same-key bucketed tables is exchange-free and correct") {
+    resetTable("orders_b"); resetTable("lineitem_b")
     Bucketing.writeBucketed(
       Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice"),
       "orders_b", "o_orderkey", 8)

@@ -179,6 +179,20 @@ class TelemetrySpec extends SparkSpec {
     assert(top.count() <= 10)
   }
 
+  test("scorer: hash split is deterministic and held-out GBT eval works") {
+    val cur = Ingest.readCurated(spark, curated)
+    val feats = Scorer.label(Features.build(cur), "latency_ms", 0.8)
+    val (tr1, te1) = Scorer.hashSplit(feats, Seq("cell_id", "ts"), 0.7)
+    val (tr2, te2) = Scorer.hashSplit(feats, Seq("cell_id", "ts"), 0.7)
+    assert(tr1.count() == tr2.count() && te1.count() == te2.count()) // stable
+    assert(tr1.count() + te1.count() == feats.count())               // partition
+    val frac = tr1.count().toDouble / feats.count()
+    assert(frac > 0.55 && frac < 0.85, s"train fraction $frac")
+    val heldOut = Scorer.fitGbtScores(tr1, te1, Features.numericFeatures, "label")
+    val m = Scorer.evaluate(heldOut, k = 10)
+    assert(m("auc") > 0.8, s"held-out AUC ${m("auc")}") // label derives from a feature
+  }
+
   test("scorer errors on empty feature intersection (reference guard)") {
     val junk = Seq((1, 2)).toDF("a", "b")
     val spec = Scorer.ModelSpec(Map("x" -> 0.0), Map("x" -> 1.0), Map("x" -> 1.0), Map.empty, 0.0)
