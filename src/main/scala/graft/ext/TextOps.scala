@@ -424,6 +424,45 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
       |GROUP BY 1 ORDER BY est_count DESC, token LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+
+  /** Edit-distance verification of near-dup candidates: the fuzzy-dedup
+    * composition where a cheap candidate generator (trigram-Jaccard
+    * posting lists, d05) bounds the pair set and the expensive O(len²)
+    * `levenshtein` runs ONLY on candidates — never all pairs.
+    *
+    * Cross-engine caveat (probe-discovered): Spark's levenshtein counts
+    * CHARACTERS while DuckDB's counts UTF-8 BYTES ('héllo'→'hello' is 1
+    * vs 2) — the oracle comparison is therefore valid only on ASCII
+    * corpora like this one. The engine's contract is the character-based
+    * distance (pinned in SemanticsSpec).
+    */
+  def editDistanceDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    jaccardDupPairs(s, dir)
+      .join(docs.selectExpr("doc_id AS doc_id_1", "text AS t1"), Seq("doc_id_1"))
+      .join(docs.selectExpr("doc_id AS doc_id_2", "text AS t2"), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"),
+        (length(col("t1")) + length(col("t2"))).as("len_sum"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  private val editDistanceDupPairsSql =
+    s"""WITH $shingleSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+       |SELECT doc_id_1, doc_id_2,
+       | levenshtein(d1.text, d2.text) AS edit_dist,
+       | length(d1.text) + length(d2.text) AS len_sum
+       |FROM pairs
+       |JOIN documents d1 ON d1.doc_id = doc_id_1
+       |JOIN documents d2 ON d2.doc_id = doc_id_2
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -436,5 +475,6 @@ object TextOps {
     QueryDef("d09_token_frequencies", tokenFrequencies, Some(tokenFrequenciesSql)),
     QueryDef("d10_bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
     QueryDef("d11_heavy_hitter_tokens", heavyHitterTokens, Some(heavyHitterTokensSql)),
+    QueryDef("d12_edit_distance_dup_pairs", editDistanceDupPairs, Some(editDistanceDupPairsSql)),
   )
 }

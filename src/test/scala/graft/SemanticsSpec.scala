@@ -118,6 +118,14 @@ class SemanticsSpec extends SparkSpec {
     assert(math.abs(est2("hot") - 500L) <= 700 / 5 + 1, s"hot count ${est2("hot")}")
   }
 
+  test("levenshtein is character-based (d12's engine contract; DuckDB's is byte-based)") {
+    val r = spark.sql("""SELECT levenshtein('héllo', 'hello') AS a,
+      levenshtein('日本語', '日本') AS b, levenshtein('kitten', 'sitting') AS c""").first()
+    assert(r.getInt(0) == 1) // one substitution in CHARS (2 in utf-8 bytes)
+    assert(r.getInt(1) == 1) // one char deletion (3 bytes)
+    assert(r.getInt(2) == 3) // classic
+  }
+
   test("approx_percentile tracks the exact percentile within its accuracy rank bound") {
     // The scale option for A1/A6/A11 (exact `percentile` stays the
     // correctness-path choice — SURVEY §7.4): with accuracy a, the
