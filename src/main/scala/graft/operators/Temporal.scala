@@ -444,6 +444,26 @@ object Temporal {
       | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
       |ORDER BY error_id, purchase_id""".stripMargin
 
+  /** RANGE-frame window (every other frame in the inventory is ROWS-based):
+    * per event, the running sum of the same user's values in the trailing
+    * hour — the frame is defined by the ORDER-BY VALUE (event time), so
+    * equal timestamps are peers and row order inside a tie cannot change
+    * the result (tie-stable by construction, unlike ROWS frames). One
+    * shuffle on user_id, one sort.
+    */
+  def trailingHourSum(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS ts_us",
+        """round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS hour_sum""".stripMargin)
+      .orderBy("event_id")
+
+  private val trailingHourSumSql =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+      |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS hour_sum
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -461,5 +481,6 @@ object Temporal {
     QueryDef("t14_value_tier_range_join", valueTierRangeJoin, Some(valueTierRangeJoinSql)),
     QueryDef("t15_salted_distinct_users", saltedDistinctUsers, Some(saltedDistinctUsersSql)),
     QueryDef("t16_purchases_near_errors", purchasesNearErrors, Some(purchasesNearErrorsSql)),
+    QueryDef("t17_trailing_hour_sum", trailingHourSum, Some(trailingHourSumSql)),
   )
 }
