@@ -76,6 +76,8 @@ class CosineSimilaritySpec extends SparkSpec {
       val v = s2.sql("SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
         .first().getDouble(0)
       assert(math.abs(v) < 1e-15)
+      val n = s2.sql("SELECT size(word_trigram_hashes('a b c d')) AS n").first().getInt(0)
+      assert(n == 2) // both injected functions resolve through the extension
     } finally { /* shared JVM: do not stop the default session */ }
   }
 

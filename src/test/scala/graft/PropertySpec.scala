@@ -80,6 +80,19 @@ class PropertySpec extends SparkSpec {
     assert(pairs == 0)
   }
 
+  test("hashSplit partitions exactly and deterministically for any fraction") {
+    val rows = (1L to 500L).map(i => (i, s"k$i")).toDF("id", "k")
+    draw(Gen.chooseNum(0.05, 0.95), 6).foreach { frac =>
+      val (tr, te) = graft.telemetry.Scorer.hashSplit(rows, Seq("id", "k"), frac)
+      val (tr2, _) = graft.telemetry.Scorer.hashSplit(rows, Seq("id", "k"), frac)
+      assert(tr.count() + te.count() == 500)             // exact partition
+      assert(tr.intersect(te).count() == 0)              // disjoint
+      assert(tr.exceptAll(tr2).count() == 0)             // deterministic
+      val got = tr.count() / 500.0
+      assert(math.abs(got - frac) < 0.12, s"frac $frac got $got") // hash-uniform
+    }
+  }
+
   test("z-score of the population against its own stats has ~zero mean") {
     val gen = Gen.listOfN(100, Gen.chooseNum(-100.0, 100.0))
     draw(gen, 5).foreach { xs =>
