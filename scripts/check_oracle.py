@@ -35,6 +35,17 @@ def main():
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
             want = con.execute(oracle[name]).df()
             g, w = norm(got), norm(want)
+            # Driver hash-compares raw values, so an int64 Spark column vs a
+            # HUGEINT-coerced-to-float64 oracle column is a FAIL even when
+            # numerically equal. Enforce dtype-family agreement here.
+            fams = []
+            for c in g.columns:
+                gk, wk = g[c].dtype.kind, w[c].dtype.kind
+                gi, wi = gk in "iu", wk in "iu"
+                if gk != wk and (gi != wi or gk in "OMb" or wk in "OMb"):
+                    fams.append(f"{c}: spark={g[c].dtype} oracle={w[c].dtype}")
+            if fams:
+                raise AssertionError("dtype family mismatch: " + "; ".join(fams))
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
             print(f"OK   {name}  ({len(g)} rows)")

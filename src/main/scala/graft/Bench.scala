@@ -37,8 +37,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failed queries (-1.0 sentinel) are excluded from the headline total —
+    // summing them in would *lower* the metric on a regression — and
+    // reported by name so a nonzero failure list is unmissable.
+    val (failed, ok) = results.partition(_._2 < 0)
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

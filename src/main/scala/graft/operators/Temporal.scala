@@ -125,8 +125,10 @@ object Temporal {
       .orderBy("event_type")
 
   private val riskShareByTypeSql =
+    // CAST: DuckDB sum(<integer>) yields HUGEINT (→ float64 in pandas),
+    // which hash-mismatches Spark's BIGINT even when values are equal.
     """SELECT event_type, count(*) AS n,
-      | sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS n_risky,
+      | CAST(sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
       | sum(CASE WHEN value >= 400.0 THEN 1.0 ELSE 0.0 END) / count(*) AS risky_share
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -319,8 +321,8 @@ object Temporal {
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
-      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM flagged)
       |SELECT user_id, sess_id, count(*) AS n_events,
       | epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,

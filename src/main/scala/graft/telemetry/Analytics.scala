@@ -47,8 +47,15 @@ object Analytics {
     * caller.
     */
   def kpis(df: DataFrame): DataFrame = {
-    val prom = col("throughput_mbps") >= 150 && col("latency_ms") <= 50 && col("drop_rate") <= 1.0
-    val det  = col("throughput_mbps") < 100 || col("latency_ms") > 80 || col("drop_rate") > 2.0
+    // coalesce(…, false): the reference's pandas comparisons treat NaN as
+    // False over ALL rows; a bare avg(pred) would drop null-metric rows from
+    // the denominator and diverge on data with nulls.
+    val prom = coalesce(
+      col("throughput_mbps") >= 150 && col("latency_ms") <= 50 && col("drop_rate") <= 1.0,
+      lit(false))
+    val det = coalesce(
+      col("throughput_mbps") < 100 || col("latency_ms") > 80 || col("drop_rate") > 2.0,
+      lit(false))
     df.agg(
       avg("throughput_mbps").as("avg_throughput"),
       avg("drop_rate").as("avg_drop_rate"),
@@ -77,7 +84,10 @@ object Analytics {
   def riskFlag(df: DataFrame, metric: String, q: Double = 0.95): DataFrame = {
     val hiBad = metric != "throughput_mbps"
     val p = if (hiBad) q else 1 - q
-    val thr = df.agg(expr(s"percentile($metric, $p)")).first().getDouble(0)
+    val thrRow = df.agg(expr(s"percentile($metric, $p)")).first()
+    require(!thrRow.isNullAt(0),
+      s"riskFlag: percentile($metric, $p) is null — empty frame or all-null metric")
+    val thr = thrRow.getDouble(0)
     val flag = if (hiBad) col(metric) >= thr else col(metric) <= thr
     df.withColumn("risk_threshold", lit(thr)).withColumn("at_risk", flag)
   }

@@ -62,7 +62,10 @@ object Scorer {
     * q-quantile (hi-bad). Used to derive training labels natively.
     */
   def label(df: DataFrame, metric: String = "latency_ms", q: Double = 0.8): DataFrame = {
-    val thr = df.agg(expr(s"percentile($metric, $q)")).first().getDouble(0)
+    val thrRow = df.agg(expr(s"percentile($metric, $q)")).first()
+    require(!thrRow.isNullAt(0),
+      s"label: percentile($metric, $q) is null — empty frame or all-null metric")
+    val thr = thrRow.getDouble(0)
     df.withColumn("label", (col(metric) >= thr).cast("int"))
   }
 

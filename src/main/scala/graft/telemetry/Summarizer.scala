@@ -37,7 +37,11 @@ object Summarizer {
     */
   def buildContext(frames: Map[String, DataFrame], maxRowsPerFrame: Int = 50): String =
     frames.toSeq.sortBy(_._1).map { case (name, df) =>
-      val rows = df.limit(maxRowsPerFrame)
+      // Deterministic orderBy before limit: an unordered limit can return a
+      // different row subset per run on multi-partition frames, which would
+      // change the sha2 memo key for identical logical input (defeating the
+      // cache and burning run-cap slots).
+      val rows = df.orderBy(df.columns.map(col).toSeq: _*).limit(maxRowsPerFrame)
         .select(to_json(struct(df.columns.map(col).toSeq: _*)).as("j"))
         .collect().map(_.getString(0))
       s""""$name": [${rows.mkString(",")}]"""
