@@ -290,68 +290,130 @@ object TextOps {
 
   // ---------------------------------------------------------------- d07
 
-  /** SimHash(64) near-dup candidates: per-bit majority vote over the doc's
+  /** Portable 60-bit string hash, identical in Spark and DuckDB: the first
+    * 15 hex digits of md5 parsed as an integer. Spark spells it
+    * `conv(substr(md5(s),1,15),16,10)`; DuckDB `('0x'||substr(md5(s),1,15))
+    * ::BIGINT`. 15 digits = 60 bits < 2⁶³, so the BIGINT cast never wraps.
+    * Slower than the native xxhash64 path (used by d05/d06 where the hash
+    * itself needn't match the oracle), but cross-engine bit-identical —
+    * which is what makes d07/d08 hash-checkable instead of rows-only.
+    */
+  private def md5h60(arg: String): String =
+    s"CAST(conv(substring(md5($arg), 1, 15), 16, 10) AS BIGINT)"
+
+  /** SimHash(60) near-dup pairs: per-bit majority vote over the doc's
     * distinct trigram-shingle hashes (shingles, not unigrams — the corpus
     * vocabulary is so small that unigram sets barely differ across docs,
-    * while shingle sets overlap ≈98% only for true near-dups), banded by
-    * 8-bit chunks (8 bands — short docs with few shingles land at hamming
-    * up to ~10, so narrow bands keep candidate recall high), verified by
-    * hamming ≤ 10.
-    * No SQL oracle (xxhash64 has no DuckDB equivalent) → rows-only check;
-    * recall vs the exact-Jaccard pairs is asserted in DedupSpec.
+    * while shingle sets overlap ≈98% only for true near-dups), LSH-banded,
+    * verified by hamming ≤ 7.
+    *
+    * The threshold/band pair is chosen so the banded plan is PROVABLY
+    * equal to the brute-force oracle: 8 bands over 60 bits and hamming ≤ 7
+    * means ≤7 flipped bits land in ≤7 bands, so at least one band is
+    * intact (pigeonhole) and every qualifying pair becomes a candidate.
+    * Measured at sf0.01 the true near-dups sit at hamming ≤ 7 and the
+    * background starts at 15 — the threshold sits in the gap. No frequency
+    * cap here, unlike a recall-best-effort LSH: a hot band bucket is only
+    * quadratic when its pairs are genuinely in the output.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Explode + one hash-aggregation with 64 flat sum buffers (per-bit
+    // Explode + one hash-aggregation with 60 flat sum buffers (per-bit
     // majority votes), then recombine the bits. The nested array-lambda
     // formulation was 100× slower: projection collapse inlined the shingle
-    // hashing into each of the 64 bit-folds.
-    val hv = shingleHashed(s, dir).selectExpr("doc_id", "explode(shs) AS h")
-    val bitAggs = (0 until 64).map(b =>
+    // hashing into each of the bit-folds.
+    val hv = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(toks)-2),
+          |  i -> concat_ws(' ', slice(toks, i, 3))))) AS sh""".stripMargin)
+      .selectExpr("doc_id", s"${md5h60("sh")} AS h")
+    val bitAggs = (0 until 60).map(b =>
       sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"b$b"))
-    val recombine = (0 until 64)
+    val recombine = (0 until 60)
       .map(b => s"IF(b$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
       .mkString(" + ")
     val sim = hv.groupBy("doc_id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .selectExpr("doc_id", s"($recombine) AS simhash")
-    // Candidate generation via band-bucket posting lists (index computed
-    // once; see pairExplode), with a frequency cap: 8-bit band values are
-    // low-entropy on this corpus, so a handful of (band, value) buckets
-    // hold thousands of docs and pair emission would go quadratic. Buckets
-    // above the cap are non-discriminative — drop them; true near-dups
-    // still collide in their other 7 bands. (Standard frequency-capping in
-    // LSH dedup; deterministic.)
-    sim.selectExpr("doc_id", "simhash",
-      "explode(sequence(0, 7)) AS band")
-      .selectExpr("doc_id", "simhash", "band", "shiftright(simhash, band*8) & 255 AS bv")
-      .groupBy("band", "bv")
+    // 8 bands over 60 bits: 4×8-bit + 4×7-bit chunks.
+    val widths = Seq(8, 8, 8, 8, 7, 7, 7, 7)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandExprs = widths.zip(offsets).zipWithIndex.map { case ((w, off), b) =>
+      s"named_struct('band', $b, 'bv', shiftright(simhash, $off) & ${(1 << w) - 1})"
+    }
+    sim.selectExpr("doc_id", "simhash", s"explode(array(${bandExprs.mkString(",")})) AS e")
+      .groupBy(col("e.band"), col("e.bv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .where(size(col("ds")).between(2, 64))
+      .where(size(col("ds")) > 1)
       .selectExpr(pairExplode)
       .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
         "p.x.simhash AS sh1", "p.y.simhash AS sh2")
       .distinct()
       .selectExpr("doc_id_1", "doc_id_2", "bit_count(sh1 ^ sh2) AS hamming")
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= 7)
       .orderBy("doc_id_1", "doc_id_2")
   }
+
+  // Oracle: brute-force all-pairs hamming over the same 60-bit simhash —
+  // quadratic is fine at oracle scale; equality with the banded plan is
+  // the pigeonhole argument above.
+  private val simhashPairsSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(toks)-1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3),
+      |h AS (SELECT doc_id,
+      |        list_transform(sh, x -> CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)) AS hs
+      |      FROM s),
+      |sim AS (SELECT doc_id,
+      |          list_reduce(list_transform(range(0, 60), b ->
+      |            CASE WHEN len(list_filter(hs, x -> (x >> b) & 1 = 1)) * 2 > len(hs)
+      |                 THEN (1::BIGINT << b) ELSE 0::BIGINT END), (a, c) -> a + c) AS simhash
+      |        FROM h)
+      |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+      |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
   // ---------------------------------------------------------------- d08
 
   /** Winnowing document fingerprints (rolling char-5-gram hashes, window-4
     * minima, distinct): doc_id → fingerprint-set size + xor checksum.
-    * Deterministic; rows-only (no xxhash64 in DuckDB).
+    * Uses the portable md5-60 hash so the whole pipeline — k-gram hashing,
+    * window minima, distinct, xor fold — is replayed verbatim by the
+    * DuckDB oracle (hash-checked, not rows-only).
     */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .where("length(text) >= 8")
       .selectExpr("doc_id",
-        "transform(sequence(1, length(text)-4), i -> xxhash64(substring(text, i, 5))) AS hs")
+        s"transform(sequence(1, length(text)-4), i -> ${md5h60("substring(text, i, 5)")}) AS hs")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, size(hs)-3), i -> array_min(slice(hs, i, 4)))) AS fps")
       .selectExpr("doc_id", "size(fps) AS n_fp",
         "aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x) AS fp_xor")
       .orderBy("doc_id")
+
+  // DuckDB range(a,b) is exclusive of b where Spark's sequence(a,b) is
+  // inclusive — hence range(1, length-3) ≙ sequence(1, length-4) and
+  // hs[i:i+3] (inclusive slice, 4 elements) ≙ slice(hs, i, 4).
+  private val winnowFingerprintSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text)-3),
+      |      i -> CAST(('0x' || substr(md5(substr(text, i, 5)),1,15)) AS BIGINT)) AS hs
+      |  FROM documents WHERE length(text) >= 8),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(hs)-2),
+      |      i -> list_min(hs[i:i+3]))) AS fps
+      |  FROM h)
+      |SELECT doc_id, len(fps) AS n_fp,
+      |       list_reduce(fps, (a, x) -> xor(a, x)) AS fp_xor
+      |FROM f ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d09
 
@@ -463,6 +525,124 @@ object TextOps {
        |JOIN documents d2 ON d2.doc_id = doc_id_2
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+
+  /** Near-dup CLUSTERS: connected components over the d05 pair graph,
+    * labeling every clustered doc with the min doc_id of its component —
+    * the "keep one canonical doc per dup cluster" step that follows pair
+    * finding in a dedup pipeline (pairs alone over-delete on transitive
+    * chains A~B~C).
+    *
+    * Spark-first CC: iterative hash-min label propagation — every node
+    * starts as its own label; each round takes the min label across
+    * neighbors; fixpoint in ≤ diameter rounds. Each round is one shuffle
+    * join + partial agg, fully distributed; the driver loop only counts
+    * changed labels (a scalar per round — NOT a data collect). Lineage is
+    * truncated per round with localCheckpoint so 10 rounds don't build a
+    * 10-deep recompute chain. Dup-cluster graphs have tiny diameters
+    * (chains of near-identical docs), so rounds ≈ 3-5 in practice; the
+    * iteration cap is a safety rail.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardDupPairs(s, dir)
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("slbl").as("nlbl"))
+      // One job per round: the convergence count doubles as the action that
+      // materializes the (lazy) checkpoint, and `chg` is computed inline so
+      // no second join against the previous labels is needed.
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("new_lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .withColumnRenamed("new_lbl", "lbl")
+        .localCheckpoint(false)
+      changed = next.filter(col("chg")).count()
+      labels = next.select("doc_id", "lbl")
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+  }
+
+  // Oracle: reachability min via recursive CTE (UNION dedups → terminates).
+  private val dupClustersSql =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d14
+
+  /** Deterministic train/val/test split by content-independent hash of the
+    * key — the reproducible-split primitive of a training pipeline (same
+    * doc lands in the same split on every run, every engine, any
+    * partitioning; no RNG, no sampleBy). Bucket = md5-60(doc_id) mod 100;
+    * 80/10/10. Query twin of telemetry.Scorer.hashSplit, made portable
+    * (and therefore oracle-checkable) via the md5 hash.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket")
+      .selectExpr("doc_id", "bucket",
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+      .orderBy("doc_id")
+
+  private val hashSplitSql =
+    """SELECT doc_id, bucket,
+      | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d15
+
+  /** Token-window chunking: split each doc into 128-token chunks with
+    * stride 64 (overlapping halves) — the context-window packing step
+    * before tokenization in a training pipeline. Pure array ops + one
+    * generator explode; no UDF. Chunk count = ceil(n_tokens/64), so the
+    * last chunk may be a short tail (standard; padding is the trainer's
+    * concern, not the engine's).
+    */
+  def tokenChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(0, CAST(ceil(size(toks)/64.0) AS INT) - 1),
+          |  i -> concat_ws(' ', slice(toks, i*64 + 1, 128)))) AS (chunk_idx, chunk)""".stripMargin)
+      .selectExpr("doc_id", "chunk_idx", "size(split(chunk, ' ')) AS n_chunk_tokens", "chunk")
+      .orderBy("doc_id", "chunk_idx")
+
+  private val tokenChunksSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |        unnest(list_transform(range(0, CAST(ceil(len(toks)/64.0) AS BIGINT)),
+      |          i -> {'idx': i, 'chunk': array_to_string(toks[(i*64+1):(i*64+128)], ' ')})) AS e
+      |      FROM t)
+      |SELECT doc_id, CAST(e.idx AS INT) AS chunk_idx,
+      |       len(string_split(e.chunk, ' ')) AS n_chunk_tokens, e.chunk AS chunk
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -470,11 +650,14 @@ object TextOps {
     QueryDef("d04_lang_id", langId, Some(langIdSql)),
     QueryDef("d05_jaccard_dup_pairs", jaccardDupPairs, Some(jaccardPairsSql)),
     QueryDef("d06_minhash_lsh_pairs", minhashLshPairs, Some(jaccardPairsSql)),
-    QueryDef("d07_simhash_pairs", simhashPairs, None),
-    QueryDef("d08_winnow_fingerprint", winnowFingerprint, None),
+    QueryDef("d07_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("d08_winnow_fingerprint", winnowFingerprint, Some(winnowFingerprintSql)),
     QueryDef("d09_token_frequencies", tokenFrequencies, Some(tokenFrequenciesSql)),
     QueryDef("d10_bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
     QueryDef("d11_heavy_hitter_tokens", heavyHitterTokens, Some(heavyHitterTokensSql)),
     QueryDef("d12_edit_distance_dup_pairs", editDistanceDupPairs, Some(editDistanceDupPairsSql)),
+    QueryDef("d13_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("d14_hash_split", hashSplit, Some(hashSplitSql)),
+    QueryDef("d15_token_chunks", tokenChunks, Some(tokenChunksSql)),
   )
 }

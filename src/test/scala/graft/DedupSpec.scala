@@ -44,15 +44,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("winnow fingerprints separate near-dups from unrelated docs") {
-    // The plagiarism-detection property that makes the rows-only d08
-    // trustworthy: near-dup pairs share a much larger fingerprint fraction
-    // than unrelated pairs. Fingerprint SETS are recomputed here with the
-    // same rolling-hash/window-min construction the query uses (the query
-    // itself outputs only count+checksum).
+    // The plagiarism-detection property behind d08: near-dup pairs share a
+    // much larger fingerprint fraction than unrelated pairs. Fingerprint
+    // SETS are recomputed here with the same kgram-hash/window-min
+    // construction the query uses (the query itself outputs only
+    // count+checksum, which the DuckDB oracle hash-checks).
     val fps = Tables.documents(spark, sf0001)
       .where("length(text) >= 8")
       .selectExpr("doc_id",
-        "transform(sequence(1, length(text)-4), i -> xxhash64(substring(text, i, 5))) AS hs")
+        "transform(sequence(1, length(text)-4), i -> CAST(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) AS BIGINT)) AS hs")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, size(hs)-3), i -> array_min(slice(hs, i, 4)))) AS fps")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
@@ -70,6 +70,44 @@ class DedupSpec extends SparkSpec {
     assert(dupMean >= 0.6, s"near-dup fingerprint overlap only $dupMean")
     assert(dupMean >= unrelMean + 0.3,
       s"no separation: dup $dupMean vs unrelated $unrelMean")
+  }
+
+  test("dup clusters are consistent with the pair graph") {
+    val pairs = TextOps.jaccardDupPairs(spark, sf0001)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = TextOps.dupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // every paired doc is labeled, pair endpoints share a cluster, and the
+    // cluster id is the min doc_id of its members
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    lbl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+    }
+  }
+
+  test("hash split is deterministic and roughly 80/10/10") {
+    val a = TextOps.hashSplit(spark, sf0001).collect().map(_.toSeq)
+    val b = TextOps.hashSplit(spark, sf0001).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    val n = a.length.toDouble
+    val frac = a.groupBy(_(2)).view.mapValues(_.length / n).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, s"train frac $frac")
+  }
+
+  test("token chunks reconstruct the document (first 64 tokens of each chunk)") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextOps.tokenChunks(spark, sf0001)
+      .selectExpr("doc_id", "chunk_idx", "chunk").collect()
+      .groupBy(_.getLong(0)).foreach { case (id, rows) =>
+        val rebuilt = rows.sortBy(_.getInt(1))
+          .map(_.getString(2).split(' ').take(64).mkString(" ")).mkString(" ")
+        assert(rebuilt == docs(id), s"doc $id chunk reconstruction mismatch")
+      }
   }
 
   test("ANN-LSH results are a subset of brute-force ranking order") {

@@ -6,12 +6,9 @@ package graft
   */
 class QueriesSpec extends SparkSpec {
 
-  test("every query has an oracle or is explicitly rows-only") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
-    // Keep this list tiny and deliberate: rows-only checks are weaker.
-    assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") ||
-      n.contains("fingerprint") || n.contains("multimodal")),
-      s"queries missing an oracle: $noOracle")
+    assert(noOracle.isEmpty, s"queries missing an oracle: $noOracle")
   }
 
   test("query names are unique") {
