@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange-format sources/sinks beyond the reference's CSV+Parquet
+  * (SURVEY §2.1): JSON-lines — the lingua franca of LLM training-data
+  * pipelines — plus ORC and raw text. All are thin, schema-explicit
+  * wrappers over Spark's built-in connectors: the value here is the pinned
+  * CONTRACT (explicit schema — never runtime inference at scale — and
+  * explicit malformed-row policy), not reimplementation.
+  *
+  * Scale notes: every reader takes an explicit schema, so a 100 TB read
+  * never pays the inference pre-pass and never silently widens a type;
+  * JSONL/text are splittable (uncompressed or with a splittable codec), so
+  * partition counts follow `spark.sql.files.maxPartitionBytes` as usual.
+  */
+object Formats {
+
+  /** JSONL scan with declared schema. `PERMISSIVE` keeps malformed lines,
+    * capturing the raw line in `_corrupt_record` (pass `keepCorrupt =
+    * true`) so a pipeline can route bad records to quarantine instead of
+    * dying mid-run; `FAILFAST` is the strict variant for curated inputs.
+    * NB Spark refuses queries that reference ONLY `_corrupt_record` on the
+    * raw scan — `.cache()` the parsed frame before splitting good/bad.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                keepCorrupt: Boolean = false): DataFrame = {
+    val base =
+      if (keepCorrupt)
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read
+      .schema(base)
+      .option("mode", if (keepCorrupt) "PERMISSIVE" else "FAILFAST")
+      .json(path)
+  }
+
+  /** JSONL sink: one JSON object per line, one file per partition. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC roundtrip — columnar alternative to parquet, built into Spark
+    * (predicate pushdown + column pruning work identically).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Raw text scan: one row per line (column `value`) — the entry point
+    * for unstructured corpora before any parsing.
+    */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Interchange-format roundtrips + malformed-row policy on the documents
+  * table (the corpus a training pipeline would actually move as JSONL).
+  */
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("out").toString
+
+  private def docs = Tables.documents(spark, sf0001)
+    .select("doc_id", "lang", "n_chars", "text")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("text", StringType)))
+
+  test("JSONL roundtrip preserves the documents multiset") {
+    val out = tmp("jsonl")
+    Formats.writeJsonl(docs, out)
+    val back = Formats.readJsonl(spark, out, docSchema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("JSONL permissive mode quarantines malformed lines instead of failing") {
+    val dir = Files.createTempDirectory("jsonl-bad")
+    val f = dir.resolve("part-0.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "lang": "en", "n_chars": 5, "text": "hello"}""",
+      """this is not json at all""",
+      """{"doc_id": 2, "lang": "en", "n_chars": 5, "text": "world"}"""))
+    // Spark disallows queries touching ONLY _corrupt_record on a raw scan
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the
+    // parsed frame first, as the Formats scaladoc instructs.
+    val read = Formats.readJsonl(spark, dir.toString, docSchema, keepCorrupt = true).cache()
+    val good = read.filter(col("_corrupt_record").isNull)
+    val bad = read.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").first().getString(0).contains("not json"))
+  }
+
+  test("ORC roundtrip preserves the documents multiset") {
+    val out = tmp("orc")
+    Formats.writeOrc(docs, out)
+    val back = Formats.readOrc(spark, out, docSchema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty)
+  }
+
+  test("ORC scan prunes columns and pushes filters") {
+    val out = tmp("orc-plan")
+    Formats.writeOrc(docs, out)
+    val plan = Formats.readOrc(spark, out, docSchema)
+      .filter(col("doc_id") === 7).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("doc_id,lang") || plan.contains("struct<doc_id:bigint,lang:string>"),
+      s"ORC read schema not pruned:\n$plan")
+    assert(plan.toLowerCase.contains("pushedfilters: [isnotnull(doc_id), equalto(doc_id,7)]".toLowerCase),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
+  test("text roundtrip: one line per document text") {
+    val out = tmp("text")
+    Formats.writeText(docs.select("text"), out)
+    val back = Formats.readText(spark, out)
+    assert(back.count() == docs.count())
+    // same multiset of lines
+    val a = back.select(col("value")).collect().map(_.getString(0)).sorted
+    val b = docs.select("text").collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
+}
