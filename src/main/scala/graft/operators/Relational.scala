@@ -413,6 +413,30 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS ((status), (priority), ()) — the third member
+    * of the grouping-variants family beside rollup (q12) and cube (q17),
+    * via Spark 4's native `groupingSets` API. One hash aggregation with
+    * an Expand node — each input row fans out only to its 3 declared
+    * sets, cheaper than cube's 4 at scale.
+    */
+  def statusPriorityGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
+  private val statusPriorityGroupingSetsSql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total_price
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   /** PIVOT: order counts + summed price per status, pivoted wide by
     * priority. Spark's `pivot` with an explicit value list (no extra
     * distinct-values job — the list IS the contract at scale) lowers to
@@ -553,5 +577,7 @@ object Relational {
     QueryDef("q19_order_price_ranks", orderPriceRanks, Some(orderPriceRanksSql)),
     QueryDef("q20_above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
     QueryDef("q21_brand_promo_share", brandPromoShare, Some(brandPromoShareSql)),
+    QueryDef("q22_status_priority_grouping_sets", statusPriorityGroupingSets,
+      Some(statusPriorityGroupingSetsSql)),
   )
 }
