@@ -437,6 +437,33 @@ object Relational {
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  /** Top-3 orders per customer via the bounded-state TopKAgg Aggregator
+    * (graft.functions.TopK) — per-group top-k WITHOUT the window
+    * formulation's full per-group shuffle+sort: map-side partial heaps
+    * carry ≤ k rows per group per partition. The oracle spells the same
+    * semantics as row_number() (value desc, id asc tie-break).
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      ExpressionEncoder[graft.functions.Ranked]())
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .selectExpr("o_custkey", "posexplode(top) AS (pos, r)")
+      .selectExpr("o_custkey", "CAST(pos + 1 AS INT) AS rnk",
+        "r.id AS o_orderkey", "r.value AS o_totalprice")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private val topOrdersPerCustomerSql =
+    """SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
   /** PIVOT: order counts + summed price per status, pivoted wide by
     * priority. Spark's `pivot` with an explicit value list (no extra
     * distinct-values job — the list IS the contract at scale) lowers to
@@ -579,5 +606,7 @@ object Relational {
     QueryDef("q21_brand_promo_share", brandPromoShare, Some(brandPromoShareSql)),
     QueryDef("q22_status_priority_grouping_sets", statusPriorityGroupingSets,
       Some(statusPriorityGroupingSetsSql)),
+    QueryDef("q23_top_orders_per_customer", topOrdersPerCustomer,
+      Some(topOrdersPerCustomerSql)),
   )
 }

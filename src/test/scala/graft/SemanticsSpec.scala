@@ -159,4 +159,37 @@ class SemanticsSpec extends SparkSpec {
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("TopKAgg equals the window row_number formulation under any partitioning") {
+    // Bounded-state per-group top-k (q23's engine) must match the window
+    // plan exactly — including (value desc, id asc) tie-breaks — and be
+    // insensitive to physical partitioning (merge order).
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      ExpressionEncoder[graft.functions.Ranked]())
+    val orders = Tables.orders(spark, sf0001)
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"o_custkey")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .selectExpr("o_custkey", "posexplode(top) AS (pos, r)")
+      .selectExpr("o_custkey", "pos", "r.id", "r.value")
+      .collect().map(_.toSeq).toSet
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")) - 1)
+      .filter($"rn" < 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg(orders) == viaWindow)
+    assert(viaAgg(orders.repartition(7)) == viaWindow, "merge-order sensitivity")
+    // duplicate values across many partitions: ties must keep smallest ids
+    val dup = Seq.tabulate(40)(i => (1L, 5.0, i.toLong))
+      .toDF("g", "o_totalprice", "o_orderkey").withColumnRenamed("g", "o_custkey")
+      .repartition(8)
+    val got = dup.groupBy($"o_custkey")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .selectExpr("inline(top)").collect().map(r => r.getLong(1)).toSeq
+    assert(got == Seq(0L, 1L, 2L), s"tie-break ids: $got")
+  }
 }
