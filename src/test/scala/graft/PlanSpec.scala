@@ -105,6 +105,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Subquery subquery"), p)
   }
 
+  test("no query plans a CartesianProduct") {
+    // The hygiene sweep for accidental unhinted cross joins: a broadcast
+    // nested-loop against a 1-row scalar/query frame is fine (and
+    // intentional in the brute-force baselines); a CartesianProduct of two
+    // shuffled sides at 100 TB is never fine.
+    SparkEntry.allQueries.foreach { q =>
+      val p = plan(q.fn(spark, sf0001))
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("q23: TopKAgg aggregates partially map-side (ObjectHashAggregate pair)") {
+    val p = plan(Relational.topOrdersPerCustomer(spark, sf0001))
+    // partial + final ObjectHashAggregate — the bounded buffers combine
+    // before the shuffle, which is the entire point of the operator
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
