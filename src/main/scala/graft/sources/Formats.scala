@@ -40,6 +40,17 @@ object Formats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Streaming JSONL source: the same schema-explicit contract under
+    * `readStream` — a landing directory of JSONL files becomes an
+    * incremental pipeline input (new files = new micro-batch), which is
+    * how a training-data ingest tails an upstream dump at scale.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "8")
+      .json(path)
+
   /** ORC roundtrip — columnar alternative to parquet, built into Spark
     * (predicate pushdown + column pruning work identically).
     */

@@ -48,6 +48,23 @@ class FormatsSpec extends SparkSpec {
     assert(bad.select("_corrupt_record").first().getString(0).contains("not json"))
   }
 
+  test("streaming JSONL source sees the same rows as the batch reader") {
+    val out = tmp("jsonl-stream")
+    Formats.writeJsonl(docs, out)
+    val q = Formats.readJsonlStream(spark, out, docSchema)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("jsonl_stream_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("jsonl_stream_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("ORC roundtrip preserves the documents multiset") {
     val out = tmp("orc")
     Formats.writeOrc(docs, out)
