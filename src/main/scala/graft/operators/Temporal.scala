@@ -466,6 +466,38 @@ object Temporal {
       |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS hour_sum
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Cumulative distinct users per type by hour — distinct-over-window
+    * doesn't distribute (per-frame sets are unbounded state), so the
+    * scalable formulation is dedup-then-running-count: first event per
+    * (type, user) → count firsts per hour bucket → running sum over the
+    * per-type hourly series. Two hash shuffles, bounded window state (the
+    * running sum partitions by type, ~5 rows of state), no per-frame sets
+    * anywhere. The oracle spells the identical decomposition.
+    */
+  def cumulativeDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(min("ts").as("first_ts"))
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("first_ts")).as("bucket"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+        col("new_users"),
+        sum("new_users").over(
+          Window.partitionBy("event_type").orderBy("bucket")).as("cum_users"))
+      .orderBy("event_type", "bucket_us")
+
+  private val cumulativeDistinctUsersSql =
+    """WITH firsts AS (
+      |  SELECT event_type, user_id, min(ts) AS first_ts
+      |  FROM events GROUP BY event_type, user_id),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', first_ts) AS bucket, count(*) AS new_users
+      |  FROM firsts GROUP BY 1, 2)
+      |SELECT event_type, epoch_us(bucket) AS bucket_us, new_users,
+      | CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum_users
+      |FROM hourly ORDER BY event_type, bucket_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -484,5 +516,7 @@ object Temporal {
     QueryDef("t15_salted_distinct_users", saltedDistinctUsers, Some(saltedDistinctUsersSql)),
     QueryDef("t16_purchases_near_errors", purchasesNearErrors, Some(purchasesNearErrorsSql)),
     QueryDef("t17_trailing_hour_sum", trailingHourSum, Some(trailingHourSumSql)),
+    QueryDef("t18_cumulative_distinct_users", cumulativeDistinctUsers,
+      Some(cumulativeDistinctUsersSql)),
   )
 }
