@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table — the
@@ -648,6 +649,34 @@ object TextOps {
       |       len(string_split(e.chunk, ' ')) AS n_chunk_tokens, e.chunk AS chunk
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+
+  /** Deterministic stratified sample: up to 20 docs per language, chosen
+    * by md5-60 hash order (not file/partition order) — reproducible on
+    * any engine, any partitioning, and statistically unbiased w.r.t.
+    * document content. The per-stratum quota is a window rank, so the
+    * plan is one shuffle on the (low-cardinality) stratum key; skewed
+    * strata cost sort-of-stratum, not sort-of-table.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang",
+        s"${md5h60("CAST(doc_id AS STRING)")} AS hk")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+
+  private val stratifiedSampleSql =
+    """SELECT lang, CAST(rn AS INT) AS rn, doc_id
+      |FROM (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+      |                   doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -664,5 +693,6 @@ object TextOps {
     QueryDef("d13_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("d14_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("d15_token_chunks", tokenChunks, Some(tokenChunksSql)),
+    QueryDef("d16_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
   )
 }
