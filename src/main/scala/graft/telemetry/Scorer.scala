@@ -94,7 +94,10 @@ object Scorer {
       val m0 = Option(row.getAs[Double](s"${f}__mean0")).getOrElse(0.0)
       f -> (m1 - m0) / scales(f)
     }.toMap
-    val base = features.agg(avg(col(labelCol).cast("double"))).first().getDouble(0)
+    val baseRow = features.agg(avg(col(labelCol).cast("double"))).first()
+    require(!baseRow.isNullAt(0),
+      s"fitSpec: base rate of '$labelCol' is null — empty frame or all-null labels")
+    val base = baseRow.getDouble(0)
     val intercept = math.log((base + 1e-9) / (1 - base + 1e-9))
     ModelSpec(means, scales, coefs, Map.empty, intercept)
   }
