@@ -555,8 +555,12 @@ object TextOps {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
+    // Initialization folds the first propagation round in: every node
+    // starts at min(own id, smallest neighbor) straight off the edge
+    // aggregation, saving one join+count round trip.
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(least(col("src"), col("dst"))).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
