@@ -15,6 +15,8 @@ run / fork := true
 // JSON line printed by graft.Bench is the last line the harness reads.
 Global / showSuccess := false
 Global / showTiming := false
+// (consumed by sbt's command loop, not by tasks — silence the unused lint)
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

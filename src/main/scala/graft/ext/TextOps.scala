@@ -681,6 +681,38 @@ object TextOps {
       |      FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+
+  /** Incremental dedup: an "incoming" batch is admitted only if its text
+    * doesn't already exist in the "base" corpus — the daily-ingest shape
+    * of production dedup (new data vs existing corpus, not all-pairs).
+    * Split here is the deterministic d14 hash split (base = buckets <80,
+    * incoming = rest). LEFT ANTI join on the text; at 100 TB the join key
+    * is xxhash64(text) with in-bucket confirmation, and the base side is
+    * a bucketed table so the probe is exchange-free — the all-important
+    * property is that cost scales with |incoming|, not |corpus|².
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text",
+        s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket")
+    val base = docs.filter(col("bucket") < 80)
+    val incoming = docs.filter(col("bucket") >= 80)
+    incoming
+      .join(base.select("text"), Seq("text"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val incrementalDedupSql =
+    """WITH b AS (SELECT doc_id, text,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+      |      FROM documents)
+      |SELECT doc_id FROM b
+      |WHERE bucket >= 80
+      |  AND text NOT IN (SELECT text FROM b WHERE bucket < 80)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -698,5 +730,6 @@ object TextOps {
     QueryDef("d14_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("d15_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("d16_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("d17_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
   )
 }

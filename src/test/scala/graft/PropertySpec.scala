@@ -93,6 +93,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKAgg equals take-k-of-sorted for random groups and k") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-100.0, 100.0)
+      id <- Gen.chooseNum(0L, 50L)
+    } yield (g, v, id))
+    draw(gen, 6).zipWithIndex.foreach { case (rows, i) =>
+      val k = 1 + i % 4
+      val topk = udaf(new graft.functions.TopKAgg(k),
+        ExpressionEncoder[graft.functions.Ranked]())
+      val got = rows.toDF("g", "v", "id").repartition(5)
+        .groupBy("g").agg(topk(col("v"), col("id")).as("t"))
+        .selectExpr("g", "inline(t)")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k).map(r => (g, r._2, r._3))
+      }.toSet
+      assert(got == want, s"k=$k diff=${(got diff want) ++ (want diff got)}")
+    }
+  }
+
+  test("dup-cluster labels form a valid partition closed over random edges") {
+    val gen = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(0L, 20L); b <- Gen.chooseNum(0L, 20L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    draw(gen, 4).filter(_.nonEmpty).foreach { pairList =>
+      val pairs = pairList.distinct
+      // reference: union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      // engine: same iterative hash-min loop the query uses, on a raw edge DF
+      val e = pairs.toDF("src", "dst")
+      val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = edges.groupBy(col("src").as("n"))
+        .agg(min(least(col("src"), col("dst"))).as("lbl"))
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels.select(col("n").as("src"), col("lbl").as("sl")), "src")
+          .groupBy(col("dst").as("n")).agg(min("sl").as("nl"))
+        val next = labels.join(prop, Seq("n"), "left")
+          .select(col("n"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
+            (coalesce(col("nl"), col("lbl")) < col("lbl")).as("chg"))
+          .localCheckpoint(false)
+        changed = next.filter(col("chg")).count()
+        labels = next.select("n", "lbl")
+      }
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$pairs")
+    }
+  }
+
   test("z-score of the population against its own stats has ~zero mean") {
     val gen = Gen.listOfN(100, Gen.chooseNum(-100.0, 100.0))
     draw(gen, 5).foreach { xs =>
