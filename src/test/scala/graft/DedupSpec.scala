@@ -124,6 +124,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("quantized kNN preserves most of the exact top-k (8-bit recall)") {
+    val exact = VectorOps.knnBruteForce(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet // top-10 exact
+    val quant = VectorOps.quantizedKnn(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet // top-5 quantized
+    val recall = (quant & exact).size.toDouble / quant.size
+    assert(recall >= 0.8, s"8-bit quantization recall $recall (quant=$quant)")
+  }
+
   test("LSH buckets partition the embedding set") {
     val total = Tables.embeddings(spark, sf0001).count()
     val sum = VectorOps.lshBuckets(spark, sf0001)
