@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("e08: query batch broadcasts and per-query top-k partially aggregates") {
+    val p = plan(graft.ext.VectorOps.batchKnn(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 10-row query side broadcast
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial+final heaps
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
