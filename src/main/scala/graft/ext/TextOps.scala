@@ -297,15 +297,17 @@ object TextOps {
   // ---------------------------------------------------------------- d07
 
   /** Portable 60-bit string hash, identical in Spark and DuckDB: the first
-    * 15 hex digits of md5 parsed as an integer. Spark spells it
-    * `conv(substr(md5(s),1,15),16,10)`; DuckDB `('0x'||substr(md5(s),1,15))
-    * ::BIGINT`. 15 digits = 60 bits < 2⁶³, so the BIGINT cast never wraps.
-    * Slower than the native xxhash64 path (used by d05/d06 where the hash
-    * itself needn't match the oracle), but cross-engine bit-identical —
-    * which is what makes d07/d08 hash-checkable instead of rows-only.
+    * 15 hex digits of md5 parsed as an integer (DuckDB spells it
+    * `('0x'||substr(md5(s),1,15))::BIGINT`; 15 digits = 60 bits < 2⁶³, so
+    * the BIGINT cast never wraps). Cross-engine bit-identical — which is
+    * what makes d07/d08/d14/d16/d17 hash-checkable instead of rows-only.
+    * The Spark side runs the native `md5_long60` expression
+    * (graft.functions.Md5Long60): digest bytes → long directly, none of
+    * the hex-string/substring/conv re-parsing of the built-in chain
+    * (equivalence pinned in CosineSimilaritySpec). Callers must
+    * `GraftFunctions.register` first.
     */
-  private def md5h60(arg: String): String =
-    s"CAST(conv(substring(md5($arg), 1, 15), 16, 10) AS BIGINT)"
+  private def md5h60(arg: String): String = s"md5_long60($arg)"
 
   /** SimHash(60) near-dup pairs: per-bit majority vote over the doc's
     * distinct trigram-shingle hashes (shingles, not unigrams — the corpus
@@ -323,6 +325,7 @@ object TextOps {
     * quadratic when its pairs are genuinely in the output.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // Explode + one hash-aggregation with 60 flat sum buffers (per-bit
     // majority votes), then recombine the bits. The nested array-lambda
     // formulation was 100× slower: projection collapse inlined the shingle
@@ -392,7 +395,8 @@ object TextOps {
     * window minima, distinct, xor fold — is replayed verbatim by the
     * DuckDB oracle (hash-checked, not rows-only).
     */
-  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .where("length(text) >= 8")
       .selectExpr("doc_id",
@@ -402,6 +406,7 @@ object TextOps {
       .selectExpr("doc_id", "size(fps) AS n_fp",
         "aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x) AS fp_xor")
       .orderBy("doc_id")
+  }
 
   // DuckDB range(a,b) is exclusive of b where Spark's sequence(a,b) is
   // inclusive — hence range(1, length-3) ≙ sequence(1, length-4) and
@@ -609,13 +614,15 @@ object TextOps {
     * 80/10/10. Query twin of telemetry.Scorer.hashSplit, made portable
     * (and therefore oracle-checkable) via the md5 hash.
     */
-  def hashSplit(s: SparkSession, dir: String): DataFrame =
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id",
         s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket")
       .selectExpr("doc_id", "bucket",
         "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
       .orderBy("doc_id")
+  }
 
   private val hashSplitSql =
     """SELECT doc_id, bucket,
@@ -662,7 +669,8 @@ object TextOps {
     * plan is one shuffle on the (low-cardinality) stratum key; skewed
     * strata cost sort-of-stratum, not sort-of-table.
     */
-  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", "lang",
         s"${md5h60("CAST(doc_id AS STRING)")} AS hk")
@@ -671,6 +679,7 @@ object TextOps {
       .filter(col("rn") <= 20)
       .select("lang", "rn", "doc_id")
       .orderBy("lang", "rn")
+  }
 
   private val stratifiedSampleSql =
     """SELECT lang, CAST(rn AS INT) AS rn, doc_id
@@ -693,6 +702,7 @@ object TextOps {
     * property is that cost scales with |incoming|, not |corpus|².
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
       .selectExpr("doc_id", "text",
         s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket")

@@ -116,6 +116,12 @@ object GraftFunctions {
     WordTrigramHashes(exprs.head)
   }
 
+  private[functions] def buildMd5Long(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"md5_long60 requires exactly 1 argument, got ${exprs.length}")
+    Md5Long60(exprs.head)
+  }
+
   /** Idempotent session-level registration so `selectExpr`/SQL can call
     * the graft functions without configuring extensions.
     */
@@ -124,6 +130,8 @@ object GraftFunctions {
       "cosine_similarity", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_trigram_hashes", buildTrigram, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long60", buildMd5Long, "built-in")
   }
 }
 
@@ -142,5 +150,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_trigram_hashes"),
       new ExpressionInfo(classOf[WordTrigramHashes].getName, "word_trigram_hashes"),
       GraftFunctions.buildTrigram _))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      GraftFunctions.buildMd5Long _))
   }
 }

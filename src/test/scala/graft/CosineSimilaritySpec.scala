@@ -111,6 +111,26 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(corpus == 0)
   }
 
+  test("md5_long60 is bit-identical to the conv/substring/md5 formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("", "a", "hello", "héllo wörld", "x" * 1000, " ", "0")
+    val rows = samples.toDF("s").selectExpr(
+      "md5_long60(s) AS fast",
+      "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS slow")
+      .collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for '$s'")
+    }
+    // across the corpus texts and ids, as the d07/d08/d14/d16/d17 paths use it
+    val corpus = Tables.documents(spark, sf0001)
+      .selectExpr("md5_long60(text) AS a",
+        "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS b",
+        "md5_long60(CAST(doc_id AS STRING)) AS c",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS d")
+      .filter("a != b OR c != d").count()
+    assert(corpus == 0)
+  }
+
   test("word_trigram_hashes arity and type errors are named") {
     graft.functions.GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
