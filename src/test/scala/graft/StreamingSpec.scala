@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("watermark drops events later than the 2h bound (append mode)") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, hourOffsetMin: Long): Event =
+      Event(id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2025, 1, 1, 0, 0).plusMinutes(hourOffsetMin)),
+        user_id = 1L, event_type = "click", value = 1.0)
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingHourly(ms.toDF())
+      .writeStream.format("memory").queryName("late_stream").outputMode("append").start()
+    try {
+      // batch A: window [00:00,01:00) gets one event; an event 10h later
+      // advances the watermark to 08:00, finalizing (and emitting) that window
+      ms.addData(Seq(ev(1, 0), ev(2, 600)))
+      q.processAllAvailable()
+      // batch B: a LATE event back at 00:30 — 7.5h behind the watermark —
+      // must be dropped, not resurrect the finalized window
+      ms.addData(Seq(ev(3, 30)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_stream")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime * 1000L
+    assert(rows(w0) == 1L, s"late event not dropped: $rows")
+    // the batch twin (no watermark effect on static frames) counts BOTH
+    val batch = StreamOps.tumblingHourly(Seq(ev(1, 0), ev(2, 600), ev(3, 30)).toDF())
+      .filter(col("bucket_us") === w0).select("n").first().getLong(0)
+    assert(batch == 2L)
+  }
+
   test("foreachBatch incremental parquet sink lands every row exactly once across batches") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/t"
