@@ -25,6 +25,11 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q01,d05 limits the run (dev iteration); unset = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(",")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -320,9 +320,16 @@ object TextOps {
     * means ≤7 flipped bits land in ≤7 bands, so at least one band is
     * intact (pigeonhole) and every qualifying pair becomes a candidate.
     * Measured at sf0.01 the true near-dups sit at hamming ≤ 7 and the
-    * background starts at 15 — the threshold sits in the gap. No frequency
-    * cap here, unlike a recall-best-effort LSH: a hot band bucket is only
-    * quadratic when its pairs are genuinely in the output.
+    * background starts at 15 — the threshold sits in the gap.
+    *
+    * There is deliberately NO band-frequency cap in this exact variant:
+    * pair emission happens BEFORE the hamming filter, so a hot (band,
+    * value) bucket does go quadratic — that is the price of full recall,
+    * since a 7-8-bit band collision says little and capped buckets could
+    * hide qualifying pairs. On a low-entropy corpus at cluster scale,
+    * re-introduce the cap (`.where(size(col("ds")).between(2, cap))`) and
+    * accept best-effort recall — the standard LSH production trade; the
+    * oracle equality then no longer holds by construction.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -714,13 +721,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // NOT EXISTS, not NOT IN: NOT IN returns NULL for every row as soon as
+  // the base side contains a single NULL text (and silently drops
+  // NULL-text incoming rows), which would diverge from Spark's left_anti.
   private val incrementalDedupSql =
     """WITH b AS (SELECT doc_id, text,
       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
       |      FROM documents)
-      |SELECT doc_id FROM b
-      |WHERE bucket >= 80
-      |  AND text NOT IN (SELECT text FROM b WHERE bucket < 80)
+      |SELECT i.doc_id FROM b i
+      |WHERE i.bucket >= 80
+      |  AND NOT EXISTS (SELECT 1 FROM b WHERE bucket < 80 AND text = i.text)
       |ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -19,10 +19,11 @@ object ZOrder {
   /** Normalize `c` over [lo, hi] to an integer rank in [0, 2^bits). */
   private def rank(c: Column, lo: Column, hi: Column, bits: Int): Column = {
     val span = when(hi === lo, lit(1.0)).otherwise(hi.cast("double") - lo.cast("double"))
+    val maxRank = (1L << bits) - 1 // Long literal: an Int shift would overflow at bits >= 31
     least(
-      greatest(((c.cast("double") - lo.cast("double")) / span * ((1 << bits) - 1))
+      greatest(((c.cast("double") - lo.cast("double")) / span * maxRank)
         .cast("long"), lit(0L)),
-      lit((1L << bits) - 1))
+      lit(maxRank))
   }
 
   /** Morton key: interleave `bits` bits of each ranked column (column j
@@ -31,6 +32,10 @@ object ZOrder {
     */
   def zkey(ranked: Seq[Column], bits: Int): Column = {
     val n = ranked.size
+    // Java shifts wrap mod 64, so an over-wide key would silently alias
+    // high bits onto low positions — fail loudly instead.
+    require(n * bits <= 63,
+      s"z-key needs $n×$bits = ${n * bits} bits; max 63 — lower `bits` or cluster fewer columns")
     val terms = for {
       i <- 0 until bits
       (r, j) <- ranked.zipWithIndex
@@ -45,9 +50,8 @@ object ZOrder {
     * instead.
     */
   def cluster(df: DataFrame, cols: Seq[String], bits: Int = 16, files: Int = 8): DataFrame = {
-    val stats = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).as(s"${c}__lo"), max(col(c)).as(s"${c}__hi"))).head,
-      cols.flatMap(c => Seq(min(col(c)).as(s"${c}__lo"), max(col(c)).as(s"${c}__hi"))).tail: _*)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"${c}__lo"), max(col(c)).as(s"${c}__hi")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     val ranked = cols.map(c => rank(col(c), col(s"${c}__lo"), col(s"${c}__hi"), bits))
     df.crossJoin(broadcast(stats))
       .withColumn("__z", zkey(ranked, bits))

@@ -40,8 +40,16 @@ object Summarizer {
       // Deterministic orderBy before limit: an unordered limit can return a
       // different row subset per run on multi-partition frames, which would
       // change the sha2 memo key for identical logical input (defeating the
-      // cache and burning run-cap slots).
-      val rows = df.orderBy(df.columns.map(col).toSeq: _*).limit(maxRowsPerFrame)
+      // cache and burning run-cap slots). Only orderable columns participate
+      // (a MapType column would make orderBy throw); a frame with NO
+      // orderable column falls back to the bare limit.
+      val orderable = df.schema.fields.filter(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        .map(f => col(f.name)).toSeq
+      val bounded =
+        if (orderable.nonEmpty) df.orderBy(orderable: _*).limit(maxRowsPerFrame)
+        else df.limit(maxRowsPerFrame)
+      val rows = bounded
         .select(to_json(struct(df.columns.map(col).toSeq: _*)).as("j"))
         .collect().map(_.getString(0))
       s""""$name": [${rows.mkString(",")}]"""
