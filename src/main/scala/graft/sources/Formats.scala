@@ -68,4 +68,23 @@ object Formats {
 
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").text(path)
+
+  /** XML source/sink (built into Spark 4): one row per `rowTag` element,
+    * schema-explicit like every reader here. XML is row-splittable per
+    * element, so large dumps (wiki-style corpora) still parallelize.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  /** Parquet sink with explicit codec. zstd trades ~10-20% write CPU for
+    * materially smaller files than snappy — at 100 TB the scan is usually
+    * IO-bound, so smaller-on-disk wins end-to-end; level stays default
+    * (3): higher levels cost CPU superlinearly for single-digit % size.
+    */
+  def writeParquet(df: DataFrame, path: String, codec: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", codec).parquet(path)
 }

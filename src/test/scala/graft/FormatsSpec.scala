@@ -85,6 +85,26 @@ class FormatsSpec extends SparkSpec {
       s"filter not pushed to ORC scan:\n$plan")
   }
 
+  test("XML roundtrip preserves the documents multiset") {
+    val out = tmp("xml")
+    Formats.writeXml(docs, out, rowTag = "doc")
+    val back = Formats.readXml(spark, out, docSchema, rowTag = "doc")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("zstd parquet roundtrips and is smaller than snappy on this corpus") {
+    val zd = tmp("pq-zstd"); val sn = tmp("pq-snappy")
+    Formats.writeParquet(docs, zd, codec = "zstd")
+    Formats.writeParquet(docs, sn, codec = "snappy")
+    assert(spark.read.parquet(zd).exceptAll(docs).isEmpty)
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    assert(bytes(zd) < bytes(sn), s"zstd ${bytes(zd)} !< snappy ${bytes(sn)}")
+  }
+
   test("text roundtrip: one line per document text") {
     val out = tmp("text")
     Formats.writeText(docs.select("text"), out)
