@@ -85,6 +85,25 @@ class FormatsSpec extends SparkSpec {
       s"filter not pushed to ORC scan:\n$plan")
   }
 
+  test("Trigger.AvailableNow drains the JSONL directory and terminates on its own") {
+    // The incremental-batch-job mode (SURVEY §2.9): process everything
+    // currently available — across multiple micro-batches under
+    // maxFilesPerTrigger — then stop without external intervention.
+    val out = tmp("jsonl-availnow")
+    Formats.writeJsonl(docs.repartition(10), out) // 10 files > maxFilesPerTrigger=8
+    val q = Formats.readJsonlStream(spark, out, docSchema)
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("availnow_counts").start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val streamed = spark.table("availnow_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("XML roundtrip preserves the documents multiset") {
     val out = tmp("xml")
     Formats.writeXml(docs, out, rowTag = "doc")

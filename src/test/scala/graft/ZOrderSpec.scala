@@ -43,6 +43,15 @@ class ZOrderSpec extends SparkSpec {
     assert(uZ < uShuf * 0.7, s"user_id span not tightened: z=$uZ shuffled=$uShuf")
   }
 
+  test("zkey refuses a key wider than 63 bits instead of silently aliasing") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L, 4L, 5L)).toDF("a", "b", "c", "d", "e")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zkey((1 to 5).map(i => col(df.columns(i - 1))), 16)
+    }
+    assert(e.getMessage.contains("63"))
+  }
+
   test("zkey interleaves bits round-robin") {
     import spark.implicits._
     // x=0b11, y=0b00 with 2 bits → positions (0*2+0)=0 and (1*2+0)=2 → 0b101
