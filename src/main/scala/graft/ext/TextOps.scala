@@ -733,6 +733,46 @@ object TextOps {
       |  AND NOT EXISTS (SELECT 1 FROM b WHERE bucket < 80 AND text = i.text)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+
+  /** Eval-set decontamination: flag (train, eval) doc pairs sharing ≥ 5
+    * distinct trigram shingles — the benchmark-leakage check a training
+    * pipeline runs before a data release. Eval = the top 5% of the
+    * deterministic d14 hash split; overlap is computed on the inverted
+    * index (explode shingles, join train↔eval postings per shingle,
+    * count per pair) so cost scales with shared-shingle postings, never
+    * |train| × |eval|. The eval side is small by construction, so at
+    * cluster scale its exploded postings broadcast.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashed(s, dir)
+      .selectExpr("doc_id",
+        s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket", "shs")
+    val train = sh.filter(col("bucket") < 95)
+      .selectExpr("doc_id AS train_id", "explode(shs) AS h")
+    val eval = sh.filter(col("bucket") >= 95)
+      .selectExpr("doc_id AS eval_id", "explode(shs) AS h")
+    train.join(broadcast(eval), Seq("h"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("train_id", "eval_id")
+  }
+
+  private val contaminationSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+      |      FROM documents),
+      |s AS (SELECT doc_id, bucket,
+      |        list_distinct(list_transform(range(1, len(toks)-1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3)
+      |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+      |       len(list_intersect(a.sh, b.sh)) AS n_shared
+      |FROM s a JOIN s b ON a.bucket < 95 AND b.bucket >= 95
+      |WHERE len(list_intersect(a.sh, b.sh)) >= 5
+      |ORDER BY train_id, eval_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -751,5 +791,6 @@ object TextOps {
     QueryDef("d15_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("d16_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("d17_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("d18_contamination", contamination, Some(contaminationSql)),
   )
 }
