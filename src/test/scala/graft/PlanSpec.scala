@@ -131,6 +131,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("a persisted scoped frame is served from InMemoryTableScan by downstream queries") {
+    // SURVEY §4.1 caching row: the dashboard reuses one scoped scan across
+    // ~8 panels; the engine equivalent is persist() on the scoped frame,
+    // after which every downstream plan reads the cache, not the source.
+    val scoped = Tables.events(spark, sf0001).filter("event_type = 'click'")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      scoped.count() // materialize
+      val p1 = plan(scoped.groupBy("user_id").count())
+      val p2 = plan(scoped.agg(org.apache.spark.sql.functions.avg("value")))
+      // (the plan string still SHOWS a FileScan inside the InMemoryRelation
+      // subtree — that's the cached build plan's provenance, not execution)
+      assert(p1.contains("InMemoryTableScan"), p1)
+      assert(p2.contains("InMemoryTableScan"), p2)
+    } finally scoped.unpersist()
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
