@@ -309,6 +309,15 @@ object TextOps {
     */
   private def md5h60(arg: String): String = s"md5_long60($arg)"
 
+  /** DuckDB spelling of [[md5h60]] — defined once so the oracle side can
+    * never drift from the engine side. */
+  private def md5h60Sql(arg: String): String =
+    s"CAST(('0x' || substr(md5($arg),1,15)) AS BIGINT)"
+
+  /** Deterministic doc bucket 0-99 (the d14 split key), Spark + oracle. */
+  private val docBucket = s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket"
+  private val docBucketSql = s"${md5h60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket"
+
   /** SimHash(60) near-dup pairs: per-bit majority vote over the doc's
     * distinct trigram-shingle hashes (shingles, not unigrams — the corpus
     * vocabulary is so small that unigram sets barely differ across docs,
@@ -585,9 +594,8 @@ object TextOps {
       // no second join against the previous labels is needed.
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("new_lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-        .withColumnRenamed("new_lbl", "lbl")
         .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select("doc_id", "lbl")
@@ -624,20 +632,17 @@ object TextOps {
   def hashSplit(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .selectExpr("doc_id",
-        s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket")
+      .selectExpr("doc_id", docBucket)
       .selectExpr("doc_id", "bucket",
         "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
       .orderBy("doc_id")
   }
 
   private val hashSplitSql =
-    """SELECT doc_id, bucket,
-      | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-      |FROM (SELECT doc_id,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
-      |      FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, bucket,
+       | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, $docBucketSql FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d15
 
@@ -689,13 +694,12 @@ object TextOps {
   }
 
   private val stratifiedSampleSql =
-    """SELECT lang, CAST(rn AS INT) AS rn, doc_id
-      |FROM (SELECT lang, doc_id,
-      |        row_number() OVER (PARTITION BY lang
-      |          ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
-      |                   doc_id) AS rn
-      |      FROM documents)
-      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+    s"""SELECT lang, CAST(rn AS INT) AS rn, doc_id
+       |FROM (SELECT lang, doc_id,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY ${md5h60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |      FROM documents)
+       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
   // ---------------------------------------------------------------- d17
 
@@ -711,8 +715,7 @@ object TextOps {
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
-      .selectExpr("doc_id", "text",
-        s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket")
+      .selectExpr("doc_id", "text", docBucket)
     val base = docs.filter(col("bucket") < 80)
     val incoming = docs.filter(col("bucket") >= 80)
     incoming
@@ -725,13 +728,11 @@ object TextOps {
   // the base side contains a single NULL text (and silently drops
   // NULL-text incoming rows), which would diverge from Spark's left_anti.
   private val incrementalDedupSql =
-    """WITH b AS (SELECT doc_id, text,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
-      |      FROM documents)
-      |SELECT i.doc_id FROM b i
-      |WHERE i.bucket >= 80
-      |  AND NOT EXISTS (SELECT 1 FROM b WHERE bucket < 80 AND text = i.text)
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH b AS (SELECT doc_id, text, $docBucketSql FROM documents)
+       |SELECT i.doc_id FROM b i
+       |WHERE i.bucket >= 80
+       |  AND NOT EXISTS (SELECT 1 FROM b WHERE bucket < 80 AND text = i.text)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d18
 
@@ -746,8 +747,7 @@ object TextOps {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashed(s, dir)
-      .selectExpr("doc_id",
-        s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket", "shs")
+      .selectExpr("doc_id", docBucket, "shs")
     val train = sh.filter(col("bucket") < 95)
       .selectExpr("doc_id AS train_id", "explode(shs) AS h")
     val eval = sh.filter(col("bucket") >= 95)
@@ -760,9 +760,8 @@ object TextOps {
   }
 
   private val contaminationSql =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
-      |      FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks, $docBucketSql
+       |      FROM documents),
       |s AS (SELECT doc_id, bucket,
       |        list_distinct(list_transform(range(1, len(toks)-1),
       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh

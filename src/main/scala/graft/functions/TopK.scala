@@ -25,10 +25,8 @@ class TopKAgg(k: Int) extends Aggregator[Ranked, Seq[Ranked], Seq[Ranked]] {
 
   // Buffers stay sorted (value desc, id asc) and bounded at k: insertion
   // keeps the invariant, so reduce/merge are order-insensitive.
-  private def insert(b: Seq[Ranked], r: Ranked): Seq[Ranked] = {
-    val out = (b :+ r).sortBy(x => (-x.value, x.id)).take(k)
-    out
-  }
+  private def insert(b: Seq[Ranked], r: Ranked): Seq[Ranked] =
+    (b :+ r).sortBy(x => (-x.value, x.id)).take(k)
 
   override def zero: Seq[Ranked] = Vector.empty
 
