@@ -40,6 +40,9 @@ def main():
             # numerically equal. Enforce dtype-family agreement here.
             fams = []
             for c in g.columns:
+                if c not in w.columns:
+                    fams.append(f"{c}: missing from oracle result")
+                    continue
                 gk, wk = g[c].dtype.kind, w[c].dtype.kind
                 gi, wi = gk in "iu", wk in "iu"
                 if gk != wk and (gi != wi or gk in "OMb" or wk in "OMb"):

@@ -43,15 +43,26 @@ object Bench {
       name -> math.min(run(fn), run(fn))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness captures only the last ~2000 chars of stdout, so the JSON
+    // line must stay comfortably below that: per-query keys are compacted to
+    // the registry prefix (q01_pricing_summary -> q01; prefixes are unique by
+    // construction) and timings rounded to ms. Full names print above for
+    // humans; CORRECTNESS_r*.json carries the prefix->name mapping anyway.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(n => short(n._1)).distinct.size == results.size,
+      "bench key prefixes must be unique")
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Failed queries (-1.0 sentinel) are excluded from the headline total —
     // summing them in would *lower* the metric on a regression — and
     // reported by name so a nonzero failure list is unmissable.
     val (failed, ok) = results.partition(_._2 < 0)
-    val total = ok.map(_._2).sum
+    val total = f"${ok.map(_._2).sum}%.3f"
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    results.foreach { case (k, v) => println(f"# $k%-40s $v%8.3f s") }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench JSON line ${line.length} chars risks tail truncation")
+    println(line)
     spark.stop()
   }
 }

@@ -744,6 +744,16 @@ object TextOps {
     * count per pair) so cost scales with shared-shingle postings, never
     * |train| × |eval|. The eval side is small by construction, so at
     * cluster scale its exploded postings broadcast.
+    *
+    * Oracle caveat (same as d05/d13): the engine counts shared 64-bit
+    * xxhash64 shingle hashes while the oracle intersects raw shingle
+    * strings, so a cross-shingle hash collision shared by a (train, eval)
+    * pair could shift n_shared and flip the ≥ 5 admission near the
+    * boundary. Collision odds at the gate corpus (~27k distinct shingles)
+    * are ~1e-11; they grow with vocabulary, which is acceptable for the
+    * engine itself (a rare extra flagged pair only makes decontamination
+    * more conservative) but means the DuckDB hash-check is a small-SF
+    * gate, not a large-corpus invariant.
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashed(s, dir)

@@ -298,15 +298,22 @@ object Relational {
   def statusPriorityRollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"),
+        // grouping() (not coalesce) sentinels the subtotal rows: a genuine
+        // NULL data value must stay distinguishable from the rollup's ALL.
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total_price"))
       .orderBy("status", "priority")
 
   private val statusPriorityRollupSql =
-    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+    """SELECT
+      | CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      | CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       | count(*) AS n, round(sum(o_totalprice),2) AS total_price
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
@@ -400,15 +407,20 @@ object Relational {
   def statusPriorityCube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"),
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total_price"))
       .orderBy("status", "priority")
 
   private val statusPriorityCubeSql =
-    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+    """SELECT
+      | CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      | CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       | count(*) AS n, round(sum(o_totalprice),2) AS total_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
@@ -424,15 +436,20 @@ object Relational {
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"),
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total_price"))
       .orderBy("status", "priority")
 
   private val statusPriorityGroupingSetsSql =
-    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+    """SELECT
+      | CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      | CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       | count(*) AS n, round(sum(o_totalprice),2) AS total_price
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin

@@ -110,7 +110,11 @@ class PlanSpec extends SparkSpec {
     // nested-loop against a 1-row scalar/query frame is fine (and
     // intentional in the brute-force baselines); a CartesianProduct of two
     // shuffled sides at 100 TB is never fine.
-    SparkEntry.allQueries.foreach { q =>
+    // d13 is excluded: its fn drives an iterative label-propagation loop
+    // (checkpoint + count per round), so "getting its plan" executes real
+    // jobs; its per-round join plan is covered by the d05/d06 sweep rows
+    // it is built from.
+    SparkEntry.allQueries.filterNot(_.name.startsWith("d13")).foreach { q =>
       val p = plan(q.fn(spark, sf0001))
       assert(!p.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct:\n$p")
