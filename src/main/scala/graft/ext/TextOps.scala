@@ -782,6 +782,113 @@ object TextOps {
       |WHERE len(list_intersect(a.sh, b.sh)) >= 5
       |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---------------------------------------------------------------- d19
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A.1.1 re-expressed
+    * relationally): per-doc duplicate-token fraction, duplicate-bigram
+    * fraction, and the fraction of bigram slots covered by the single most
+    * frequent bigram — the standard "natural text vs degenerate repetition"
+    * quality gates of a training-data pipeline.
+    *
+    * dup fractions are pure array ops (no shuffle); the top-bigram count
+    * needs a per-(doc, bigram) count, done as explode → two-level hash agg.
+    * The per-doc scalars ride the bigram stream (min() through both agg
+    * levels) instead of a join back to a second `documents` scan — one
+    * scan, one shuffle keyed by (doc, bigram), then a co-partition-safe
+    * regroup on doc_id; never a sort, never a window over the corpus.
+    * (The rejoin alternative re-reads the table and was the measured
+    * loser in the d05/d13 slim-payload experiment — see PERF.md.)
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_uniq",
+        "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', slice(toks, i, 2))) AS bgs")
+      .selectExpr("doc_id", "n_tokens", "n_uniq", "size(bgs) AS n_bgs",
+        "size(array_distinct(bgs)) AS n_uniq_bgs", "explode(bgs) AS bg")
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("n"), min("n_tokens").as("n_tokens"),
+        min("n_uniq").as("n_uniq"), min("n_bgs").as("n_bgs"),
+        min("n_uniq_bgs").as("n_uniq_bgs"))
+      .groupBy("doc_id")
+      .agg(max("n").as("top_n"), min("n_tokens").as("n_tokens"),
+        min("n_uniq").as("n_uniq"), min("n_bgs").as("n_bgs"),
+        min("n_uniq_bgs").as("n_uniq_bgs"))
+      .selectExpr("doc_id", "n_tokens",
+        "round(1.0D - n_uniq * 1.0D / n_tokens, 6) AS dup_token_frac",
+        "round(1.0D - n_uniq_bgs * 1.0D / n_bgs, 6) AS dup_bigram_frac",
+        "round(top_n * 1.0D / n_bgs, 6) AS top_bigram_frac")
+      .orderBy("doc_id")
+
+  private val repetitionStatsSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+      |           WHERE len(string_split(text,' ')) >= 2),
+      |b AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
+      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      |      FROM t),
+      |c AS (SELECT doc_id, bg, count(*) AS n
+      |      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY 1, 2),
+      |m AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY 1)
+      |SELECT b.doc_id, n_tokens,
+      | round(1.0 - n_uniq * 1.0 / n_tokens, 6) AS dup_token_frac,
+      | round(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 6) AS dup_bigram_frac,
+      | round(top_n * 1.0 / len(bgs), 6) AS top_bigram_frac
+      |FROM b JOIN m ON b.doc_id = m.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d20
+
+  /** Cross-document duplicated-n-gram fraction: per doc, the share of its
+    * distinct sliding 8-grams that also occur in at least one other doc —
+    * the alignment-invariant "how much of this doc exists elsewhere in the
+    * corpus" measure (the dedup-scoring side of exact-substring dedup à la
+    * Lee et al. 2022), where fixed-boundary chunk hashing would miss
+    * shifted near-dups.
+    *
+    * Set semantics per doc (array_distinct) so a doc's own internal
+    * repetition (d19's signal) doesn't inflate its cross-doc score. Group
+    * keys are the raw 8-gram strings — exact semantics, engine-portable;
+    * at 100 TB group on xxhash64(gram) first and confirm in-bucket.
+    *
+    * Plan shape: posting lists, not a self-join — the gram stream is
+    * grouped ONCE (collect_set of doc ids per gram) and each posting list
+    * is exploded back to (doc, n_docs) attributions, so `documents` is
+    * scanned once and the gram string shuffles once. Posting lists must
+    * be frequency-capped at scale like d05's (a boilerplate gram shared
+    * by every doc is an unbounded set AND, past the cap, is dup evidence
+    * of no further discriminative value).
+    */
+  def crossdocNgramDup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        "explode(array_distinct(transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8))))) AS g")
+      .groupBy("g").agg(collect_set("doc_id").as("ds"))
+      .selectExpr("size(ds) AS n_docs", "explode(ds) AS doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .selectExpr("doc_id", "n_ngrams", "n_shared",
+        "round(n_shared * 1.0D / n_ngrams, 6) AS shared_frac")
+      .orderBy("doc_id")
+
+  private val crossdocNgramDupSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+      |           WHERE len(string_split(text,' ')) >= 8),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-6),
+      |        i -> array_to_string(toks[i:(i+7)], ' ')))) AS g
+      |      FROM t),
+      |c AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_ngrams,
+      | CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      | round(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS shared_frac
+      |FROM g JOIN c ON g.g = c.g
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -801,5 +908,7 @@ object TextOps {
     QueryDef("d16_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("d17_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("d18_contamination", contamination, Some(contaminationSql)),
+    QueryDef("d19_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
+    QueryDef("d20_crossdoc_ngram_dup", crossdocNgramDup, Some(crossdocNgramDupSql)),
   )
 }

@@ -498,6 +498,63 @@ object Temporal {
       | CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum_users
       |FROM hourly ORDER BY event_type, bucket_us""".stripMargin
 
+  // ---------------------------------------------------------------- t19
+
+  /** One-pass mergeable histogram quantiles (P50/P95/P99 of value): a
+    * 256-bin equi-width sketch — per-bin counts partial-aggregate map-side,
+    * merge by addition, and the quantile is read off the cumulative
+    * histogram with linear interpolation inside the hit bin.
+    *
+    * This is the percentile that SCALES: exact `percentile` (q01/q06)
+    * buffers every value per group; this plan is two scans (min/max, then
+    * bin counts), O(256) state total, no sort — the error bound is
+    * span/256, pinned against exact percentile in SemanticsSpec. The
+    * estimate is fully deterministic (bin counts are integers; the
+    * interpolation arithmetic is written identically in both engines), so
+    * unlike approx_percentile it is hash-checkable cross-engine.
+    */
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("value"))
+    val stats = ev.agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("n"))
+      .selectExpr("lo", "n",
+        "CASE WHEN hi = lo THEN 1.0D ELSE hi - lo END AS span")
+    val bins = ev.crossJoin(broadcast(stats))
+      .selectExpr("least(255, CAST(floor((value - lo) / span * 256) AS INT)) AS bin",
+        "lo", "span", "n")
+      .groupBy("bin", "lo", "span", "n").agg(count(lit(1)).as("cnt"))
+    // Global window over ≤256 rows — the input was already reduced to the
+    // bounded histogram, so the single partition holds 256 rows, not data.
+    val cum = bins.withColumn("cum", sum("cnt").over(
+      Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qs = s.range(1).selectExpr("explode(array(0.5D, 0.95D, 0.99D)) AS q")
+    cum.crossJoin(broadcast(qs))
+      .where("q * n <= cum AND q * n > cum - cnt")
+      .selectExpr("q",
+        "round(lo + (bin + (q * n - (cum - cnt)) / cnt) * span / 256, 6) AS est",
+        "n")
+      .orderBy("q")
+  }
+
+  private val histogramQuantilesSql =
+    """WITH v AS (SELECT value FROM events),
+      |st0 AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM v),
+      |st AS (SELECT lo, n, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS span FROM st0),
+      |b AS (SELECT least(255, CAST(floor((value - lo) / span * 256) AS INT)) AS bin,
+      |        count(*) AS cnt
+      |      FROM v, st GROUP BY 1),
+      |c AS (SELECT bin, cnt,
+      |        CAST(sum(cnt) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM b),
+      |qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+      |SELECT q,
+      | round(lo + (bin + (q * n - (cum - cnt)) / cnt) * span / 256, 6) AS est,
+      | n
+      |FROM c, st, qs
+      |WHERE q * n <= cum AND q * n > cum - cnt
+      |ORDER BY q""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -518,5 +575,7 @@ object Temporal {
     QueryDef("t17_trailing_hour_sum", trailingHourSum, Some(trailingHourSumSql)),
     QueryDef("t18_cumulative_distinct_users", cumulativeDistinctUsers,
       Some(cumulativeDistinctUsersSql)),
+    QueryDef("t19_histogram_quantiles", histogramQuantiles,
+      Some(histogramQuantilesSql)),
   )
 }

@@ -139,4 +139,73 @@ class DedupSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_vectors")).collect()(0).getLong(0)
     assert(sum == total)
   }
+
+  private def writeDocsFixture(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docsfix").toString
+    rows.map { case (id, text) => (id, text, "en", "fix", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d19 repetition stats match hand-computed fractions") {
+    val dir = writeDocsFixture(Seq(
+      0L -> "a a a a",       // 4 tokens, 1 distinct; 3 bigrams, all "a a"
+      1L -> "w x y z w x"))  // 6 tokens, 4 distinct; bigrams wx xy yz zw wx
+    val r = TextOps.repetitionStats(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Double]("dup_token_frac") == 0.75)       // 1 - 1/4
+    assert(r(0L).getAs[Double]("dup_bigram_frac") == 0.666667)  // 1 - 1/3
+    assert(r(0L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r(1L).getAs[Double]("dup_token_frac") == 0.333333)   // 1 - 4/6
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 0.2)       // 1 - 4/5
+    assert(r(1L).getAs[Double]("top_bigram_frac") == 0.4)       // "w x" ×2 / 5
+  }
+
+  test("d20 cross-doc ngram dup: verbatim copy scores 1.0, unique doc 0.0") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")   // 10 tokens → 3 8-grams
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val dir = writeDocsFixture(Seq(0L -> ten, 1L -> ten, 2L -> uniq))
+    val r = TextOps.crossdocNgramDup(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("shared_frac")).toMap
+    assert(r(0L) == 1.0 && r(1L) == 1.0, s"copies: $r")
+    assert(r(2L) == 0.0, s"unique doc: $r")
+  }
+
+  test("d20 flags exactly the docs that belong to d13's dup clusters") {
+    // Cross-operator consistency on the planted corpus: a doc shares an
+    // exact 8-gram with another doc iff it is in a near-dup cluster.
+    val shared = TextOps.crossdocNgramDup(spark, sf0001)
+      .filter(col("shared_frac") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val clustered = TextOps.dupClusters(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shared == clustered,
+      s"ngram-shared ${shared -- clustered} vs clustered ${clustered -- shared}")
+  }
+
+  test("e10 representative is the argmax cosine against an independently computed centroid") {
+    // Independent driver-side recomputation: centroids (rounded at 6, as
+    // the operator pins) and cosines in plain Scala over the collected
+    // sf0.001 embeddings, then compare the full (label -> representative).
+    val rows = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._2).map { case (label, members) =>
+      val dim = members.head._3.length
+      val cent = Array.tabulate(dim)(d => round6(members.map(_._3(d)).sum / members.size))
+      val best = members.map { case (id, _, v) =>
+        val dot = v.zip(cent).map { case (a, b) => a * b }.sum
+        val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(cent.map(x => x * x).sum))
+        (round6(cos), id)
+      }.minBy { case (cos, id) => (-cos, id) }
+      label -> best._2
+    }
+    val got = VectorOps.centroidRepresentatives(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }

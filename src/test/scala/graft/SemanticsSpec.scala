@@ -192,4 +192,24 @@ class SemanticsSpec extends SparkSpec {
       .selectExpr("inline(top)").collect().map(r => r.getLong(1)).toSeq
     assert(got == Seq(0L, 1L, 2L), s"tie-break ids: $got")
   }
+
+  test("t19 histogram quantiles land within two bin widths of exact percentile") {
+    // The sketch's error bound: the estimate interpolates inside the hit
+    // bin (≤ 1 bin width); the exact percentile's rank convention
+    // (1 + (n-1)q vs the sketch's q·n) can shift the target by one rank
+    // into the adjacent bin — so 2 bin widths bounds both effects.
+    val est = graft.operators.Temporal.histogramQuantiles(spark, sf0001)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val ev = Tables.events(spark, sf0001)
+    val Row(lo: Double, hi: Double) =
+      ev.agg(min($"value"), max($"value")).collect()(0)
+    val binW = (hi - lo) / 256
+    val exact = ev.selectExpr(
+      "percentile(value, array(0.5D, 0.95D, 0.99D)) AS p")
+      .collect()(0).getSeq[Double](0)
+    Seq(0.5, 0.95, 0.99).zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= 2 * binW + 1e-9,
+        s"q=$q est=${est(q)} exact=$ex binW=$binW")
+    }
+  }
 }
