@@ -121,6 +121,63 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with `confs` set, restoring previous values after. */
+  private def withConfs[A](confs: (String, String)*)(body: => A): A = {
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim-side predicate should reach the fact scan
+    // as a bloom-filter semi-join reduction BEFORE the shuffle — Catalyst's
+    // InjectRuntimeFilter does this when the join must shuffle (dim too big
+    // to broadcast). Thresholds are scaled down to this fixture's sizes;
+    // the conf names and rule are what production would tune, not a custom
+    // rule of ours.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val li = Tables.lineitem(spark, sf0001)
+      val ord = Tables.orders(spark, sf0001).filter("o_orderpriority = '1-URGENT'")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // The engine's answer to join skew when keys can't be salted upfront
+    // (t15 is the manual variant): AQE detects the oversized partition in
+    // the shuffle stats and splits it. Thresholds scaled to fixture size.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // payload must not compress away: skew detection reads COMPRESSED
+      // map-output sizes, and a constant-key/sequential-value column lz4s
+      // below any sane threshold (found out the hard way)
+      val big = spark.range(0, 2000000)
+        .selectExpr("CASE WHEN id % 4 != 3 THEN 0L ELSE id END AS k",
+          "CAST(rand(7) * 1e9 AS LONG) AS v")
+      val dim = spark.range(0, 500000).selectExpr("id AS k", "id * 2 AS w")
+      val j = big.join(dim, "k").agg(org.apache.spark.sql.functions.sum("w"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"), p)
+    }
+  }
+
   test("q23: TopKAgg aggregates partially map-side (ObjectHashAggregate pair)") {
     val p = plan(Relational.topOrdersPerCustomer(spark, sf0001))
     // partial + final ObjectHashAggregate — the bounded buffers combine
