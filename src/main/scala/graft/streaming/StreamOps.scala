@@ -49,6 +49,27 @@ object StreamOps {
       .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked per-hour 32-bin equi-width histogram sketch — the
+    * streaming form of Temporal.histogramQuantiles' bin-count core
+    * (t19). Bounds are caller-supplied: a stream cannot take the global
+    * min/max pre-pass the batch form uses, so production pins known
+    * metric bounds and the sketch clamps outliers into the edge bins.
+    * State per (window, bin) is one count — mergeable, bounded at
+    * 32 × windows-in-watermark, and any quantile is read off the emitted
+    * histogram downstream with error ≤ (hi − lo)/32 (bound pinned in
+    * StreamingSpec against exact per-window percentiles).
+    */
+  def hourlyValueHistogram(events: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val width = (hi - lo) / 32
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        least(lit(31), greatest(lit(0),
+          floor((col("value") - lit(lo)) / lit(width)).cast("int"))).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("bin"), col("cnt"))
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of the
     * gaps-and-islands batch query Temporal.userSessions.
     */

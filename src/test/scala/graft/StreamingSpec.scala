@@ -51,6 +51,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(2)).sum == 2L * data.size)
   }
 
+  test("streaming histogram sketch equals batch twin and bounds per-window P95 error") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(800)
+    val lo = 0.0; val hi = 500.0 // pinned metric bounds (events.value range)
+    val ms = MemoryStream[Event]
+    ms.addData(data)
+    runToTable(StreamOps.hourlyValueHistogram(ms.toDF(), lo, hi), "hist_stream", "complete")
+    val streamed = spark.table("hist_stream").orderBy("bucket_us", "bin").collect()
+    val batch = StreamOps.hourlyValueHistogram(data.toDF(), lo, hi)
+      .orderBy("bucket_us", "bin").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+
+    // The distribution-free histogram guarantee is on RANK, not value (a
+    // sparse window's interpolating percentile can sit a whole value-gap
+    // away from any bin edge): taking est = upper edge of the bin where
+    // the cumulative count crosses 0.95·n guarantees CDF(est) ≥ 0.95 and
+    // P(v < est − binW) < 0.95 (strict: a value exactly on the hit bin's
+    // lower edge belongs to the bin). Pin exactly that on the raw values.
+    val binW = (hi - lo) / 32
+    val p95FromSketch = streamed.groupBy(_.getLong(0)).map { case (w, rows) =>
+      val bins = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+      val target = 0.95 * bins.map(_._2).sum
+      var cum = 0L
+      val hit = bins.find { case (_, c) => cum += c; cum >= target }.get._1
+      w -> (lo + (hit + 1) * binW) // upper edge of the hit bin
+    }
+    val byWindow = data.groupBy(e =>
+      e.ts.getTime / 3600000 * 3600000000000L / 1000) // epoch-µs hour floor
+    p95FromSketch.foreach { case (w, est) =>
+      val vs = byWindow(w).map(_.value)
+      val below = vs.count(_ <= est).toDouble / vs.size
+      val belowPrev = vs.count(_ < est - binW).toDouble / vs.size
+      assert(below >= 0.95 && belowPrev < 0.95,
+        s"window $w est $est: CDF(est)=$below CDF(est-binW)=$belowPrev")
+    }
+  }
+
   test("streaming session windows equal batch session windows") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(400)
