@@ -22,6 +22,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # Optional 3rd arg: comma-separated query-name prefixes to check (e.g.
+    # "d19,d20,t19" — lets sf0.1 spot-checks skip d13, whose recursive-CTE
+    # oracle takes >40 min in DuckDB at that scale).
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -30,6 +34,8 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_fail = 0
     for name in sorted(oracle):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
