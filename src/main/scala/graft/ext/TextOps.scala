@@ -889,6 +889,55 @@ object TextOps {
       |GROUP BY g.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+
+  /** TF-IDF top-3 terms per document — the keyword-extraction /
+    * doc-representation step of a text pipeline. tf is the in-doc count,
+    * idf = ln(N/df) with df = docs containing the term; the per-doc top-3
+    * ranks on (tfidf desc, token) so ties are engine-stable.
+    *
+    * Plan: one explode + (doc, token) count, then a token-keyed df agg
+    * joined back on token (both sides already reduced), then a per-doc
+    * top-3 window — partitioned by doc_id, so the sort is per-doc-vocab,
+    * never global. N is a 1-row broadcast. ln() is IEEE-double libm in
+    * both engines; equal (tf, df) pairs produce bit-equal scores and the
+    * token tie-break settles them, which is the only place agreement is
+    * load-bearing.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text,' ')) AS token")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .selectExpr("doc_id", "token",
+        "round(tf * ln(n_docs * 1.0D / df), 6) AS tfidf")
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("term_rank") <= 3)
+      .select("doc_id", "term_rank", "token", "tfidf")
+      .orderBy("doc_id", "term_rank")
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |              FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.token,
+      |         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.token = df.token, n),
+      |r AS (SELECT doc_id, token, tfidf,
+      |        row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY tfidf DESC, token) AS term_rank
+      |      FROM scored)
+      |SELECT doc_id, CAST(term_rank AS INT) AS term_rank, token, tfidf
+      |FROM r WHERE term_rank <= 3
+      |ORDER BY doc_id, term_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -910,5 +959,6 @@ object TextOps {
     QueryDef("d18_contamination", contamination, Some(contaminationSql)),
     QueryDef("d19_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
     QueryDef("d20_crossdoc_ngram_dup", crossdocNgramDup, Some(crossdocNgramDupSql)),
+    QueryDef("d21_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
   )
 }

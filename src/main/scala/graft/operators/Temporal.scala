@@ -555,6 +555,81 @@ object Temporal {
       |WHERE q * n <= cum AND q * n > cum - cnt
       |ORDER BY q""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later active day as an offset from their cohort day — the standard
+    * product-analytics retention triangle. Two aggregations plus one
+    * user-keyed join: firsts (one row per user) and distinct active days
+    * both reduce before joining, so the join is between two already-
+    * aggregated frames co-partitioned on user_id — the raw event stream
+    * shuffles exactly twice and never self-joins. Days are emitted as
+    * epoch-day ints (type-stable across engines).
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firsts = ev.groupBy("user_id")
+      .agg(to_date(min("ts")).as("cohort_d"))
+    val activity = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    activity.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_date(col("cohort_d")).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val cohortRetentionSql =
+    """WITH firsts AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_d
+      |  FROM events GROUP BY user_id),
+      |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT CAST(cohort_d - DATE '1970-01-01' AS INT) AS cohort_day,
+      |       CAST(d - cohort_d AS INT) AS day_offset,
+      |       count(*) AS n_users
+      |FROM activity JOIN firsts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---------------------------------------------------------------- t21
+
+  /** Ordered conversion funnel (view → click → purchase): a user advances
+    * a stage only with an event at-or-after their previous stage's first
+    * event. Each stage is one filtered aggregation joined on user_id to
+    * the previous stage's (already one-row-per-user) frame — sequential
+    * semantics without window sorts over the event stream, and each join
+    * input shrinks monotonically (stage k admits ≤ stage k−1 users).
+    */
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def firstAtOrAfter(etype: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter(col("event_type") === etype)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") >= col(prevCol))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = firstAtOrAfter("click", v, "v_ts", "c_ts")
+    val p = firstAtOrAfter("purchase", c, "c_ts", "p_ts")
+    val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).selectExpr(s"'$name' AS stage", "n_users")
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  private val conversionFunnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -577,5 +652,7 @@ object Temporal {
       Some(cumulativeDistinctUsersSql)),
     QueryDef("t19_histogram_quantiles", histogramQuantiles,
       Some(histogramQuantilesSql)),
+    QueryDef("t20_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    QueryDef("t21_conversion_funnel", conversionFunnel, Some(conversionFunnelSql)),
   )
 }

@@ -193,6 +193,50 @@ class SemanticsSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L), s"tie-break ids: $got")
   }
 
+  test("t20 cohort day-0 rows cover every user exactly once") {
+    // Each user is active on their own cohort day by definition, so the
+    // day_offset=0 counts across cohorts must partition the user set.
+    val ret = graft.operators.Temporal.cohortRetention(spark, sf0001)
+    val day0 = ret.filter($"day_offset" === 0)
+      .agg(sum($"n_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 sum $day0 vs $users users")
+    val negative = ret.filter($"day_offset" < 0).count()
+    assert(negative == 0)
+  }
+
+  test("t21 funnel stages are monotonically non-increasing and order-aware") {
+    val f = graft.operators.Temporal.conversionFunnel(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("1_view") >= f("2_click") && f("2_click") >= f("3_purchase"), f.toString)
+    // order-awareness: the funnel click count must not exceed the count of
+    // users who merely have both a view and a click in any order
+    val both = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(max(($"event_type" === "view").cast("int")).as("v"),
+        max(($"event_type" === "click").cast("int")).as("c"))
+      .filter($"v" === 1 && $"c" === 1).count()
+    assert(f("2_click") <= both, s"funnel ${f("2_click")} vs unordered $both")
+  }
+
+  test("d21 tfidf: ranks are 1..3 per doc and the top term maximizes the score") {
+    val top = graft.ext.TextOps.tfidfTopTerms(spark, sf0001)
+    val byDoc = top.collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+      assert(rows.forall(_.getDouble(3) >= 0.0))
+      // ranks must descend on (tfidf, token-asc as tiebreak)
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) && a.getString(2) < b.getString(2)))
+        case _ =>
+      }
+    }
+  }
+
   test("t19 histogram quantiles land within two bin widths of exact percentile") {
     // The sketch's error bound: the estimate interpolates inside the hit
     // bin (≤ 1 bin width); the exact percentile's rank convention
