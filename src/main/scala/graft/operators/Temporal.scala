@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -630,6 +630,77 @@ object Temporal {
       |UNION ALL SELECT '3_purchase', count(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+
+  /** Distinct users per event type (plus merged 'ALL') via the KMV
+    * sketch ([[graft.functions.KmvAgg]]) — deterministic O(k)-state
+    * distinct counting, with the exact count alongside so the result
+    * itself shows the estimator's accuracy.
+    *
+    * The 'ALL' row is computed by MERGING the five per-type sketches
+    * (explode + re-aggregate, set-union semantics) — never re-reading
+    * the event stream — which is the property that lets per-partition /
+    * per-day sketches roll up at 100 TB. Exactness below k and the
+    * (k−1)·M/h_k estimator above it are spelled identically in the
+    * oracle; h_k is an exact 60-bit long in both engines, converted to
+    * double once, so the rounded estimate is bit-stable.
+    */
+  def kmvDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = 64
+    val M = 1152921504606846976.0 // 2^60: md5_long60's hash space
+    val kmv = udaf(new graft.functions.KmvAgg(k), Encoders.scalaLong)
+    val du = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashed = du.select(col("event_type"),
+      expr("md5_long60(CAST(user_id AS STRING))").as("h"))
+    val perType = hashed.groupBy("event_type")
+      .agg(kmv(col("h")).as("mins"), count(lit(1)).as("exact_distinct"))
+    val merged = perType.select(explode(col("mins")).as("h"))
+      .agg(kmv(col("h")).as("mins"))
+    val globalExact = du.select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    val all = merged.crossJoin(globalExact)
+      .select(lit("ALL").as("event_type"), col("mins"), col("exact_distinct"))
+    perType.unionByName(all)
+      .select(col("event_type"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(round(lit((k - 1) * M) / element_at(col("mins"), k))
+            .cast("long")).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  private val kmvDistinctUsersSql =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (SELECT event_type,
+      |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+      |      FROM du),
+      |rk AS (SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM h),
+      |km AS (SELECT event_type, max(h) AS hk, count(*) AS n_mins, max(n) AS n
+      |       FROM rk WHERE r <= 64 GROUP BY event_type),
+      |mrk AS (SELECT h, row_number() OVER (ORDER BY h) AS r
+      |        FROM (SELECT DISTINCT h FROM rk WHERE r <= 64)),
+      |mkm AS (SELECT max(h) AS hk, count(*) AS n_mins FROM mrk WHERE r <= 64),
+      |ge AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+      |pt AS (SELECT event_type,
+      |         CASE WHEN n_mins < 64 THEN n_mins
+      |              ELSE CAST(round(63.0 * 1152921504606846976 / hk) AS BIGINT)
+      |         END AS est_distinct,
+      |         n AS exact_distinct
+      |       FROM km),
+      |al AS (SELECT 'ALL' AS event_type,
+      |         CASE WHEN m.n_mins < 64 THEN m.n_mins
+      |              ELSE CAST(round(63.0 * 1152921504606846976 / m.hk) AS BIGINT)
+      |         END AS est_distinct,
+      |         ge.exact_distinct
+      |       FROM mkm m, ge)
+      |SELECT * FROM pt UNION ALL SELECT * FROM al
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -654,5 +725,7 @@ object Temporal {
       Some(histogramQuantilesSql)),
     QueryDef("t20_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("t21_conversion_funnel", conversionFunnel, Some(conversionFunnelSql)),
+    QueryDef("t22_kmv_distinct_users", kmvDistinctUsers,
+      Some(kmvDistinctUsersSql)),
   )
 }

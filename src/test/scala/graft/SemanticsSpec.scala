@@ -237,6 +237,39 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("t22 KMV: merge-order-insensitive, merged ALL == direct union sketch, bounded error") {
+    import org.apache.spark.sql.Encoders
+    graft.functions.GraftFunctions.register(spark)
+    val k = 16
+    val kmv = udaf(new graft.functions.KmvAgg(k), Encoders.scalaLong)
+    val hashes = Tables.events(spark, sf0001)
+      .selectExpr("md5_long60(CAST(user_id AS STRING)) AS h")
+    // partitioning must not change the sketch (merge is set-union)
+    val a = hashes.repartition(1).agg(kmv($"h")).collect()(0).getSeq[Long](0)
+    val b = hashes.repartition(13).agg(kmv($"h")).collect()(0).getSeq[Long](0)
+    assert(a == b, "sketch depends on partitioning")
+    assert(a == a.distinct.sorted && a.size <= k, "buffer invariant broken")
+    // t22's ALL row (merge of per-type sketches) must equal the sketch of
+    // the raw union — mergeability is the property the query relies on
+    val est = graft.operators.Temporal.kmvDistinctUsers(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Tables.events(spark, sf0001)
+      .select("user_id").distinct()
+      .selectExpr("md5_long60(CAST(user_id AS STRING)) AS h")
+      .agg(kmv($"h")).collect()(0).getSeq[Long](0)
+    val k64direct = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    val (allEst, allExact) = est("ALL")
+    assert(allExact == k64direct)
+    // KMV std error is ~1/sqrt(k-2); 4σ at k=64 is ~0.51 — generous but
+    // catches estimator-formula regressions (e.g. dropping the -1 or
+    // mis-sizing the hash space would shift est by ≥ a factor)
+    est.foreach { case (ty, (e, ex)) =>
+      assert(math.abs(e - ex).toDouble / ex <= 0.51, s"$ty: est $e vs exact $ex")
+    }
+    assert(direct.nonEmpty)
+  }
+
   test("t19 histogram quantiles land within two bin widths of exact percentile") {
     // The sketch's error bound: the estimate interpolates inside the hit
     // bin (≤ 1 bin width); the exact percentile's rank convention
