@@ -70,6 +70,32 @@ object StreamOps {
       .select(unix_micros(col("w.start")).as("bucket_us"), col("bin"), col("cnt"))
   }
 
+  /** Watermarked per-hour distinct-user KMV sketch — the streaming form
+    * of Temporal.kmvDistinctUsers (t22). Per (window) state is the k
+    * smallest distinct 60-bit user hashes ([[graft.functions.KmvAgg]]):
+    * O(k) longs, merged across micro-batches by set-union, so the state
+    * store never holds a per-user entry — the property that makes
+    * hour-level distinct counting viable when an hour has 10^9 users.
+    * Below k users the sketch IS the exact count; above, the (k−1)·M/h_k
+    * estimate (±1/√(k−2) relative). Emits the estimate plus the sketch
+    * fill so downstream can tell which regime a row is in.
+    */
+  def hourlyDistinctUsersKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val M = 1152921504606846976.0 // 2^60: md5_long60's hash space
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(kmv(expr("md5_long60(CAST(user_id AS STRING))")).as("mins"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(round(lit((k - 1) * M) / element_at(col("mins"), k))
+            .cast("long")).as("est_distinct"),
+        size(col("mins")).as("sketch_fill"))
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of the
     * gaps-and-islands batch query Temporal.userSessions.
     */

@@ -88,6 +88,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV distinct sketch equals batch twin across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(800)
+    val ms = MemoryStream[Event]
+    // two micro-batches: the per-window sketch must merge incrementally in
+    // the state store, not just aggregate a single batch
+    val (b1, b2) = data.splitAt(data.size / 2)
+    ms.addData(b1)
+    ms.addData(b2)
+    // k=8 << users/hour so the estimator branch (not the exact-fill branch)
+    // is what streaming and batch must agree on
+    runToTable(StreamOps.hourlyDistinctUsersKmv(ms.toDF(), 8), "kmv_stream", "complete")
+    val streamed = spark.table("kmv_stream").orderBy("bucket_us").collect()
+    val batch = StreamOps.hourlyDistinctUsersKmv(data.toDF(), 8)
+      .orderBy("bucket_us").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // exact regime: a sketch that never filled must report the true count
+    val exactByHour = data.groupBy(e => e.ts.getTime / 3600000 * 3600000000L)
+      .map { case (w, es) => w -> es.map(_.user_id).distinct.size.toLong }
+    streamed.foreach { r =>
+      val (w, est, fill) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      if (fill < 8) assert(est == exactByHour(w),
+        s"window $w under-filled sketch must be exact: $est vs ${exactByHour(w)}")
+      else assert(est > 0)
+    }
+  }
+
   test("streaming session windows equal batch session windows") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(400)
