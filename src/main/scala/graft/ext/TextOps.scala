@@ -938,6 +938,66 @@ object TextOps {
       |FROM r WHERE term_rank <= 3
       |ORDER BY doc_id, term_rank""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+
+  /** Vocabulary pruning (sklearn CountVectorizer min_df/max_df
+    * semantics): drop tokens that are too rare (df ≤ 6% of docs — noise,
+    * typos) or too common (df > 78% — corpus stopwords), and rebuild
+    * each document from its surviving tokens in original order.
+    *
+    * Plan: one posexplode; df is a token-keyed agg over distinct (doc,
+    * token) pairs (reduced before counting); the pruned vocab is tiny by
+    * construction (it lives between two df cuts) so it broadcasts back
+    * onto the token stream — the big side shuffles once, on doc_id, for
+    * the rebuild. Reconstruction keeps token order via the posexplode
+    * index (`array_sort` on (pos, token) structs ↔ `string_agg … ORDER
+    * BY pos`), so the output is the filtered document, not a bag of
+    * words.
+    */
+  def vocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "posexplode(split(text,' ')) AS (pos, token)")
+    val dfT = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df_t"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val vocab = dfT.crossJoin(broadcast(n))
+      .filter(col("df_t") > col("n_docs") * 0.06 &&
+        col("df_t") <= col("n_docs") * 0.78)
+      .select(col("token"), lit(1).as("keep"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum("keep"), lit(0)).cast("long").as("n_kept"),
+        array_join(transform(array_sort(collect_list(when(col("keep") === 1,
+          struct(col("pos"), col("token"))))), x => x("token")), " ")
+          .as("kept_text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        round(col("n_kept") / col("n_tokens"), 6).as("retained_frac"),
+        col("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  private val vocabPruneSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text,' ')) AS token,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents),
+      |dft AS (SELECT token, count(*) AS df_t
+      |        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |vocab AS (SELECT token FROM dft, n
+      |          WHERE df_t > n_docs * 0.06 AND df_t <= n_docs * 0.78),
+      |tk AS (SELECT t.doc_id, t.token, t.pos,
+      |         CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS keep
+      |       FROM toks t LEFT JOIN vocab v USING (token))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(keep) AS BIGINT) AS n_kept,
+      |       round(sum(keep) * 1.0 / count(*), 6) AS retained_frac,
+      |       coalesce(string_agg(token, ' ' ORDER BY pos)
+      |                FILTER (WHERE keep = 1), '') AS kept_text
+      |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -960,5 +1020,6 @@ object TextOps {
     QueryDef("d19_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
     QueryDef("d20_crossdoc_ngram_dup", crossdocNgramDup, Some(crossdocNgramDupSql)),
     QueryDef("d21_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("d22_vocab_prune", vocabPrune, Some(vocabPruneSql)),
   )
 }

@@ -185,6 +185,28 @@ class DedupSpec extends SparkSpec {
       s"ngram-shared ${shared -- clustered} vs clustered ${clustered -- shared}")
   }
 
+  test("d22 vocab prune: kept_text is the in-order subsequence of surviving tokens") {
+    val pruned = graft.ext.TextOps.vocabPrune(spark, sf0001).collect()
+    val orig = Tables.documents(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var sawDrop = false; var sawKeep = false
+    pruned.foreach { r =>
+      val (id, nTok, nKept, text) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))
+      val keptToks = if (text.isEmpty) Array.empty[String] else text.split(" ")
+      assert(keptToks.length == nKept, s"doc $id: ${keptToks.length} vs $nKept")
+      assert(orig(id).split(" ").length == nTok)
+      // kept_text must be a subsequence of the original token stream
+      var it = orig(id).split(" ").iterator
+      keptToks.foreach { t =>
+        assert(it.contains(t), s"doc $id: '$t' out of order in reconstruction")
+      }
+      if (nKept < nTok) sawDrop = true
+      if (nKept > 0) sawKeep = true
+    }
+    assert(sawDrop && sawKeep, "thresholds never triggered — spec is vacuous")
+  }
+
   test("e10 representative is the argmax cosine against an independently computed centroid") {
     // Independent driver-side recomputation: centroids (rounded at 6, as
     // the operator pins) and cosines in plain Scala over the collected
