@@ -998,6 +998,74 @@ object TextOps {
       |                FILTER (WHERE keep = 1), '') AS kept_text
       |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unigram language-model quality score (CCNet-style): per-doc mean
+    * negative log-probability of its tokens under the corpus unigram
+    * distribution — high cross-entropy flags unusual/noisy docs, low flags
+    * boilerplate. avg(−ln(c/N)) is computed as ln(N) − avg(ln c) so the
+    * corpus total N enters once, exactly.
+    *
+    * Scale plan: one explode pass → token-count agg (map-side partial
+    * combine collapses the stream to |vocab| rows per partition) → the
+    * token stream joins the count table ON TOKEN (both sides already
+    * hash-partitioned by the agg's exchange) → per-doc agg. The count
+    * table is NOT broadcast: at 100 TB vocabulary is web-scale (billions
+    * of types) and must stay distributed; stopword-grade hot keys are
+    * exactly the rows AQE's skew-join splitting handles (PlanSpec audits
+    * that machinery). Display rounding 6 dp per the float policy (rule 6:
+    * log values are irrational, never on a rounding boundary).
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text,' ')) AS tok")
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(cnt, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(log(first("n_total")) - avg(log(col("c"))), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramLogprobSql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      |tot AS (SELECT count(*) AS n_total FROM t)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(ln(max(n_total)) - avg(ln(c)), 6) AS xent
+      |FROM t JOIN cnt USING (tok), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Bloom-prefiltered incremental dedup — d17's operator re-planned for
+    * the 100 TB corpus. d17's plain left-anti join reshuffles the ENTIRE
+    * corpus for every incoming batch; here the corpus is scanned once into
+    * a mergeable Bloom filter (Spark's `stat.bloomFilter` — a distributed
+    * treeAggregate, ~1 byte/element at 3% fpp), and only the incoming rows
+    * the filter flags as possible dups pay the exact confirm join. Rows
+    * the filter rejects are DEFINITELY new (Bloom has no false negatives),
+    * so the result is exactly d17's — it shares d17's oracle SQL. In
+    * production the sketch is built once and reused across batches;
+    * here it is rebuilt per run to stay self-contained.
+    */
+  def bloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", docBucket)
+    val base = docs.filter(col("bucket") < 80)
+    val incoming = docs.filter(col("bucket") >= 80)
+    // Sizing a Bloom filter needs |corpus|; production pipelines track it
+    // as a table stat — recomputing it here is one columnar count scan.
+    val n = math.max(base.count(), 1L)
+    val bloom = base.stat.bloomFilter("text", n, 0.03)
+    val bc = s.sparkContext.broadcast(bloom)
+    val might = udf((t: String) => t != null && bc.value.mightContainString(t))
+    val definitelyNew = incoming.filter(!might(col("text"))).select("doc_id")
+    val candidates = incoming.filter(might(col("text")))
+      .join(base.select("text"), Seq("text"), "left_anti")
+      .select("doc_id")
+    definitelyNew.union(candidates).orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1021,5 +1089,10 @@ object TextOps {
     QueryDef("d20_crossdoc_ngram_dup", crossdocNgramDup, Some(crossdocNgramDupSql)),
     QueryDef("d21_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("d22_vocab_prune", vocabPrune, Some(vocabPruneSql)),
+    QueryDef("d23_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    // d24 shares d17's oracle by design: the Bloom prefilter is a plan
+    // optimization, not a semantics change (no false negatives).
+    QueryDef("d24_bloom_incremental_dedup", bloomIncrementalDedup,
+      Some(incrementalDedupSql)),
   )
 }

@@ -599,6 +599,47 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Multi-table star join: revenue per (region, order year) across
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (TPC-H Q5 shape;
+    * generalizes the reference's single cell-vs-network join chain,
+    * `/root/reference/streamlit_app.py:614-641`, to a 5-table snowflake).
+    *
+    * Scale plan: exactly ONE fact-fact shuffle (lineitem ⋈ orders on
+    * orderkey). customer joins on o_custkey WITHOUT a broadcast hint —
+    * customer scales with the fact tables at 100 TB, so the plan must stay
+    * valid as a shuffle join; at bench SF, AQE converts it to broadcast
+    * from runtime stats. nation/region are fixed-cardinality → explicit
+    * `broadcast()`. Aggregation is partial (map-side) before the final
+    * group-by exchange on (r_name, o_year).
+    */
+  def regionYearRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "o_year")
+  }
+
+  private val regionYearRevenueSql =
+    """SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |JOIN customer ON o_custkey=c_custkey
+      |JOIN nation ON c_nationkey=n_nationkey
+      |JOIN region ON n_regionkey=r_regionkey
+      |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -625,5 +666,6 @@ object Relational {
       Some(statusPriorityGroupingSetsSql)),
     QueryDef("q23_top_orders_per_customer", topOrdersPerCustomer,
       Some(topOrdersPerCustomerSql)),
+    QueryDef("q24_region_year_revenue", regionYearRevenue, Some(regionYearRevenueSql)),
   )
 }

@@ -701,6 +701,59 @@ object Temporal {
       |SELECT * FROM pt UNION ALL SELECT * FROM al
       |ORDER BY event_type""".stripMargin
 
+  /** SCD2-style state-interval build (gaps-and-islands): collapse each
+    * user's consecutive same-`event_type` runs into validity intervals
+    * with `valid_to_us = next interval's start` (NULL on the open current
+    * interval) — the standard construction for a slowly-changing dimension
+    * from an event log. Distinct from t12: islands close on a VALUE change,
+    * not a time gap.
+    *
+    * Scale plan: both window layers partition by user_id, so after the one
+    * exchange on user_id the island flag, running island id, interval agg,
+    * and the lead() that chains valid_to all run within the same partition
+    * — one shuffle total (the agg reuses the window's hash partitioning).
+    * Ordering carries the (ts, event_id) tie-breaker per the float policy;
+    * interval bounds are epoch-µs longs.
+    */
+  def stateIntervals(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val islands = Tables.events(s, dir)
+      .withColumn("chg",
+        when(lag("event_type", 1).over(byUser).isNull ||
+          lag("event_type", 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("seq", sum("chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(first("event_type").as("event_type"),
+        count(lit(1)).as("n_events"),
+        unix_micros(min("ts")).as("valid_from_us"))
+    islands
+      .withColumn("valid_to_us",
+        lead("valid_from_us", 1).over(
+          Window.partitionBy("user_id").orderBy("seq")))
+      .orderBy("user_id", "seq")
+  }
+
+  private val stateIntervalsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |              OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |isl AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, seq, min(event_type) AS event_type,
+      |         count(*) AS n_events, epoch_us(min(ts)) AS valid_from_us
+      |  FROM isl GROUP BY user_id, seq)
+      |SELECT user_id, seq, event_type, n_events, valid_from_us,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_us
+      |FROM iv ORDER BY user_id, seq""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -727,5 +780,6 @@ object Temporal {
     QueryDef("t21_conversion_funnel", conversionFunnel, Some(conversionFunnelSql)),
     QueryDef("t22_kmv_distinct_users", kmvDistinctUsers,
       Some(kmvDistinctUsersSql)),
+    QueryDef("t23_state_intervals", stateIntervals, Some(stateIntervalsSql)),
   )
 }

@@ -230,4 +230,30 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("d24 bloom-prefiltered dedup equals the plain anti-join (no false negatives)") {
+    val plain = TextOps.incrementalDedup(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val bloom = TextOps.bloomIncrementalDedup(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain.nonEmpty)
+    assert(bloom == plain)
+  }
+
+  test("d23 unigram xent matches a driver-side recomputation from corpus counts") {
+    val toks = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "explode(split(text,' ')) AS tok")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = toks.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = toks.length.toDouble
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.unigramLogprob(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // xent = ln(N) − avg(ln c); positive because every token count ≤ N.
+    assert(got.values.forall(_ > 0))
+    toks.groupBy(_._1).foreach { case (doc, ts) =>
+      val expected = round6(math.log(n) - ts.map(t => math.log(counts(t._2))).sum / ts.length)
+      assert(math.abs(got(doc) - expected) < 2e-6, s"doc $doc: ${got(doc)} vs $expected")
+    }
+  }
 }

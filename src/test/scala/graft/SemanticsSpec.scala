@@ -289,4 +289,24 @@ class SemanticsSpec extends SparkSpec {
         s"q=$q est=${est(q)} exact=$ex binW=$binW")
     }
   }
+
+  test("t23 SCD2 intervals: partition the event log, chain valid_to, alternate state") {
+    val iv = graft.operators.Temporal.stateIntervals(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(iv.map(_._4).sum == nEvents, "intervals must partition the event log")
+    iv.groupBy(_._1).foreach { case (u, rows) =>
+      val seq = rows.sortBy(_._2)
+      assert(seq.map(_._2).toSeq == (1L to seq.length.toLong), s"$u: seq not dense")
+      // valid_to = next interval's valid_from; only the last interval is open
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6.contains(b._5), s"$u: valid_to does not chain")
+          assert(a._3 != b._3, s"$u: adjacent intervals share event_type")
+        case _ =>
+      }
+      assert(seq.last._6.isEmpty, s"$u: last interval must be open")
+    }
+  }
 }
