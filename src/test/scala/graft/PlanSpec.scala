@@ -178,6 +178,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q24: one fact-fact shuffle; fixed dims broadcast even with AQE off") {
+    // With broadcast estimation disabled, only the EXPLICIT broadcast()
+    // hints survive: nation/region must still broadcast, while the
+    // lineitem⋈orders and ⋈customer joins shuffle on their keys — the
+    // shape the plan must hold at 100 TB where customer scales with fact.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Relational.regionYearRevenue(spark, sf0001))
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+      assert("SortMergeJoin".r.findAllIn(p).size == 2, p)
+    }
+  }
+
+  test("t23: both window layers and the agg ride ONE exchange on user_id") {
+    val p = plan(Temporal.stateIntervals(spark, sf0001))
+    // island flag, running island id, interval agg, and the valid_to lead
+    // all require clustering by user_id (or a superset) — EnsureRequirements
+    // must plan a single hashpartitioning exchange, reused throughout.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("d23: the token-count side joins by shuffle, never collected or broadcast") {
+    // Vocabulary is unbounded at corpus scale — the plan must stay valid
+    // with broadcast estimation off (only the 1-row total is hinted).
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.ext.TextOps.unigramLogprob(spark, sf0001))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × 2 aggs
+    }
+  }
+
   test("q23: TopKAgg aggregates partially map-side (ObjectHashAggregate pair)") {
     val p = plan(Relational.topOrdersPerCustomer(spark, sf0001))
     // partial + final ObjectHashAggregate — the bounded buffers combine
