@@ -96,6 +96,33 @@ object StreamOps {
         size(col("mins")).as("sketch_fill"))
   }
 
+  /** Watermarked per-hour heavy-hitter users — the streaming form of d11's
+    * Misra-Gries core, applied to the event stream: the k most active
+    * users per hour window with O(capacity) state per window, never a
+    * per-user state entry (the property that matters when an hour holds
+    * 10⁹ users). When `capacity` ≥ distinct users in the window the
+    * counters are exact under ANY micro-batch arrival/merge order; below
+    * that, each emitted count is a lower bound within
+    * n_window/(capacity+1) of the true count (bound pinned in
+    * StreamingSpec). Ranks tie-break by user id string, matching
+    * [[graft.functions.HeavyHittersAgg]].finish.
+    */
+  def hourlyHeavyHitterUsers(events: DataFrame, k: Int = 5,
+      capacity: Int = 64): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HeavyHittersAgg(k, capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(mg(col("user_id").cast("string")).as("hh"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        posexplode(col("hh")))
+      .select(col("bucket_us"), (col("pos") + 1).as("rank"),
+        col("col.token").cast("long").as("user_id"),
+        col("col.est_count").as("est_count"))
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of the
     * gaps-and-islands batch query Temporal.userSessions.
     */

@@ -115,6 +115,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy-hitter users equal batch twin; exact at full capacity") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(800)
+    val ms = MemoryStream[Event]
+    val (b1, b2) = data.splitAt(data.size / 2)
+    ms.addData(b1)
+    ms.addData(b2)
+    // capacity far above distinct users/hour → MG never evicts → counters
+    // are exact and merge-order-insensitive, so the two micro-batches must
+    // reproduce the batch result bit-for-bit
+    runToTable(StreamOps.hourlyHeavyHitterUsers(ms.toDF(), 3, 1024), "hh_stream", "complete")
+    val streamed = spark.table("hh_stream").orderBy("bucket_us", "rank").collect()
+    val batch = StreamOps.hourlyHeavyHitterUsers(data.toDF(), 3, 1024)
+      .orderBy("bucket_us", "rank").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // exact regime cross-check: top-3 per hour recomputed driver-side with
+    // the aggregator's (-count, token-string) tie-break
+    val byHour = data.groupBy(e => e.ts.getTime / 3600000 * 3600000000L)
+    streamed.groupBy(_.getLong(0)).foreach { case (w, rows) =>
+      val expected = byHour(w).groupBy(_.user_id).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (u, c) => (-c, u.toString) }.take(3)
+      val got = rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"window $w: $got vs $expected")
+    }
+    // under-capacity regime: emitted counts are lower bounds within
+    // n_window/(capacity+1) of truth
+    val small = StreamOps.hourlyHeavyHitterUsers(data.toDF(), 3, 4).collect()
+    small.foreach { r =>
+      val (w, u, est) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val winEvents = byHour(w)
+      val truth = winEvents.count(_.user_id == u).toLong
+      val bound = winEvents.size / 5 // n/(capacity+1)
+      assert(est <= truth && truth - est <= bound,
+        s"window $w user $u: est=$est truth=$truth bound=$bound")
+    }
+  }
+
   test("streaming session windows equal batch session windows") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(400)
