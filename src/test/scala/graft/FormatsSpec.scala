@@ -124,6 +124,21 @@ class FormatsSpec extends SparkSpec {
     assert(bytes(zd) < bytes(sn), s"zstd ${bytes(zd)} !< snappy ${bytes(sn)}")
   }
 
+  test("binaryFile source reads media payloads with glob scoping") {
+    val dir = Files.createTempDirectory("binsrc")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+      "b.img" -> Array[Byte](9, 8, 7), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (n, bs) => Files.write(dir.resolve(n), bs) }
+    val df = Formats.readBinaryFiles(spark, dir.toString, "*.img")
+    val rows = df.select("path", "length", "content").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a.img", "b.img")) // glob excluded skip.txt
+    rows.foreach { case (n, len, content) =>
+      assert(content == payloads(n).toSeq && len == payloads(n).length)
+    }
+  }
+
   test("text roundtrip: one line per document text") {
     val out = tmp("text")
     Formats.writeText(docs.select("text"), out)
