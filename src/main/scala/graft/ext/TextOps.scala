@@ -1066,6 +1066,57 @@ object TextOps {
     definitelyNew.union(candidates).orderBy("doc_id")
   }
 
+  /** GPT-style sequence packing: concatenate the corpus in doc_id order
+    * and chunk the token stream into fixed 256-token training blocks —
+    * each doc's global token offset decides which blocks it lands in.
+    *
+    * The global prefix sum is the scale problem here: a naive
+    * `Window.orderBy(doc_id)` funnels 100 TB through ONE partition. This
+    * plan is the distributed two-level formulation: (1) per-bucket token
+    * totals (bucket = doc_id div 100 — deterministic key ranges, NOT
+    * spark_partition_id, which would be layout-dependent and
+    * oracle-unstable); (2) running offsets across the tiny bucket frame
+    * (|docs|/100 rows — the only single-partition window, recursively
+    * bucketable if even that overflows); (3) within-bucket exclusive
+    * cumsum + broadcast-joined bucket offset = global position. The
+    * oracle states the same thing as one flat window cumsum.
+    */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .selectExpr("doc_id", "size(split(text,' ')) AS n_tokens",
+        "doc_id div 100 AS bucket")
+    val bucketOffsets = t.groupBy("bucket")
+      .agg(sum("n_tokens").as("btok"))
+      .withColumn("boff", coalesce(
+        sum("btok").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boff")
+    t.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("local", coalesce(
+        sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .selectExpr("doc_id", "n_tokens",
+        "boff + local AS start_pos",
+        "(boff + local) div 256 AS first_block",
+        "(boff + local + n_tokens - 1) div 256 AS last_block")
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+      .orderBy("doc_id")
+  }
+
+  private val sequencePackingSql =
+    """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |          AS start_pos
+      |      FROM t)
+      |SELECT doc_id, n_tokens, start_pos,
+      |  start_pos // 256 AS first_block,
+      |  (start_pos + n_tokens - 1) // 256 AS last_block,
+      |  (start_pos + n_tokens - 1) // 256 - start_pos // 256 + 1 AS n_blocks
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1094,5 +1145,6 @@ object TextOps {
     // optimization, not a semantics change (no false negatives).
     QueryDef("d24_bloom_incremental_dedup", bloomIncrementalDedup,
       Some(incrementalDedupSql)),
+    QueryDef("d25_sequence_packing", sequencePacking, Some(sequencePackingSql)),
   )
 }

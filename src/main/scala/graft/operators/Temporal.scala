@@ -754,6 +754,47 @@ object Temporal {
       |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_us
       |FROM iv ORDER BY user_id, seq""".stripMargin
 
+  /** Per-user TIME-WEIGHTED average value — the telemetry op plain avg()
+    * gets wrong when sampling is irregular: each reading holds until the
+    * next one, so it weighs by its holding duration (lead(ts) − ts; the
+    * final open reading carries no weight).
+    *
+    * Float determinism: value is 2-decimal data stored as double, and
+    * Σ(value·µs) overflows round-trippable double precision (~1e15 > 2⁵³
+    * ulp grain), so the weighted sum runs in EXACT LONG ARITHMETIC —
+    * integer cents × integer µs — and only the final single division
+    * (identical longs → identical IEEE op both engines) emits a double.
+    * One user_id exchange: window and agg share it.
+    */
+  def timeWeightedValue(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_us", unix_micros(lead("ts", 1).over(byUser)))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_us", col("next_us") - unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur_us").as("active_us"),
+        (sum(col("cents") * col("dur_us")).cast("double") /
+          (sum("dur_us").cast("double") * 100.0)).as("twa"))
+      .filter(col("active_us") > 0)
+      .orderBy("user_id")
+  }
+
+  private val timeWeightedValueSql =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(dur_us) AS BIGINT) AS active_us,
+      |  CAST(sum(cents*dur_us) AS DOUBLE) / (CAST(sum(dur_us) AS DOUBLE) * 100.0) AS twa
+      |FROM d WHERE dur_us IS NOT NULL
+      |GROUP BY user_id HAVING sum(dur_us) > 0
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -781,5 +822,6 @@ object Temporal {
     QueryDef("t22_kmv_distinct_users", kmvDistinctUsers,
       Some(kmvDistinctUsersSql)),
     QueryDef("t23_state_intervals", stateIntervals, Some(stateIntervalsSql)),
+    QueryDef("t24_time_weighted_value", timeWeightedValue, Some(timeWeightedValueSql)),
   )
 }

@@ -231,6 +231,21 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("d25 packing equals the sequential concatenation definition") {
+    val rows = TextOps.sequencePacking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // the distributed two-level prefix sum must reproduce the sequential
+    // scan: doc n+1 starts exactly where doc n ended, starting from 0
+    var expectedStart = 0L
+    rows.foreach { case (doc, n, start, first, last, nBlocks) =>
+      assert(start == expectedStart, s"doc $doc: start $start != $expectedStart")
+      assert(first == start / 256 && last == (start + n - 1) / 256)
+      assert(nBlocks == last - first + 1)
+      expectedStart += n
+    }
+  }
+
   test("d24 bloom-prefiltered dedup equals the plain anti-join (no false negatives)") {
     val plain = TextOps.incrementalDedup(spark, sf0001)
       .collect().map(_.getLong(0)).toSeq

@@ -212,6 +212,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d25: only the tiny bucket-offset frame passes through a single partition") {
+    // The doc-level windows must partition by bucket; the one allowed
+    // SinglePartition exchange is the |docs|/100-row bucket-offset cumsum.
+    val p = plan(graft.ext.TextOps.sequencePacking(spark, sf0001))
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window [") && p.contains("[bucket"), p)
+  }
+
   test("q23: TopKAgg aggregates partially map-side (ObjectHashAggregate pair)") {
     val p = plan(Relational.topOrdersPerCustomer(spark, sf0001))
     // partial + final ObjectHashAggregate — the bounded buffers combine

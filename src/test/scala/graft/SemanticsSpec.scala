@@ -290,6 +290,31 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("t24 time-weighted average weighs each reading by its holding duration") {
+    // user 1: value 10.00 held 3 h, then 40.00 held 1 h, final reading open
+    // → twa = (10·3 + 40·1)/4 = 17.5 ≠ plain avg 20.0
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "e", 10.00),
+      (2L, "2024-01-01 03:00:00", 1L, "e", 40.00),
+      (3L, "2024-01-01 04:00:00", 1L, "e", 99.99)
+    ).toDF("event_id", "s", "user_id", "event_type", "value")
+      // Tables.events expects raw nanosecond longs (TIMESTAMP(NANOS) shape)
+      .withColumn("ts", expr("unix_micros(to_timestamp(s)) * 1000")).drop("s")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("twa").toString
+    df.write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.Temporal.timeWeightedValue(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2) // two closed intervals
+    assert(out.head.getDouble(3) == 17.5)
+    // corpus-wide invariant: twa stays inside [min, max] of the user's values
+    val inv = graft.operators.Temporal.timeWeightedValue(spark, sf0001)
+      .join(Tables.events(spark, sf0001).groupBy("user_id")
+        .agg(min("value").as("lo"), max("value").as("hi")), "user_id")
+      .filter($"twa" < $"lo" || $"twa" > $"hi")
+    assert(inv.count() == 0)
+  }
+
   test("t23 SCD2 intervals: partition the event log, chain valid_to, alternate state") {
     val iv = graft.operators.Temporal.stateIntervals(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
