@@ -79,6 +79,37 @@ object Multimodal {
     }
   }
 
+  /** Ingestion bridge from the binaryFile source
+    * ([[graft.sources.Formats.readBinaryFiles]]) into the canonical media
+    * table: one MediaRow per file. `media_id = xxhash64(path)` — a pure
+    * function of the object's name, so ids are stable across re-ingests
+    * and independent of scan layout; kind derives from the extension.
+    * True dimensions/rates come later from decode — meta carries only the
+    * extension-guessed mime here.
+    */
+  def fromBinaryFiles(files: DataFrame): Dataset[MediaRow] = {
+    val s = files.sparkSession
+    import s.implicits._
+    files
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("ext"),
+        col("content").as("payload"))
+      .withColumn("kind",
+        when(col("ext").isin("png", "jpg", "jpeg", "img", "bmp", "gif"), "image")
+          .when(col("ext").isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(col("ext").isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("binary"))
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(
+          concat(lit("application/x-"), col("ext")).as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+      .as[MediaRow]
+  }
+
   /** Decode each asset once per partition; emits fixed-width feature rows.
     * `mapPartitions` (not a per-row UDF) so decoder init amortizes and the
     * iterator never materializes a partition in memory.

@@ -89,4 +89,36 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("end-to-end: binary files -> media table -> decode -> cosine top-k") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("media")
+    val rnd = new scala.util.Random(7)
+    val names = Seq("a.img", "b.img", "c.wav", "d.mp4", "notes.txt")
+    names.foreach { n =>
+      Files.write(dir.resolve(n), Array.fill(128 + rnd.nextInt(128))(rnd.nextInt().toByte))
+    }
+    val media = Multimodal.fromBinaryFiles(
+      graft.sources.Formats.readBinaryFiles(spark, dir.toString)).cache()
+    // extension → kind mapping, ids stable across re-reads
+    val kinds = media.collect().map(r => r.kind).sorted.toSeq
+    assert(kinds == Seq("audio", "binary", "image", "image", "video"))
+    val again = Multimodal.fromBinaryFiles(
+      graft.sources.Formats.readBinaryFiles(spark, dir.toString))
+    assert(media.select("media_id").collect().map(_.getLong(0)).sorted.sameElements(
+      again.select("media_id").collect().map(_.getLong(0)).sorted))
+    // decoded features flow into the similarity surface (same shape as the
+    // embeddings table) — brute-force cosine against the first asset
+    val feats = Multimodal.featureTable(
+      Multimodal.decodeAndFeaturize(media, new DeterministicFakeDecoder(16)))
+    assert(feats.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    graft.functions.GraftFunctions.register(spark)
+    val q = feats.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("qv"))
+    val ranked = feats.crossJoin(broadcast(q))
+      .selectExpr("vec_id", "cosine_similarity(embedding, qv) AS cos")
+      .orderBy(desc("cos"), col("vec_id")).collect()
+    assert(ranked.length == 5 && math.abs(ranked.head.getDouble(1) - 1.0) < 1e-6)
+  }
 }
