@@ -640,6 +640,38 @@ object Relational {
       |JOIN region ON n_regionkey=r_regionkey
       |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS subqueries (SQL surface; complements
+    * q20's correlated SCALAR subquery): segments counted over customers
+    * that have a completed order but never placed an urgent one. Catalyst
+    * decorrelates the pair into one left-semi and one left-anti join on
+    * c_custkey — no per-row subquery execution survives (PlanSpec) — so
+    * at scale this costs two key-partitioned joins, not |customer|
+    * probes.
+    */
+  def existsNotExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val existsNotExistsSql =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -667,5 +699,6 @@ object Relational {
     QueryDef("q23_top_orders_per_customer", topOrdersPerCustomer,
       Some(topOrdersPerCustomerSql)),
     QueryDef("q24_region_year_revenue", regionYearRevenue, Some(regionYearRevenueSql)),
+    QueryDef("q25_exists_not_exists", existsNotExists, Some(existsNotExistsSql)),
   )
 }

@@ -212,6 +212,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q25: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val df = Relational.existsNotExists(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Subquery subquery"), p) // nothing left per-row
+  }
+
   test("d25: only the tiny bucket-offset frame passes through a single partition") {
     // The doc-level windows must partition by bucket; the one allowed
     // SinglePartition exchange is the |docs|/100-row bucket-offset cumsum.
