@@ -795,6 +795,47 @@ object Temporal {
       |GROUP BY user_id HAVING sum(dur_us) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** Time-to-conversion: latency from first signup to first subsequent
+    * purchase, summarized as exact P50/P90 per signup-week cohort
+    * (complements t20's day-grain retention and t21's stage counts with a
+    * LATENCY distribution). Both firsts are per-user min-aggregates —
+    * pre-reduced to one row per user before joining, so the join never
+    * touches raw event volume; the percentile runs over the already-tiny
+    * per-user frame. Latencies are integer µs, so P50's midpoint
+    * interpolation is exactly representable; both engines interpolate the
+    * same two order statistics (rule-6 display rounding absorbs ulp).
+    */
+  def timeToConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy("user_id")
+      // s_ts is constant within the group (one row per user in `su`)
+      .agg(min("ts").as("p_ts"), first("s_ts").as("s_ts"))
+    pu.withColumn("lat_us", unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+      .groupBy(unix_micros(date_trunc("week", col("s_ts"))).as("cohort_week_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)"), 6).as("p50_latency_us"),
+        round(expr("percentile(lat_us, 0.9)"), 6).as("p90_latency_us"))
+      .orderBy("cohort_week_us")
+  }
+
+  private val timeToConversionSql =
+    """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |pu AS (SELECT e.user_id, min(e.ts) AS p_ts, min(su.s_ts) AS s_ts
+      |       FROM events e JOIN su USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+      |       GROUP BY e.user_id)
+      |SELECT epoch_us(date_trunc('week', s_ts)) AS cohort_week_us,
+      |  count(*) AS n_converted,
+      |  round(quantile_cont(epoch_us(p_ts) - epoch_us(s_ts), 0.5), 6) AS p50_latency_us,
+      |  round(quantile_cont(epoch_us(p_ts) - epoch_us(s_ts), 0.9), 6) AS p90_latency_us
+      |FROM pu GROUP BY cohort_week_us ORDER BY cohort_week_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -823,5 +864,6 @@ object Temporal {
       Some(kmvDistinctUsersSql)),
     QueryDef("t23_state_intervals", stateIntervals, Some(stateIntervalsSql)),
     QueryDef("t24_time_weighted_value", timeWeightedValue, Some(timeWeightedValueSql)),
+    QueryDef("t25_time_to_conversion", timeToConversion, Some(timeToConversionSql)),
   )
 }
