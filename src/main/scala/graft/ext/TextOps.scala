@@ -1117,6 +1117,90 @@ object TextOps {
       |  (start_pos + n_tokens - 1) // 256 - start_pos // 256 + 1 AS n_blocks
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Cross-split leakage audit: for each boundary of d14's deterministic
+    * train/val/test split, how many later-split docs duplicate an
+    * earlier-split doc — exactly (verbatim text) and as near-dup pairs
+    * (d05's exact-jaccard ≥ 0.5 pair set crossing the boundary). The
+    * numbers a training run must see BEFORE it starts: exact leakage
+    * inflates eval metrics silently, near-dup leakage more subtly.
+    *
+    * Scale plan: exact counts come from ONE text-keyed aggregation
+    * (per-text split tallies — corpus-sized input, near-zero output),
+    * not a self-join; the near-dup side reuses the inverted-index pair
+    * pipeline and joins the (tiny) pair frame to the split map twice.
+    */
+  def crossSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val splits = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", docBucket)
+      .selectExpr("doc_id", "text",
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+    val exact = splits.groupBy("text").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .agg(
+        sum(when(col("n_train") > 0, col("n_val")).otherwise(0L)).as("train_val"),
+        sum(when(col("n_train") > 0, col("n_test")).otherwise(0L)).as("train_test"),
+        sum(when(col("n_val") > 0, col("n_test")).otherwise(0L)).as("val_test"))
+      .selectExpr("stack(3, 'train','val',train_val, 'train','test',train_test," +
+        " 'val','test',val_test) AS (split_a, split_b, n_exact_docs)")
+    val sm = splits.select("doc_id", "split")
+    val nd = jaccardDupPairs(s, dir)
+      .join(sm.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "split" -> "split_1")), "doc_id_1")
+      .join(sm.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "split" -> "split_2")), "doc_id_2")
+      .filter(col("split_1") =!= col("split_2"))
+      .selectExpr(
+        "CASE split_1 WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS r1",
+        "CASE split_2 WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS r2")
+      .selectExpr(
+        "CASE least(r1, r2) WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_a",
+        "CASE greatest(r1, r2) WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_b")
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    exact.join(nd, Seq("split_a", "split_b"), "left")
+      .na.fill(0L, Seq("n_neardup_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val crossSplitLeakageSql =
+    s"""WITH $shingleSqlCte,
+       |sp AS (SELECT doc_id, text,
+       |         CASE WHEN bucket < 80 THEN 'train'
+       |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |       FROM (SELECT doc_id, text, $docBucketSql FROM documents)),
+       |pt AS (SELECT text,
+       |         sum(CASE WHEN split='train' THEN 1 ELSE 0 END) AS n_train,
+       |         sum(CASE WHEN split='val' THEN 1 ELSE 0 END) AS n_val,
+       |         sum(CASE WHEN split='test' THEN 1 ELSE 0 END) AS n_test
+       |       FROM sp GROUP BY text),
+       |ex AS (SELECT
+       |         CAST(sum(CASE WHEN n_train > 0 THEN n_val ELSE 0 END) AS BIGINT) AS train_val,
+       |         CAST(sum(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT) AS train_test,
+       |         CAST(sum(CASE WHEN n_val > 0 THEN n_test ELSE 0 END) AS BIGINT) AS val_test
+       |       FROM pt),
+       |exl AS (SELECT 'train' AS split_a, 'val' AS split_b, train_val AS n_exact_docs FROM ex
+       |        UNION ALL SELECT 'train', 'test', train_test FROM ex
+       |        UNION ALL SELECT 'val', 'test', val_test FROM ex),
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |prs AS (SELECT
+       |          CASE s1.split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS r1,
+       |          CASE s2.split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS r2
+       |        FROM pr JOIN sp s1 ON pr.d1 = s1.doc_id
+       |                JOIN sp s2 ON pr.d2 = s2.doc_id),
+       |nd AS (SELECT
+       |         CASE least(r1, r2) WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_a,
+       |         CASE greatest(r1, r2) WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_b,
+       |         count(*) AS n_neardup_pairs
+       |       FROM prs WHERE r1 <> r2 GROUP BY 1, 2)
+       |SELECT e.split_a, e.split_b, e.n_exact_docs,
+       |       coalesce(nd.n_neardup_pairs, 0) AS n_neardup_pairs
+       |FROM exl e LEFT JOIN nd USING (split_a, split_b)
+       |ORDER BY split_a, split_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1146,5 +1230,6 @@ object TextOps {
     QueryDef("d24_bloom_incremental_dedup", bloomIncrementalDedup,
       Some(incrementalDedupSql)),
     QueryDef("d25_sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    QueryDef("d26_cross_split_leakage", crossSplitLeakage, Some(crossSplitLeakageSql)),
   )
 }

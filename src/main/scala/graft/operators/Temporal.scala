@@ -836,6 +836,48 @@ object Temporal {
       |  round(quantile_cont(epoch_us(p_ts) - epoch_us(s_ts), 0.9), 6) AS p90_latency_us
       |FROM pu GROUP BY cohort_week_us ORDER BY cohort_week_us""".stripMargin
 
+  /** OHLC candle downsampling: per hour, the opening/highest/lowest/
+    * closing `value` — the standard lossy compaction that turns a raw
+    * tick stream into a dashboard-grade series at 1/n the volume.
+    * Open/close are ORDER-dependent aggregates; they are spelled as
+    * row_number()=1 over (ts, event_id) asc/desc — fully tie-broken, so
+    * the result is deterministic and portable (DuckDB's arg_min/first
+    * carry no composite-key tie-break). One exchange on the hour bucket
+    * serves both windows and the final aggregate.
+    */
+  def hourlyOhlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("h_us", unix_micros(date_trunc("hour", col("ts"))))
+    val byHour = Window.partitionBy("h_us")
+    val asc = byHour.orderBy(col("ts").asc, col("event_id").asc)
+    val desc = byHour.orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("h_us")
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("h_us")
+  }
+
+  private val hourlyOhlcSql =
+    """WITH e AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS h_us, value,
+      |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT h_us,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  count(*) AS n_ticks
+      |FROM e GROUP BY h_us ORDER BY h_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -865,5 +907,6 @@ object Temporal {
     QueryDef("t23_state_intervals", stateIntervals, Some(stateIntervalsSql)),
     QueryDef("t24_time_weighted_value", timeWeightedValue, Some(timeWeightedValueSql)),
     QueryDef("t25_time_to_conversion", timeToConversion, Some(timeToConversionSql)),
+    QueryDef("t26_hourly_ohlc", hourlyOhlc, Some(hourlyOhlcSql)),
   )
 }

@@ -246,6 +246,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d26 leakage counts match a driver-side recomputation over splits and pairs") {
+    val split = TextOps.hashSplit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySplit = texts.groupBy { case (id, _) => split(id) }
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def exactLeak(a: String, b: String) =
+      texts.count { case (id, t) => split(id) == b && bySplit(a).contains(t) }.toLong
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    val ndLeak = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (split(r.getLong(0)), split(r.getLong(1))))
+      .filter { case (a, b) => a != b }
+      .groupBy { case (a, b) => if (rank(a) < rank(b)) (a, b) else (b, a) }
+      .view.mapValues(_.length.toLong).toMap
+    val got = TextOps.crossSplitLeakage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (((a, b), (ex, nd)) <- got) {
+      assert(ex == exactLeak(a, b), s"($a,$b) exact: $ex vs ${exactLeak(a, b)}")
+      assert(nd == ndLeak.getOrElse((a, b), 0L), s"($a,$b) neardup: $nd")
+    }
+  }
+
   test("d24 bloom-prefiltered dedup equals the plain anti-join (no false negatives)") {
     val plain = TextOps.incrementalDedup(spark, sf0001)
       .collect().map(_.getLong(0)).toSeq

@@ -315,6 +315,23 @@ class SemanticsSpec extends SparkSpec {
     assert(inv.count() == 0)
   }
 
+  test("t26 OHLC: open/close are the fully-tie-broken first/last ticks per hour") {
+    val ev = Tables.events(spark, sf0001)
+      .select(unix_micros(date_trunc("hour", $"ts")).as("h"),
+        unix_micros($"ts").as("us"), $"event_id", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = graft.operators.Temporal.hourlyOhlc(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toMap
+    ev.groupBy(_._1).foreach { case (h, ticks) =>
+      val sorted = ticks.sortBy(t => (t._2, t._3))
+      val (open, high, low, close, n) = got(h)
+      assert(open == sorted.head._4 && close == sorted.last._4, s"hour $h open/close")
+      assert(high == ticks.map(_._4).max && low == ticks.map(_._4).min)
+      assert(n == ticks.length)
+    }
+  }
+
   test("t23 SCD2 intervals: partition the event log, chain valid_to, alternate state") {
     val iv = graft.operators.Temporal.stateIntervals(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
