@@ -878,6 +878,46 @@ object Temporal {
       |  count(*) AS n_ticks
       |FROM e GROUP BY h_us ORDER BY h_us""".stripMargin
 
+  /** Calendar-gap detection: hours in the stream's span where an event
+    * type is SILENT — absence is invisible to any group-by, so the query
+    * builds the expected (type × hour) spine with a generator over the
+    * global [min, max] hour range and anti-joins the observed buckets.
+    * The data-quality twin of t07's rollup: a monitoring pipeline alerts
+    * on these rows, not on the present ones.
+    *
+    * Scale notes: the spine is |types| × |hours| rows — thousands per
+    * year — generated from a 1-row min/max aggregate, never from the
+    * fact table; the anti-join ships the (tiny) observed bucket set, and
+    * the fact table is touched exactly twice (span agg + bucket agg),
+    * both single-exchange aggregations.
+    */
+  def missingHours(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val span = ev.agg(min("h").as("h_lo"), max("h").as("h_hi"))
+    val spine = span
+      .select(explode(sequence(col("h_lo"), col("h_hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(broadcast(ev.select("event_type").distinct()))
+    val observed = ev.distinct()
+    spine.join(observed, Seq("event_type", "h"), "left_anti")
+      .select(col("event_type"), unix_micros(col("h")).as("h_us"))
+      .orderBy("event_type", "h_us")
+  }
+
+  private val missingHoursSql =
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+      |span AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM b),
+      |spine AS (SELECT t.event_type, g.h
+      |          FROM (SELECT DISTINCT event_type FROM b) t,
+      |               (SELECT unnest(generate_series(h_lo, h_hi,
+      |                  INTERVAL 1 HOUR)) AS h FROM span) g)
+      |SELECT s.event_type, epoch_us(s.h) AS h_us
+      |FROM spine s
+      |WHERE NOT EXISTS (SELECT 1 FROM b
+      |                  WHERE b.event_type = s.event_type AND b.h = s.h)
+      |ORDER BY event_type, h_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -908,5 +948,6 @@ object Temporal {
     QueryDef("t24_time_weighted_value", timeWeightedValue, Some(timeWeightedValueSql)),
     QueryDef("t25_time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     QueryDef("t26_hourly_ohlc", hourlyOhlc, Some(hourlyOhlcSql)),
+    QueryDef("t27_missing_hours", missingHours, Some(missingHoursSql)),
   )
 }

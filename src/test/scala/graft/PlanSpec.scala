@@ -220,6 +220,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Subquery subquery"), p) // nothing left per-row
   }
 
+  test("e11: metadata predicate reaches the parquet scan before any distance math") {
+    val p = plan(graft.ext.VectorOps.filteredKnn(spark, sf0001))
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t27: spine generates from the 1-row span agg, fact table scanned twice") {
+    val p = plan(Temporal.missingHours(spark, sf0001))
+    assert(p.contains("Generate explode"), p) // hour spine via generator
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d25: only the tiny bucket-offset frame passes through a single partition") {
     // The doc-level windows must partition by bucket; the one allowed
     // SinglePartition exchange is the |docs|/100-row bucket-offset cumsum.
