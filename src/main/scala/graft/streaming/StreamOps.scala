@@ -159,6 +159,60 @@ object StreamOps {
       }
   }
 
+  case class StateInterval(user_id: Long, seq: Long, event_type: String,
+                           n_events: Long, valid_from: Timestamp,
+                           valid_to: Option[Timestamp])
+  /** Open-interval state for [[stateIntervalsStream]] — public because the
+    * state encoder codegens accessor calls against it.
+    */
+  case class ScdState(seq: Long, event_type: String, n_events: Long,
+                      valid_from: Timestamp)
+
+  /** Streaming SCD2 state-interval build — the streaming twin of
+    * Temporal.stateIntervals (t23): per-user state holds ONLY the open
+    * interval (type, count, start — O(1) per user, not per event); each
+    * arriving event either extends it or closes it, emitting the closed
+    * interval with `valid_to` = the successor's start plus a refreshed
+    * open row (Update mode upserts it downstream).
+    *
+    * Contract: events must arrive per-user in event-time order (true for
+    * an ordered source/replay; out-of-order delivery needs the batch
+    * formulation or a watermark-buffered sort upstream). StreamingSpec
+    * feeds ordered micro-batches and pins equivalence with the
+    * oracle-checked t23.
+    */
+  def stateIntervalsStream(events: Dataset[Event]): Dataset[StateInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, StateInterval](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[ScdState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[StateInterval]
+          var cur = state.getOption.orNull
+          // rows within one micro-batch are not pre-sorted by Spark;
+          // (getTime, getNanos) carries full sub-ms precision — getTime
+          // alone is ms-truncated and would misorder same-ms events
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+            cur match {
+              case null =>
+                cur = ScdState(1L, e.event_type, 1L, e.ts)
+              case c if c.event_type == e.event_type =>
+                cur = c.copy(n_events = c.n_events + 1)
+              case c =>
+                out += StateInterval(uid, c.seq, c.event_type, c.n_events,
+                  c.valid_from, Some(e.ts)) // closed by the successor
+                cur = ScdState(c.seq + 1, e.event_type, 1L, e.ts)
+            }
+          }
+          state.update(cur)
+          out += StateInterval(uid, cur.seq, cur.event_type, cur.n_events,
+            cur.valid_from, None) // open interval, upserted each batch
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state —
     * the streaming form of d01-style exact dedup: duplicate deliveries
     * (at-least-once sources) collapse to the first arrival, and state for

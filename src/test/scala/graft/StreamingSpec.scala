@@ -153,6 +153,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 intervals reconcile to the oracle-checked batch t23") {
+    implicit val ctx = spark.sqlContext
+    // globally ts-ordered feed (per-user order is the op's contract)
+    val data = sampleEvents(600)
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val ms = MemoryStream[Event]
+    val (b1, b2) = data.splitAt(data.size / 2)
+    ms.addData(b1)
+    ms.addData(b2)
+    val q = StreamOps.stateIntervalsStream(ms.toDS()).writeStream
+      .format("memory").queryName("scd_stream").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // Update-mode reconciliation: a closed interval is emitted exactly once
+    // and is final; an open interval is re-upserted per batch — keep the
+    // version with the highest count.
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+    val streamed = spark.table("scd_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        us(r.getTimestamp(4)),
+        Option(r.getTimestamp(5)).map(us)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (_, versions) =>
+        versions.find(_._6.isDefined).getOrElse(versions.maxBy(_._4))
+      }.toSet
+    // batch twin over the same subset, via a temp events table
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("scd").toString
+    data.toDF()
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Temporal.stateIntervals(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    val onlyS = streamed -- batch
+    val onlyB = batch -- streamed
+    assert(streamed.nonEmpty && streamed == batch,
+      s"only-streamed(${onlyS.size}): ${onlyS.take(5)}\nonly-batch(${onlyB.size}): ${onlyB.take(5)}")
+  }
+
   test("streaming session windows equal batch session windows") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(400)
