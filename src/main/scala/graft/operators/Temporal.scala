@@ -918,6 +918,52 @@ object Temporal {
       |                  WHERE b.event_type = s.event_type AND b.h = s.h)
       |ORDER BY event_type, h_us""".stripMargin
 
+  /** Grouped closed-form OLS ("million models" shape): per event type,
+    * the daily-count trend slope fit entirely inside one aggregation —
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over (day-index, count)
+    * pairs. No iteration, no solver, no collect: each group's model is
+    * five integer sums with map-side partial aggregation, which is why
+    * this fits millions of groups where a per-group lmfit cannot.
+    *
+    * Float determinism: x and y are integers, so numerator and
+    * denominator are EXACT longs; the single long→double division is the
+    * only float op and is bit-identical across engines.
+    */
+  def perTypeTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val lo = daily.agg(min("d").as("d_lo"))
+    daily.crossJoin(broadcast(lo))
+      .withColumn("x", datediff(col("d"), col("d_lo")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("total"),
+        sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") > 1)
+      .selectExpr("event_type", "n_days", "total",
+        "CAST(n_days * sxy - sx * total AS DOUBLE)" +
+          " / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day")
+      .orderBy("event_type")
+  }
+
+  private val perTypeTrendSql =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+      |               FROM events GROUP BY 1, 2),
+      |lo AS (SELECT min(d) AS d_lo FROM daily),
+      |g AS (SELECT event_type, count(*) AS n_days,
+      |        CAST(sum(y) AS BIGINT) AS total,
+      |        CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM (SELECT event_type, CAST(datediff('day', d_lo, d) AS BIGINT) AS x, y
+      |            FROM daily, lo)
+      |      GROUP BY event_type HAVING count(*) > 1)
+      |SELECT event_type, n_days, total,
+      |  CAST(n_days * sxy - sx * total AS DOUBLE)
+      |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -949,5 +995,6 @@ object Temporal {
     QueryDef("t25_time_to_conversion", timeToConversion, Some(timeToConversionSql)),
     QueryDef("t26_hourly_ohlc", hourlyOhlc, Some(hourlyOhlcSql)),
     QueryDef("t27_missing_hours", missingHours, Some(missingHoursSql)),
+    QueryDef("t28_per_type_trend", perTypeTrend, Some(perTypeTrendSql)),
   )
 }

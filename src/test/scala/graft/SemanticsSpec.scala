@@ -315,6 +315,23 @@ class SemanticsSpec extends SparkSpec {
     assert(inv.count() == 0)
   }
 
+  test("t28 grouped OLS slope matches a driver-side least-squares fit") {
+    val daily = Tables.events(spark, sf0001)
+      .groupBy($"event_type", to_date($"ts").as("d")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val d0 = daily.map(_._2).min
+    val got = graft.operators.Temporal.perTypeTrend(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.map(t => java.time.temporal.ChronoUnit.DAYS.between(d0, t._2).toDouble)
+      val ys = rows.map(_._3.toDouble)
+      val n = xs.length
+      val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+        (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+      assert(math.abs(got(et) - slope) < 1e-9, s"$et: ${got(et)} vs $slope")
+    }
+  }
+
   test("t26 OHLC: open/close are the fully-tie-broken first/last ticks per hour") {
     val ev = Tables.events(spark, sf0001)
       .select(unix_micros(date_trunc("hour", $"ts")).as("h"),
