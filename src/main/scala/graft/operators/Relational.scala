@@ -672,6 +672,27 @@ object Relational {
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Share-of-partition-total window (ratio_to_report): each order's
+    * fraction of its customer's lifetime spend — an UNBOUNDED-frame
+    * window aggregate (the frame shape q09/q10's rolling windows don't
+    * cover). One exchange on o_custkey serves the window; the share
+    * divides the raw price by the customer total restored exactly at the
+    * data's 2-decimal scale, so both engines divide identical doubles.
+    */
+  def orderShareOfCustomer(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+    Tables.orders(s, dir)
+      .withColumn("cust_total", round(sum("o_totalprice").over(byCust), 2))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_totalprice") / col("cust_total")).as("share"))
+      .orderBy("o_orderkey")
+  }
+
+  private val orderShareOfCustomerSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      | o_totalprice / round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS share
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -700,5 +721,6 @@ object Relational {
       Some(topOrdersPerCustomerSql)),
     QueryDef("q24_region_year_revenue", regionYearRevenue, Some(regionYearRevenueSql)),
     QueryDef("q25_exists_not_exists", existsNotExists, Some(existsNotExistsSql)),
+    QueryDef("q26_order_share", orderShareOfCustomer, Some(orderShareOfCustomerSql)),
   )
 }
