@@ -152,6 +152,28 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
   }
 
+  /** Audio windowing: fixed-length overlapping analysis windows from each
+    * audio row's metadata duration — (media_id, window_idx, start_ms,
+    * end_ms) rows, the grid a real STFT/feature extractor fills in. Pure
+    * generator arithmetic on metadata (the payload is untouched at this
+    * layer), mirroring how sampleFrames grids video. Short tails are
+    * emitted (standard; padding is the consumer's concern).
+    */
+  def audioWindows(media: Dataset[MediaRow], windowMs: Long,
+                   strideMs: Long): DataFrame = {
+    require(windowMs > 0 && strideMs > 0, "window and stride must be positive")
+    media.toDF()
+      .filter(col("kind") === "audio" && col("meta.duration_ms").isNotNull &&
+        col("meta.duration_ms") > 0)
+      .select(col("media_id"), col("meta.duration_ms").as("dur"))
+      .select(col("media_id"), col("dur"),
+        posexplode(sequence(lit(0L), col("dur") - 1, lit(strideMs))))
+      .select(col("media_id"), col("pos").cast("long").as("window_idx"),
+        col("col").as("start_ms"),
+        least(col("col") + windowMs, col("dur")).as("end_ms"))
+      .orderBy("media_id", "window_idx")
+  }
+
   /** Feature-table projection: media features as an `Array[Float]` column
     * ready for the VectorOps similarity path (same column shape as the
     * `embeddings` table).

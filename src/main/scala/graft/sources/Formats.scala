@@ -94,6 +94,26 @@ object Formats {
       .option("pathGlobFilter", glob)
       .load(path)
 
+  /** Small-file compaction — the table-maintenance op every long-lived
+    * parquet dataset needs: streaming/incremental sinks accrete many
+    * small files, and at 100 TB a scan's task count (and NameNode/object-
+    * store listing cost) is driven by file count, not data size. Rewrites
+    * the dataset into ceil(bytes / targetBytes) files via a ROUND-ROBIN
+    * repartition (even output sizes without requiring a key), to a
+    * temp dir first — the swap into place is the caller's transactional
+    * concern (table formats do this with a metadata commit).
+    * Returns the output file count.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val bytes = spark.read.parquet(inDir).queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes.toDouble / targetBytes.toDouble).ceil.toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Parquet sink with explicit codec. zstd trades ~10-20% write CPU for
     * materially smaller files than snappy — at 100 TB the scan is usually
     * IO-bound, so smaller-on-disk wins end-to-end; level stays default

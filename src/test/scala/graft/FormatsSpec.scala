@@ -139,6 +139,21 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a many-small-files dataset into the target file count") {
+    val fragmented = tmp("frag")
+    docs.repartition(37).write.parquet(fragmented) // simulate sink accretion
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) == 37)
+    val out = tmp("compacted")
+    val n = Formats.compact(spark, fragmented, out, targetBytes = 64L * 1024 * 1024)
+    assert(parquetFiles(out) == n && n < 37)
+    // content preserved as a multiset
+    val a = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    val b = docs.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("text roundtrip: one line per document text") {
     val out = tmp("text")
     Formats.writeText(docs.select("text"), out)

@@ -90,6 +90,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioWindows grids audio rows by metadata duration; tails clamp") {
+    val ds = spark.createDataset(fixture(12)) // kinds cycle image/audio/video
+    val w = Multimodal.audioWindows(ds, windowMs = 300, strideMs = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val audioIds = fixture(12).filter(_.kind == "audio").map(_.media_id).toSet
+    assert(w.map(_._1).toSet == audioIds) // only audio rows window
+    // fixture duration is 1000 ms → starts 0,200,…,800; ends clamp to 1000
+    w.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == Seq(0L, 200L, 400L, 600L, 800L))
+      assert(sorted.map(_._4).toSeq == Seq(300L, 500L, 700L, 900L, 1000L))
+      assert(sorted.map(_._2).toSeq == (0L until 5L))
+    }
+  }
+
   test("end-to-end: binary files -> media table -> decode -> cosine top-k") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("media")
