@@ -27,6 +27,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** All table names served by this loader. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so a SQL-first user can
+    * drive the engine through `spark.sql(...)` alone — the same frames the
+    * Scala API serves (events keeps its ns→µs normalization).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => table(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark reads
     * only as a raw nanosecond Long (legacy flag). We truncate to microseconds
     * with integer division (`div`, NOT floating `/` — nanos ~1.7e18 exceed

@@ -315,6 +315,20 @@ class SemanticsSpec extends SparkSpec {
     assert(inv.count() == 0)
   }
 
+  test("registerAll serves every table to a SQL-first user, events normalized") {
+    Tables.registerAll(spark, sf0001)
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM $n LIMIT 1").count() == 1, n)
+    }
+    // the events view carries the ns→µs-normalized timestamp, not raw longs
+    val t = spark.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType
+    assert(t == org.apache.spark.sql.types.TimestampType)
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM orders o JOIN customer c
+        |ON o.o_custkey = c.c_custkey""".stripMargin).collect().head.getLong(0)
+    assert(joined > 0)
+  }
+
   test("t28 grouped OLS slope matches a driver-side least-squares fit") {
     val daily = Tables.events(spark, sf0001)
       .groupBy($"event_type", to_date($"ts").as("d")).count()
