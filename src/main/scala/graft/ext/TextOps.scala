@@ -1201,6 +1201,42 @@ object TextOps {
        |FROM exl e LEFT JOIN nd USING (split_a, split_b)
        |ORDER BY split_a, split_b""".stripMargin
 
+  /** Per-source corpus report card: document counts, token volume, and
+    * the language-mix entropy −Σ p·ln p — the one-line-per-source summary
+    * a curation run reads first (a skewed source shows near-zero entropy;
+    * a crawl shows high). Two cheap aggregations: (source, lang) counts,
+    * then per-source combine; token totals ride the first pass. Entropy
+    * terms are irrational → display rounding per policy rule 6.
+    */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(s, dir)
+      .selectExpr("source", "lang", "size(split(text,' ')) AS n_tokens")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("toks"))
+    byLang
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"),
+        sum("toks").as("total_tokens"),
+        count(lit(1)).as("n_langs"),
+        // abs: a single-lang source's entropy is 0 up to −1e-17 float
+        // residue, which would round to −0.0 and hash-differ from 0.0
+        round(abs(-sum(col("n") * log(col("n"))).cast("double") / sum("n")
+          + log(sum("n"))), 6).as("lang_entropy"))
+      .orderBy("source")
+  }
+
+  // −Σ(n_i/N)ln(n_i/N) = ln N − (Σ n_i ln n_i)/N — the N enters once,
+  // exactly, mirroring d23's cross-entropy restructuring.
+  private val sourceReportSql =
+    """WITH bl AS (SELECT source, lang, count(*) AS n,
+      |              CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks
+      |            FROM documents GROUP BY source, lang)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  count(*) AS n_langs,
+      |  round(abs(-CAST(sum(n * ln(n)) AS DOUBLE) / sum(n) + ln(sum(n))), 6) AS lang_entropy
+      |FROM bl GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1231,5 +1267,6 @@ object TextOps {
       Some(incrementalDedupSql)),
     QueryDef("d25_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("d26_cross_split_leakage", crossSplitLeakage, Some(crossSplitLeakageSql)),
+    QueryDef("d27_source_report", sourceReport, Some(sourceReportSql)),
   )
 }

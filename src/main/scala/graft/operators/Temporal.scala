@@ -964,6 +964,32 @@ object Temporal {
       |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** Event-type transition counts (first-order Markov edges): how often
+    * each type follows each type within a user's stream — the edge list
+    * behind funnel/path diagrams. lag() over the fully-tie-broken
+    * per-user ordering, then one count aggregation; the window and the
+    * groupBy share nothing (different keys), so this is two exchanges —
+    * user_id for adjacency, then the tiny (from, to) key space.
+    */
+  def typeTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val typeTransitionsSql =
+    """WITH l AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type AS from_type, event_type AS to_type,
+      |  count(*) AS n_transitions
+      |FROM l WHERE prev_type IS NOT NULL
+      |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -996,5 +1022,6 @@ object Temporal {
     QueryDef("t26_hourly_ohlc", hourlyOhlc, Some(hourlyOhlcSql)),
     QueryDef("t27_missing_hours", missingHours, Some(missingHoursSql)),
     QueryDef("t28_per_type_trend", perTypeTrend, Some(perTypeTrendSql)),
+    QueryDef("t29_type_transitions", typeTransitions, Some(typeTransitionsSql)),
   )
 }
