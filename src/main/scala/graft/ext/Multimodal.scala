@@ -93,7 +93,10 @@ object Multimodal {
     files
       .select(
         xxhash64(col("path")).as("media_id"),
-        lower(element_at(split(col("path"), "\\."), -1)).as("ext"),
+        // extension = after the last dot WITHIN the basename — splitting
+        // the full path on dots would let a dotted directory (".../v1.2/")
+        // leak into the ext of a dot-free filename; empty when none
+        lower(regexp_extract(col("path"), "\\.([^./]+)$", 1)).as("ext"),
         col("content").as("payload"))
       .withColumn("kind",
         when(col("ext").isin("png", "jpg", "jpeg", "img", "bmp", "gif"), "image")
@@ -102,7 +105,8 @@ object Multimodal {
           .otherwise("binary"))
       .select(col("media_id"), col("kind"), col("payload"),
         struct(
-          concat(lit("application/x-"), col("ext")).as("mime"),
+          when(col("ext") === "", lit("application/octet-stream"))
+            .otherwise(concat(lit("application/x-"), col("ext"))).as("mime"),
           lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height"),
           lit(null).cast("int").as("sample_rate"),

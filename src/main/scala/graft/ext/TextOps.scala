@@ -316,6 +316,25 @@ object TextOps {
 
   /** Deterministic doc bucket 0-99 (the d14 split key), Spark + oracle. */
   private val docBucket = s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket"
+
+  /** Train/val/test bucket boundaries — the single source of truth for
+    * d14's split, d17/d24's base-vs-incoming cut, and d26's leakage
+    * matrix (both the Spark plans and the oracle SQL interpolate these).
+    */
+  private val TrainCut = 80
+  private val ValCut = 90
+  private val splitCase =
+    s"CASE WHEN bucket < $TrainCut THEN 'train' WHEN bucket < $ValCut THEN 'val' ELSE 'test' END AS split"
+
+  /** d17/d24's shared prologue: documents with their hash bucket, cut
+    * into (base corpus, incoming batch) at [[TrainCut]].
+    */
+  private def baseIncoming(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", docBucket)
+    (docs.filter(col("bucket") < TrainCut), docs.filter(col("bucket") >= TrainCut))
+  }
   private val docBucketSql = s"${md5h60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket"
 
   /** SimHash(60) near-dup pairs: per-bit majority vote over the doc's
@@ -633,14 +652,12 @@ object TextOps {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", docBucket)
-      .selectExpr("doc_id", "bucket",
-        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+      .selectExpr("doc_id", "bucket", splitCase)
       .orderBy("doc_id")
   }
 
   private val hashSplitSql =
-    s"""SELECT doc_id, bucket,
-       | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    s"""SELECT doc_id, bucket, $splitCase
        |FROM (SELECT doc_id, $docBucketSql FROM documents)
        |ORDER BY doc_id""".stripMargin
 
@@ -713,11 +730,7 @@ object TextOps {
     * property is that cost scales with |incoming|, not |corpus|².
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, dir)
-      .selectExpr("doc_id", "text", docBucket)
-    val base = docs.filter(col("bucket") < 80)
-    val incoming = docs.filter(col("bucket") >= 80)
+    val (base, incoming) = baseIncoming(s, dir)
     incoming
       .join(base.select("text"), Seq("text"), "left_anti")
       .select("doc_id")
@@ -730,8 +743,8 @@ object TextOps {
   private val incrementalDedupSql =
     s"""WITH b AS (SELECT doc_id, text, $docBucketSql FROM documents)
        |SELECT i.doc_id FROM b i
-       |WHERE i.bucket >= 80
-       |  AND NOT EXISTS (SELECT 1 FROM b WHERE bucket < 80 AND text = i.text)
+       |WHERE i.bucket >= $TrainCut
+       |  AND NOT EXISTS (SELECT 1 FROM b WHERE bucket < $TrainCut AND text = i.text)
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d18
@@ -1018,7 +1031,8 @@ object TextOps {
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(text,' ')) AS tok")
     val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // N from the |vocab|-sized count table — NOT a second corpus scan
+    val total = cnt.agg(sum("c").as("n_total"))
     toks.join(cnt, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
@@ -1048,11 +1062,7 @@ object TextOps {
     * here it is rebuilt per run to stay self-contained.
     */
   def bloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, dir)
-      .selectExpr("doc_id", "text", docBucket)
-    val base = docs.filter(col("bucket") < 80)
-    val incoming = docs.filter(col("bucket") >= 80)
+    val (base, incoming) = baseIncoming(s, dir)
     // Sizing a Bloom filter needs |corpus|; production pipelines track it
     // as a table stat — recomputing it here is one columnar count scan.
     val n = math.max(base.count(), 1L)
@@ -1133,8 +1143,7 @@ object TextOps {
     graft.functions.GraftFunctions.register(s)
     val splits = Tables.documents(s, dir)
       .selectExpr("doc_id", "text", docBucket)
-      .selectExpr("doc_id", "text",
-        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+      .selectExpr("doc_id", "text", splitCase)
     val exact = splits.groupBy("text").agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
@@ -1165,9 +1174,7 @@ object TextOps {
 
   private val crossSplitLeakageSql =
     s"""WITH $shingleSqlCte,
-       |sp AS (SELECT doc_id, text,
-       |         CASE WHEN bucket < 80 THEN 'train'
-       |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |sp AS (SELECT doc_id, text, $splitCase
        |       FROM (SELECT doc_id, text, $docBucketSql FROM documents)),
        |pt AS (SELECT text,
        |         sum(CASE WHEN split='train' THEN 1 ELSE 0 END) AS n_train,

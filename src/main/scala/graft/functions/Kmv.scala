@@ -28,6 +28,22 @@ import org.apache.spark.sql.expressions.Aggregator
   * change the result, because the buffer invariant (sorted, distinct,
   * ≤ k) is restored after every reduce/merge.
   */
+object Kmv {
+  /** md5_long60's hash space: 2⁶⁰. */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** The (k−1)·M/h_k estimator with the exact-below-k branch — shared by
+    * the batch query (t22) and the streaming sketch so the two spellings
+    * cannot drift (a mis-sized M or a dropped −1 silently shifts every
+    * estimate; SemanticsSpec pins the bound against this one definition).
+    */
+  def estimate(mins: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(round(lit((k - 1) * HashSpace) / element_at(mins, k)).cast("long"))
+  }
+}
+
 class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   require(k > 0)

@@ -648,7 +648,6 @@ object Temporal {
   def kmvDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val k = 64
-    val M = 1152921504606846976.0 // 2^60: md5_long60's hash space
     val kmv = udaf(new graft.functions.KmvAgg(k), Encoders.scalaLong)
     val du = Tables.events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
@@ -664,9 +663,7 @@ object Temporal {
       .select(lit("ALL").as("event_type"), col("mins"), col("exact_distinct"))
     perType.unionByName(all)
       .select(col("event_type"),
-        when(size(col("mins")) < k, size(col("mins")).cast("long"))
-          .otherwise(round(lit((k - 1) * M) / element_at(col("mins"), k))
-            .cast("long")).as("est_distinct"),
+        graft.functions.Kmv.estimate(col("mins"), k).as("est_distinct"),
         col("exact_distinct"))
       .orderBy("event_type")
   }
@@ -676,12 +673,16 @@ object Temporal {
       |h AS (SELECT event_type,
       |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
       |      FROM du),
+      |-- rank DISTINCT hashes: KmvAgg keeps k distinct minima, so a 60-bit
+      |-- collision between two users must collapse here too; the exact
+      |-- count (cn.n) deliberately stays pre-dedup
       |rk AS (SELECT event_type, h,
-      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
-      |         count(*) OVER (PARTITION BY event_type) AS n
-      |       FROM h),
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      |       FROM (SELECT DISTINCT event_type, h FROM h)),
+      |cn AS (SELECT event_type, count(*) AS n FROM h GROUP BY event_type),
       |km AS (SELECT event_type, max(h) AS hk, count(*) AS n_mins, max(n) AS n
-      |       FROM rk WHERE r <= 64 GROUP BY event_type),
+      |       FROM rk JOIN cn USING (event_type) WHERE r <= 64
+      |       GROUP BY event_type),
       |mrk AS (SELECT h, row_number() OVER (ORDER BY h) AS r
       |        FROM (SELECT DISTINCT h FROM rk WHERE r <= 64)),
       |mkm AS (SELECT max(h) AS hk, count(*) AS n_mins FROM mrk WHERE r <= 64),

@@ -60,6 +60,10 @@ object StreamOps {
     * StreamingSpec against exact per-window percentiles).
     */
   def hourlyValueHistogram(events: DataFrame, lo: Double, hi: Double): DataFrame = {
+    // loud guard, matching t19/e09's span handling: a degenerate range
+    // would make (value-lo)/width NaN and silently scatter rows into the
+    // edge bins (or throw under ANSI) — fail at call time instead
+    require(hi > lo, s"histogram bounds must satisfy hi > lo, got [$lo, $hi]")
     val width = (hi - lo) / 32
     events
       .withWatermark("ts", "2 hours")
@@ -82,7 +86,6 @@ object StreamOps {
     */
   def hourlyDistinctUsersKmv(events: DataFrame, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
-    val M = 1152921504606846976.0 // 2^60: md5_long60's hash space
     val kmv = org.apache.spark.sql.functions.udaf(
       new graft.functions.KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
     events
@@ -90,9 +93,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(kmv(expr("md5_long60(CAST(user_id AS STRING))")).as("mins"))
       .select(unix_micros(col("w.start")).as("bucket_us"),
-        when(size(col("mins")) < k, size(col("mins")).cast("long"))
-          .otherwise(round(lit((k - 1) * M) / element_at(col("mins"), k))
-            .cast("long")).as("est_distinct"),
+        graft.functions.Kmv.estimate(col("mins"), k).as("est_distinct"),
         size(col("mins")).as("sketch_fill"))
   }
 

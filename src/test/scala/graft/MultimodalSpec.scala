@@ -105,6 +105,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fromBinaryFiles: extension parses from the basename, not the full path") {
+    val df = Seq(
+      ("s3://bucket/v1.2/readme", Array[Byte](1)),       // dotted dir, no ext
+      ("file:/data/v2.0/clip.MP4", Array[Byte](2)),      // ext after dotted dir
+      ("/plain/song.flac", Array[Byte](3)),
+      ("/no/extension/anywhere", Array[Byte](4))
+    ).toDF("path", "content")
+    val rows = Multimodal.fromBinaryFiles(df).collect()
+      .map(r => r.kind -> r.meta.mime).toMap
+    // note: collect keyed by kind works because all kinds are distinct here
+    val byPath = Multimodal.fromBinaryFiles(df).collect()
+    assert(byPath.count(_.kind == "binary") == 2)
+    assert(rows("video") == "application/x-mp4")
+    assert(rows("audio") == "application/x-flac")
+    assert(byPath.filter(_.kind == "binary")
+      .forall(_.meta.mime == "application/octet-stream"))
+  }
+
   test("end-to-end: binary files -> media table -> decode -> cosine top-k") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("media")
