@@ -1244,6 +1244,37 @@ object TextOps {
       |  round(abs(-CAST(sum(n * ln(n)) AS DOUBLE) / sum(n) + ln(sum(n))), 6) AS lang_entropy
       |FROM bl GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus length distribution in log₂ buckets — the first curation
+    * plot of any dataset card: bucket k holds docs with 2^k ≤ tokens <
+    * 2^(k+1), with each bucket's count and corpus share. Integer-only
+    * bucketing (floor(log2 n) via bit length, not float log) so bucket
+    * edges can never ulp-flip between engines.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr("size(split(text,' ')) AS n")
+      // floor(log2(n)) computed integrally: 63 - leading zeros, spelled
+      // portably as length of the binary representation minus 1
+      .selectExpr("length(bin(n)) - 1 AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(Tables.documents(s, dir).agg(count(lit(1)).as("total"))))
+      .selectExpr("CAST(bucket AS INT) AS bucket",
+        "CAST(pow(2, bucket) AS BIGINT) AS min_tokens",
+        "n_docs",
+        "n_docs * 1.0D / total AS share")
+      .orderBy("bucket")
+  }
+
+  private val lengthHistogramSql =
+    """WITH b AS (SELECT length(bin(len(string_split(text,' ')))) - 1 AS bucket
+      |           FROM documents),
+      |t AS (SELECT count(*) AS total FROM b)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |  CAST(pow(2, bucket) AS BIGINT) AS min_tokens,
+      |  count(*) AS n_docs,
+      |  count(*) * 1.0 / max(total) AS share
+      |FROM b, t GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1275,5 +1306,6 @@ object TextOps {
     QueryDef("d25_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("d26_cross_split_leakage", crossSplitLeakage, Some(crossSplitLeakageSql)),
     QueryDef("d27_source_report", sourceReport, Some(sourceReportSql)),
+    QueryDef("d28_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
   )
 }

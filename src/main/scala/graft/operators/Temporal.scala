@@ -991,6 +991,45 @@ object Temporal {
       |FROM l WHERE prev_type IS NOT NULL
       |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the engagement
+    * series every product dashboard opens with. DISTINCT-over-a-sliding-
+    * window doesn't distribute, so the scale formulation dedups to
+    * user-days once, then each user-day VOTES FORWARD into the 7 windows
+    * it belongs to (a 7× explode of the already-tiny user-day frame) and
+    * each window dedups (day, user) again — linear work, key-partitioned
+    * shuffles, no window-function distinct. Days beyond the stream's max
+    * are clipped, so early days (partial trailing windows) match the
+    * oracle's interval semantics exactly.
+    */
+  def dauWauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val hi = ud.agg(max("d").as("d_hi"))
+    val wau = ud.crossJoin(broadcast(hi))
+      .select(col("user_id"),
+        explode(sequence(col("d"), least(date_add(col("d"), 6), col("d_hi"))))
+          .as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(col("d"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("d")
+  }
+
+  private val dauWauStickinessSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+      |days AS (SELECT DISTINCT d FROM ud),
+      |wau AS (SELECT dy.d, count(DISTINCT u.user_id) AS wau
+      |        FROM days dy JOIN ud u
+      |          ON u.d BETWEEN dy.d - INTERVAL 6 DAY AND dy.d
+      |        GROUP BY dy.d)
+      |SELECT d, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1024,5 +1063,6 @@ object Temporal {
     QueryDef("t27_missing_hours", missingHours, Some(missingHoursSql)),
     QueryDef("t28_per_type_trend", perTypeTrend, Some(perTypeTrendSql)),
     QueryDef("t29_type_transitions", typeTransitions, Some(typeTransitionsSql)),
+    QueryDef("t30_dau_wau_stickiness", dauWauStickiness, Some(dauWauStickinessSql)),
   )
 }
