@@ -1275,6 +1275,31 @@ object TextOps {
       |  count(*) * 1.0 / max(total) AS share
       |FROM b, t GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Applied near-dup removal — the step that turns detection into a
+    * corpus: a doc survives unless it has a jaccard ≥ 0.5 partner with a
+    * smaller doc_id (the standard keep-lowest-id rule applied to the
+    * pair set — pairwise, not transitive: of a chain a~b~c with a≁c,
+    * both a and c survive, matching per-pair MinHash dedup; d13 is the
+    * transitive-cluster variant). One left-anti join of the corpus
+    * against the (tiny) pair frame's higher-id side.
+    */
+  def applyNearDupRemoval(s: SparkSession, dir: String): DataFrame = {
+    val losers = jaccardDupPairs(s, dir).select(col("doc_id_2").as("doc_id"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  private val applyNearDupRemovalSql =
+    s"""WITH $shingleSqlCte
+       |SELECT d.doc_id FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE b.doc_id = d.doc_id
+       |    AND len(list_intersect(a.sh, b.sh)) * 1.0
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1307,5 +1332,7 @@ object TextOps {
     QueryDef("d26_cross_split_leakage", crossSplitLeakage, Some(crossSplitLeakageSql)),
     QueryDef("d27_source_report", sourceReport, Some(sourceReportSql)),
     QueryDef("d28_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
+    QueryDef("d29_apply_near_dup_removal", applyNearDupRemoval,
+      Some(applyNearDupRemovalSql)),
   )
 }

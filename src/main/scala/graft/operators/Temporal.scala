@@ -1030,6 +1030,67 @@ object Temporal {
       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
       |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin
 
+  /** Incident extraction: consecutive anomalous hours (hourly mean value
+    * z-scored against the type's own distribution, z > 2) merge into
+    * incident intervals with start/end/duration/peak — the alerting op
+    * that turns t02-style pointwise anomalies into reportable events.
+    * Gaps-and-islands on TIME ADJACENCY (next hour = +1h exactly),
+    * per-type; one exchange on event_type carries baseline join, island
+    * windows, and the interval aggregation.
+    *
+    * The z > 2 predicate compares the 6-dp-ROUNDED z, so engine ulp
+    * differences collapse before the comparison (policy rule 6).
+    */
+  def anomalyIncidents(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((round(sum("value"), 2) / count(lit(1))).as("hm"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("hm").as("mu"), stddev_samp("hm").as("sd"))
+    val flagged = hourly.join(stats, "event_type")
+      .withColumn("z", round((col("hm") - col("mu")) /
+        when(col("sd") === 0, 1e-9).otherwise(col("sd")), 6))
+      .filter(col("z") > 2)
+    val byType = Window.partitionBy("event_type").orderBy("h")
+    flagged
+      .withColumn("new_inc",
+        when(unix_micros(col("h")) - unix_micros(lag("h", 1).over(byType))
+          === 3600000000L, 0L).otherwise(1L))
+      .withColumn("inc", sum("new_inc").over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type", "inc")
+      .agg(unix_micros(min("h")).as("start_us"),
+        unix_micros(max("h")).as("end_us"),
+        count(lit(1)).as("n_hours"),
+        max("z").as("peak_z"))
+      .orderBy("event_type", "inc")
+  }
+
+  private val anomalyIncidentsSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         round(sum(value), 2) / count(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (SELECT event_type, avg(hm) AS mu, stddev_samp(hm) AS sd
+      |          FROM hourly GROUP BY 1),
+      |flagged AS (
+      |  SELECT h.event_type, h.h,
+      |    round((h.hm - s.mu) / (CASE WHEN s.sd = 0 THEN 1e-9 ELSE s.sd END), 6) AS z
+      |  FROM hourly h JOIN stats s USING (event_type)),
+      |anom AS (SELECT * FROM flagged WHERE z > 2),
+      |isl AS (
+      |  SELECT event_type, h, z,
+      |    CASE WHEN epoch_us(h) - epoch_us(lag(h) OVER w) = 3600000000 THEN 0
+      |         ELSE 1 END AS new_inc
+      |  FROM anom WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+      |num AS (
+      |  SELECT *, CAST(sum(new_inc) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS inc
+      |  FROM isl)
+      |SELECT event_type, inc, epoch_us(min(h)) AS start_us,
+      |  epoch_us(max(h)) AS end_us, count(*) AS n_hours, max(z) AS peak_z
+      |FROM num GROUP BY event_type, inc ORDER BY event_type, inc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1064,5 +1125,6 @@ object Temporal {
     QueryDef("t28_per_type_trend", perTypeTrend, Some(perTypeTrendSql)),
     QueryDef("t29_type_transitions", typeTransitions, Some(typeTransitionsSql)),
     QueryDef("t30_dau_wau_stickiness", dauWauStickiness, Some(dauWauStickinessSql)),
+    QueryDef("t31_anomaly_incidents", anomalyIncidents, Some(anomalyIncidentsSql)),
   )
 }

@@ -246,6 +246,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d29 removes exactly the higher-id endpoints of the d05 pair set") {
+    val losers = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    val all = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val kept = TextOps.applyNearDupRemoval(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == all -- losers)
+    assert(kept.nonEmpty && losers.nonEmpty)
+  }
+
   test("d26 leakage counts match a driver-side recomputation over splits and pairs") {
     val split = TextOps.hashSplit(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap

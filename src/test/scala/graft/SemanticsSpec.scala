@@ -329,6 +329,24 @@ class SemanticsSpec extends SparkSpec {
     assert(joined > 0)
   }
 
+  test("t31 incidents are maximal runs of hour-adjacent anomalies") {
+    val iv = graft.operators.Temporal.anomalyIncidents(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(iv.nonEmpty)
+    val hourUs = 3600000000L
+    iv.foreach { case (_, _, start, end, n) =>
+      assert(end - start == (n - 1) * hourUs, "incident must be hour-contiguous")
+    }
+    // maximality: within a type, consecutive incidents cannot touch
+    iv.groupBy(_._1).foreach { case (et, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._4 + hourUs, s"$et: incidents ${a._2},${b._2} should have merged")
+        case _ =>
+      }
+    }
+  }
+
   test("t28 grouped OLS slope matches a driver-side least-squares fit") {
     val daily = Tables.events(spark, sf0001)
       .groupBy($"event_type", to_date($"ts").as("d")).count()
