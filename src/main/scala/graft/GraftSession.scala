@@ -23,14 +23,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def build(appName: String, master: String, shufflePartitions: Int): SparkSession = {
-    val spark = SparkSession.builder()
+  def build(appName: String, master: String, shufflePartitions: Int,
+            extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(spark)
     spark

@@ -1257,7 +1257,10 @@ object TextOps {
       // portably as length of the binary representation minus 1
       .selectExpr("length(bin(n)) - 1 AS bucket")
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(Tables.documents(s, dir).agg(count(lit(1)).as("total"))))
+      // total = Σ n_docs over the ≤64-row bucket frame — NOT a second
+      // corpus scan (the oracle derives it from its bucket CTE likewise)
+      .withColumn("total",
+        sum("n_docs").over(Window.partitionBy(lit(1))))
       .selectExpr("CAST(bucket AS INT) AS bucket",
         "CAST(pow(2, bucket) AS BIGINT) AS min_tokens",
         "n_docs",

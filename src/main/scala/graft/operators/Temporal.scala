@@ -895,11 +895,14 @@ object Temporal {
   def missingHours(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-    val span = ev.agg(min("h").as("h_lo"), max("h").as("h_hi"))
+    // the distinct type set rides the SAME 1-row span aggregate, keeping
+    // the fact table at exactly two scans (span+types, observed buckets)
+    val span = ev.agg(min("h").as("h_lo"), max("h").as("h_hi"),
+      collect_set("event_type").as("types"))
     val spine = span
       .select(explode(sequence(col("h_lo"), col("h_hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
-      .crossJoin(broadcast(ev.select("event_type").distinct()))
+        expr("INTERVAL 1 HOUR"))).as("h"), col("types"))
+      .select(col("h"), explode(col("types")).as("event_type"))
     val observed = ev.distinct()
     spine.join(observed, Seq("event_type", "h"), "left_anti")
       .select(col("event_type"), unix_micros(col("h")).as("h_us"))
@@ -997,19 +1000,17 @@ object Temporal {
     * user-days once, then each user-day VOTES FORWARD into the 7 windows
     * it belongs to (a 7× explode of the already-tiny user-day frame) and
     * each window dedups (day, user) again — linear work, key-partitioned
-    * shuffles, no window-function distinct. Days beyond the stream's max
-    * are clipped, so early days (partial trailing windows) match the
-    * oracle's interval semantics exactly.
+    * shuffles, no window-function distinct. Votes landing on days past
+    * the stream's end need no clipping: such days have no dau row, so
+    * the inner join drops them.
     */
   def dauWauStickiness(s: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
-    val hi = ud.agg(max("d").as("d_hi"))
-    val wau = ud.crossJoin(broadcast(hi))
+    val wau = ud
       .select(col("user_id"),
-        explode(sequence(col("d"), least(date_add(col("d"), 6), col("d_hi"))))
-          .as("d"))
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("d"))
       .distinct()
       .groupBy("d").agg(count(lit(1)).as("wau"))
     dau.join(wau, "d")

@@ -227,9 +227,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t27: spine generates from the 1-row span agg, fact table scanned twice") {
-    val p = plan(Temporal.missingHours(spark, sf0001))
+    val df = Temporal.missingHours(spark, sf0001)
+    val p = plan(df)
     assert(p.contains("Generate explode"), p) // hour spine via generator
     assert(!p.contains("CartesianProduct"), p)
+    // the docstring's invariant, pinned: span+types ride ONE aggregate, so
+    // the fact table appears exactly twice in the logical plan
+    val scans = "Relation \\[".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(scans == 2, s"expected 2 fact scans, got $scans")
   }
 
   test("d25: only the tiny bucket-offset frame passes through a single partition") {

@@ -11,13 +11,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  // One session per JVM (Test / fork := true gives the suite its own JVM).
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // One session per JVM (Test / fork := true gives the suite its own JVM),
+  // built through GraftSession so test posture can't drift from the
+  // Verify/Bench mains' (UTC, partitions, function registration).
+  lazy val session: SparkSession = graft.GraftSession.build(
+    "graft-test", "local[8]", 8,
+    Map("spark.sql.adaptive.enabled" -> "true"))
 }
