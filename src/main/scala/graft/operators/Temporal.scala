@@ -1092,6 +1092,72 @@ object Temporal {
       |  epoch_us(max(h)) AS end_us, count(*) AS n_hours, max(z) AS peak_z
       |FROM num GROUP BY event_type, inc ORDER BY event_type, inc""".stripMargin
 
+  /** PageRank over the t29 transition graph, 3 fixed power iterations
+    * (damping 0.85) — the graph-analytics shape (d13's iterative joins,
+    * but with float state): each iteration is ONE key-partitioned join +
+    * aggregation of p·weight inflows, so a billion-edge graph costs one
+    * shuffle per iteration. A fixed iteration count keeps the query
+    * oracle-checkable (the DuckDB side unrolls the same three steps);
+    * production would loop to an L1-convergence test instead.
+    *
+    * Float determinism: edge weights are exact long/long divisions;
+    * per-node inflow sums are ≤|types| terms whose ordering ulps stay
+    * ~1e-16 over three damped iterations — absorbed by the 6-dp display
+    * rounding (rule 6; only the FINAL rank is rounded, never the
+    * iterates). DuckDB constants are CAST to DOUBLE explicitly: its bare
+    * 0.15/0.85 literals are DECIMALs, and decimal arithmetic would
+    * diverge from Spark's double math.
+    */
+  def typePagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = typeTransitions(s, dir)
+    val out = e.groupBy("from_type").agg(sum("n_transitions").as("out_n"))
+    val w = e.join(out, "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("n_transitions").cast("double") / col("out_n").cast("double")).as("wt"))
+    val nodes = e.select(col("from_type").as("t"))
+      .union(e.select(col("to_type"))).distinct()
+    val withN = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+    var p = withN.select(col("t"), (lit(1.0) / col("nn")).as("p"))
+    for (_ <- 1 to 3) {
+      val inflow = w.join(p.withColumnRenamed("t", "from_type"), "from_type")
+        .groupBy(col("to_type").as("t"))
+        .agg(sum(col("p") * col("wt")).as("inflow"))
+      p = withN.join(inflow, Seq("t"), "left")
+        .select(col("t"),
+          (lit(0.15) / col("nn") + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("p"))
+    }
+    p.select(col("t").as("event_type"), round(col("p"), 6).as("pagerank"))
+      .orderBy("event_type")
+  }
+
+  private val typePagerankSql = {
+    def iter(prev: String, i: Int): String =
+      s"""i$i AS (SELECT w.to_type AS t, sum($prev.p * w.wt) AS inflow
+         |       FROM w JOIN $prev ON w.from_type = $prev.t GROUP BY 1),
+         |p$i AS (SELECT n.t,
+         |         CAST(0.15 AS DOUBLE) / (SELECT nn FROM nn)
+         |           + CAST(0.85 AS DOUBLE) * coalesce(i$i.inflow, CAST(0 AS DOUBLE)) AS p
+         |       FROM nodes n LEFT JOIN i$i USING (t))""".stripMargin
+    s"""WITH l AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |e AS (SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+       |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |out AS (SELECT from_type, sum(n) AS out_n FROM e GROUP BY 1),
+       |w AS (SELECT e.from_type, e.to_type,
+       |        CAST(n AS DOUBLE) / CAST(out_n AS DOUBLE) AS wt
+       |      FROM e JOIN out USING (from_type)),
+       |nodes AS (SELECT DISTINCT t
+       |          FROM (SELECT from_type AS t FROM e UNION SELECT to_type FROM e)),
+       |nn AS (SELECT count(*) AS nn FROM nodes),
+       |p0 AS (SELECT t, CAST(1.0 AS DOUBLE) / nn AS p FROM nodes, nn),
+       |${iter("p0", 1)},
+       |${iter("p1", 2)},
+       |${iter("p2", 3)}
+       |SELECT t AS event_type, round(p, 6) AS pagerank
+       |FROM p3 ORDER BY event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1127,5 +1193,6 @@ object Temporal {
     QueryDef("t29_type_transitions", typeTransitions, Some(typeTransitionsSql)),
     QueryDef("t30_dau_wau_stickiness", dauWauStickiness, Some(dauWauStickinessSql)),
     QueryDef("t31_anomaly_incidents", anomalyIncidents, Some(anomalyIncidentsSql)),
+    QueryDef("t32_type_pagerank", typePagerank, Some(typePagerankSql)),
   )
 }

@@ -329,6 +329,27 @@ class SemanticsSpec extends SparkSpec {
     assert(joined > 0)
   }
 
+  test("t32 pagerank matches a driver-side power iteration and conserves mass") {
+    val edges = graft.operators.Temporal.typeTransitions(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outN = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var p = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (u, _, c) =>
+        p(u) * c.toDouble / outN(u) }.sum).toMap
+      p = nodes.map(v => v -> (0.15 / n + 0.85 * inflow.getOrElse(v, 0.0))).toMap
+    }
+    val got = graft.operators.Temporal.typePagerank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - p(v)) < 2e-6, s"$v: ${got(v)} vs ${p(v)}")
+    }
+    // no dangling nodes in this graph → total rank mass is conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+
   test("t31 incidents are maximal runs of hour-adjacent anomalies") {
     val iv = graft.operators.Temporal.anomalyIncidents(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
