@@ -693,6 +693,38 @@ object Relational {
       | o_totalprice / round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS share
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Open-order backlog over time — the event-sourced balance pattern:
+    * +1 on the order date, −1 on the order's LAST shipment date, daily
+    * net delta, then a running sum. All heavy work happens in
+    * key-partitioned aggregations (per-order close date, per-day delta);
+    * only the |days|-sized daily frame passes through the final ordered
+    * cumsum (thousands of rows regardless of fact volume — the d25
+    * two-level treatment applies if a calendar ever outgrows that).
+    */
+  def openOrderBacklog(s: SparkSession, dir: String): DataFrame = {
+    val opens = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), lit(1L).as("delta"))
+    val closes = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("d"))
+      .select(col("d"), lit(-1L).as("delta"))
+    opens.unionByName(closes)
+      .groupBy("d").agg(sum("delta").as("net"))
+      .withColumn("backlog", sum("net").over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("d")
+  }
+
+  private val openOrderBacklogSql =
+    """WITH ev AS (
+      |  SELECT o_orderdate AS d, 1 AS delta FROM orders
+      |  UNION ALL
+      |  SELECT max(l_shipdate) AS d, -1 AS delta FROM lineitem GROUP BY l_orderkey),
+      |daily AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM ev GROUP BY d)
+      |SELECT d, net,
+      |  CAST(sum(net) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM daily ORDER BY d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -722,5 +754,6 @@ object Relational {
     QueryDef("q24_region_year_revenue", regionYearRevenue, Some(regionYearRevenueSql)),
     QueryDef("q25_exists_not_exists", existsNotExists, Some(existsNotExistsSql)),
     QueryDef("q26_order_share", orderShareOfCustomer, Some(orderShareOfCustomerSql)),
+    QueryDef("q27_open_order_backlog", openOrderBacklog, Some(openOrderBacklogSql)),
   )
 }
