@@ -105,8 +105,22 @@ object Multimodal {
           .otherwise("binary"))
       .select(col("media_id"), col("kind"), col("payload"),
         struct(
-          when(col("ext") === "", lit("application/octet-stream"))
-            .otherwise(concat(lit("application/x-"), col("ext"))).as("mime"),
+          // standard IANA types for the extensions `kind` already knows;
+          // anything unrecognized is honestly an octet-stream rather than
+          // a fabricated application/x-<ext> nobody registers handlers for
+          when(col("ext").isin("jpg", "jpeg"), "image/jpeg")
+            .when(col("ext") === "png", "image/png")
+            .when(col("ext") === "gif", "image/gif")
+            .when(col("ext") === "bmp", "image/bmp")
+            .when(col("ext") === "wav", "audio/wav")
+            .when(col("ext") === "mp3", "audio/mpeg")
+            .when(col("ext") === "flac", "audio/flac")
+            .when(col("ext") === "ogg", "audio/ogg")
+            .when(col("ext") === "mp4", "video/mp4")
+            .when(col("ext") === "webm", "video/webm")
+            .when(col("ext") === "mkv", "video/x-matroska")
+            .when(col("ext") === "avi", "video/x-msvideo")
+            .otherwise("application/octet-stream").as("mime"),
           lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height"),
           lit(null).cast("int").as("sample_rate"),

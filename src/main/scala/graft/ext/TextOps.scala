@@ -1264,7 +1264,10 @@ object TextOps {
       .selectExpr("CAST(bucket AS INT) AS bucket",
         "CAST(pow(2, bucket) AS BIGINT) AS min_tokens",
         "n_docs",
-        "n_docs * 1.0D / total AS share")
+        // rule-6 rounding over an explicit DOUBLE division on BOTH sides:
+        // DuckDB's bare `count(*) * 1.0 / total` is DECIMAL arithmetic,
+        // which can diverge from Spark's double at unlucky bucket counts
+        "round(n_docs * 1.0D / total, 6) AS share")
       .orderBy("bucket")
   }
 
@@ -1275,7 +1278,7 @@ object TextOps {
       |SELECT CAST(bucket AS INT) AS bucket,
       |  CAST(pow(2, bucket) AS BIGINT) AS min_tokens,
       |  count(*) AS n_docs,
-      |  count(*) * 1.0 / max(total) AS share
+      |  round(CAST(count(*) AS DOUBLE) / max(total), 6) AS share
       |FROM b, t GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Applied near-dup removal — the step that turns detection into a

@@ -762,10 +762,14 @@ object Temporal {
     *
     * Float determinism: value is 2-decimal data stored as double, and
     * Σ(value·µs) overflows round-trippable double precision (~1e15 > 2⁵³
-    * ulp grain), so the weighted sum runs in EXACT LONG ARITHMETIC —
-    * integer cents × integer µs — and only the final single division
-    * (identical longs → identical IEEE op both engines) emits a double.
-    * One user_id exchange: window and agg share it.
+    * ulp grain), so the weighted sum runs in EXACT INTEGER ARITHMETIC —
+    * per-row products as long (cents ≤ ~1e6 × µs-gaps ≤ ~1e12 stays well
+    * under 2⁶³ for any plausible telemetry domain), ACCUMULATED AS
+    * DECIMAL(38,0) so the sum itself cannot wrap at corpus scale: DuckDB
+    * promotes BIGINT sums to HUGEINT, and Spark's non-ANSI long sum would
+    * wrap silently exactly where the exactness rationale matters. Only the
+    * final single division (identical integers → identical IEEE op both
+    * engines) emits a double. One user_id exchange: window and agg share it.
     */
   def timeWeightedValue(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -777,7 +781,7 @@ object Temporal {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum("dur_us").as("active_us"),
-        (sum(col("cents") * col("dur_us")).cast("double") /
+        (sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).cast("double") /
           (sum("dur_us").cast("double") * 100.0)).as("twa"))
       .filter(col("active_us") > 0)
       .orderBy("user_id")

@@ -106,10 +106,19 @@ object Formats {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val bytes = spark.read.parquet(inDir).queryExecution.optimizedPlan.stats.sizeInBytes
+    val df = spark.read.parquet(inDir)
+    // Size from the ACTUAL on-disk file lengths, not optimizedPlan.stats:
+    // plan stats estimate roughly-decompressed bytes, which overshoots the
+    // compressed parquet size several-fold and would leave output files far
+    // under targetBytes. The file listing is already driver-resident (the
+    // read's InMemoryFileIndex built it), so this adds no extra round-trip.
+    val hconf = spark.sessionState.newHadoopConf()
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, (bytes.toDouble / targetBytes.toDouble).ceil.toInt)
-    spark.read.parquet(inDir)
-      .repartition(nFiles)
+    df.repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)
     nFiles
   }

@@ -117,8 +117,8 @@ class MultimodalSpec extends SparkSpec {
     // note: collect keyed by kind works because all kinds are distinct here
     val byPath = Multimodal.fromBinaryFiles(df).collect()
     assert(byPath.count(_.kind == "binary") == 2)
-    assert(rows("video") == "application/x-mp4")
-    assert(rows("audio") == "application/x-flac")
+    assert(rows("video") == "video/mp4")
+    assert(rows("audio") == "audio/flac")
     assert(byPath.filter(_.kind == "binary")
       .forall(_.meta.mime == "application/octet-stream"))
   }
