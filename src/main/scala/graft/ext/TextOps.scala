@@ -1306,6 +1306,72 @@ object TextOps {
        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Boilerplate-prefix detection — docs sharing an identical leading
+    * 8-token prefix (headers, templates, scraped nav bars — the near-dup
+    * family exact dedup misses when only the tail differs). One
+    * hash-groupBy on the prefix; at corpus scale the group key becomes
+    * xxhash64(prefix) with an in-bucket confirm (d01's own scale note) —
+    * here the prefix itself stays the key for oracle transparency.
+    */
+  def prefixDup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "array_join(slice(split(text, ' '), 1, 8), ' ') AS prefix")
+      .groupBy("prefix")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("keep_id", "n_docs", "prefix")
+      .orderBy("keep_id")
+
+  private val prefixDupSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_docs, prefix
+      |FROM (SELECT doc_id,
+      |        array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+      |      FROM documents)
+      |GROUP BY prefix HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+
+  /** Gopher-style rule filter — the standard pre-training quality gate as
+    * an auditable per-doc verdict table: token-count bounds, mean-word-
+    * length bounds, and a stopword-presence check, plus the conjunction.
+    * Unlike d03's continuous score, each rule is a named boolean so a
+    * curation run can report per-rule kill counts. Single scan, zero
+    * shuffles (no aggregation — the verdict is row-local arithmetic).
+    * mean_word_len = non-space chars / tokens, both exact ints in
+    * doubles, one division → bit-identical across engines, emitted
+    * unrounded (QueryDef rule 3).
+    */
+  def ruleFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        "length(replace(text, ' ', '')) AS n_alpha",
+        "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "n_tokens",
+        "n_alpha * 1.0D / n_tokens AS mean_word_len",
+        "n_tokens BETWEEN 50 AND 100000 AS r_len",
+        "n_alpha * 1.0D / n_tokens BETWEEN 3.0D AND 10.0D AS r_word_len",
+        "array_contains(toks, 'the') AND array_contains(toks, 'a') AS r_stop")
+      .selectExpr("doc_id", "n_tokens", "mean_word_len",
+        "r_len", "r_word_len", "r_stop",
+        "r_len AND r_word_len AND r_stop AS pass")
+      .orderBy("doc_id")
+
+  private val ruleFilterSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    length(replace(text, ' ', '')) AS n_alpha,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  CAST(n_alpha AS DOUBLE) / n_tokens AS mean_word_len,
+      |  n_tokens BETWEEN 50 AND 100000 AS r_len,
+      |  CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0 AS r_word_len,
+      |  list_contains(toks, 'the') AND list_contains(toks, 'a') AS r_stop,
+      |  (n_tokens BETWEEN 50 AND 100000)
+      |    AND (CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0)
+      |    AND list_contains(toks, 'the') AND list_contains(toks, 'a') AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1340,5 +1406,7 @@ object TextOps {
     QueryDef("d28_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("d29_apply_near_dup_removal", applyNearDupRemoval,
       Some(applyNearDupRemovalSql)),
+    QueryDef("d30_prefix_dup", prefixDup, Some(prefixDupSql)),
+    QueryDef("d31_rule_filter", ruleFilter, Some(ruleFilterSql)),
   )
 }

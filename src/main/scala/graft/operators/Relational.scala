@@ -725,6 +725,81 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
       |FROM daily ORDER BY d""".stripMargin
 
+  /** TPC-H Q17 shape — small-quantity lost revenue per brand: lineitems
+    * whose quantity is under half their part's average quantity. The
+    * textbook spelling is a CORRELATED scalar subquery per lineitem (one
+    * re-aggregation of the fact table per outer row — the oracle keeps
+    * that form); the scale formulation is decorrelation BY HAND: one
+    * per-part pre-aggregation, then a self-join back on l_partkey. Both
+    * sides of that join hash on partkey — co-partitioned, one exchange
+    * each — and the part dim broadcasts for the brand label.
+    * Determinism: quantities are integer-valued doubles → sum exact in
+    * any order, avg = exact sum / exact count is one IEEE division, and
+    * 0.5× is exact — both engines compare identical thresholds.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val partAvg = li.groupBy("l_partkey")
+      .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+    li.join(partAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum("l_extendedprice"), 2).as("lost_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  private val smallQtyRevenueSql =
+    """SELECT p_brand, round(sum(l_extendedprice),2) AS lost_revenue,
+      | count(*) AS n_lines
+      |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      |WHERE l_quantity < 0.5 * (SELECT sum(l_quantity)/count(*) FROM lineitem li
+      |                          WHERE li.l_partkey = p.p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q22 shape — wealthy-but-lapsed customers per nation: acctbal
+    * above the average of all positive balances AND no orders since
+    * 2000-01-01. Three classic pieces composed: a scalar global threshold
+    * (tiny agg, broadcast back — never a whole-table window), an ANTI
+    * join against the recent orders, and a broadcast dim join for the
+    * nation label. The anti join's right side is filtered (pushed to the
+    * orders scan) then pre-reduced to DISTINCT o_custkey, so the shuffle
+    * carries one row per recently-active customer instead of every order
+    * (map-side dedup at 100 TB).
+    * Determinism: acctbal is 2-decimal data; round(sum,2) is the exact
+    * decimal restore, and the single division by the exact count gives
+    * both engines bit-identical thresholds (QueryDef rules 1-2).
+    */
+  def inactiveHighBalance(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((round(sum("c_acctbal"), 2) / count(lit(1))).as("thr"))
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select("o_custkey").distinct()
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  private val inactiveHighBalanceSql =
+    """WITH thr AS (
+      |  SELECT round(sum(c_acctbal),2)/count(*) AS thr
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, count(*) AS n_custs, round(sum(c_acctbal),2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey, thr
+      |WHERE c_acctbal > thr.thr
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= DATE '2000-01-01')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -755,5 +830,8 @@ object Relational {
     QueryDef("q25_exists_not_exists", existsNotExists, Some(existsNotExistsSql)),
     QueryDef("q26_order_share", orderShareOfCustomer, Some(orderShareOfCustomerSql)),
     QueryDef("q27_open_order_backlog", openOrderBacklog, Some(openOrderBacklogSql)),
+    QueryDef("q28_small_qty_revenue", smallQtyRevenue, Some(smallQtyRevenueSql)),
+    QueryDef("q29_inactive_high_balance", inactiveHighBalance,
+      Some(inactiveHighBalanceSql)),
   )
 }

@@ -1162,6 +1162,118 @@ object Temporal {
        |FROM p3 ORDER BY event_type""".stripMargin
   }
 
+  /** Peak session concurrency — the interval-overlap sweep: t12's sessions
+    * become +1/−1 boundary deltas at MINUTE grain, the running level is a
+    * cumulative sum over those minutes, and the output is the top-10
+    * transition minutes by level. Grain matters for scale: deltas
+    * pre-aggregate map-side onto the calendar-minute keyspace, so the
+    * ordered cumsum runs over a frame bounded by the calendar span (43k
+    * minutes per month) regardless of session volume — the same defense
+    * as q27's daily frame. Every distinct level value first occurs at a
+    * +1 boundary, so top-of-plateau peaks are exact; sessions that start
+    * and end within one minute net to zero (counted active for 0 full
+    * minutes). Level at minute m = sessions with start_min ≤ m < end_min.
+    */
+  def concurrentSessions(s: SparkSession, dir: String): DataFrame = {
+    val sess = userSessions(s, dir)
+      // integer `div`, not `/`: double division of epoch-µs magnitudes can
+      // round a true-integer quotient a hair below the boundary before the
+      // truncating cast (same hazard Tables.events avoids for ns→µs)
+      .selectExpr("start_us div 60000000 AS start_min",
+        "end_us div 60000000 AS end_min")
+    val deltas = sess.select(col("start_min").as("m"), lit(1L).as("d"))
+      .unionByName(sess.select(col("end_min").as("m"), lit(-1L).as("d")))
+      .groupBy("m").agg(sum("d").as("net"))
+    deltas
+      .withColumn("concurrent", sum("net").over(
+        Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("m") * 60000000L).as("minute_us"), col("concurrent"))
+      .orderBy(desc("concurrent"), col("minute_us"))
+      .limit(10)
+  }
+
+  private val concurrentSessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id, ts
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT epoch_us(min(ts)) // 60000000 AS start_min,
+      |         epoch_us(max(ts)) // 60000000 AS end_min
+      |  FROM sess GROUP BY user_id, sess_id),
+      |ev AS (
+      |  SELECT start_min AS m, 1 AS d FROM iv
+      |  UNION ALL
+      |  SELECT end_min AS m, -1 AS d FROM iv),
+      |net AS (SELECT m, CAST(sum(d) AS BIGINT) AS net FROM ev GROUP BY m)
+      |SELECT m * 60000000 AS minute_us,
+      |  CAST(sum(net) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+      |FROM net ORDER BY concurrent DESC, minute_us LIMIT 10""".stripMargin
+
+  /** Top user journeys — the path-mining staple: each session's first 5
+    * event types in time order, concatenated as a path string, counted
+    * across sessions, top-10 paths. The per-session ordered head rides the
+    * SAME user_id exchange the sessionization windows created (row_number
+    * within session, ≤5 rows survive); the path keyspace is tiny (≤5⁵
+    * combinations of 5 types), so the final count agg partial-aggregates
+    * map-side. Ordering is fully tie-broken ((ts, event_id) within
+    * session, (n desc, path) at the limit) — deterministic in both engines.
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy("user_id", "sess_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id", "sess_id")
+      // sort_array on (rn, type) structs orders by rn — collect_list order
+      // is nondeterministic, the sort restores it deterministically
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(10)
+  }
+
+  private val sessionPathsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flagged),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM sess),
+      |paths AS (
+      |  SELECT user_id, sess_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 5 GROUP BY user_id, sess_id)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1198,5 +1310,8 @@ object Temporal {
     QueryDef("t30_dau_wau_stickiness", dauWauStickiness, Some(dauWauStickinessSql)),
     QueryDef("t31_anomaly_incidents", anomalyIncidents, Some(anomalyIncidentsSql)),
     QueryDef("t32_type_pagerank", typePagerank, Some(typePagerankSql)),
+    QueryDef("t33_concurrent_sessions", concurrentSessions,
+      Some(concurrentSessionsSql)),
+    QueryDef("t34_session_paths", sessionPaths, Some(sessionPathsSql)),
   )
 }
