@@ -421,4 +421,115 @@ class SemanticsSpec extends SparkSpec {
       assert(seq.last._6.isEmpty, s"$u: last interval must be open")
     }
   }
+
+  test("t33 peak concurrency matches a driver-side interval sweep") {
+    val got = graft.operators.Temporal.concurrentSessions(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force recomputation from t12's sessions at minute grain
+    val sess = graft.operators.Temporal.userSessions(spark, sf0001)
+      .select("start_us", "end_us").collect()
+      .map(r => (r.getLong(0) / 60000000L, r.getLong(1) / 60000000L))
+    val deltas = sess.flatMap { case (a, b) => Seq(a -> 1L, b -> -1L) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var level = 0L
+    val levels = deltas.map { case (m, d) => level += d; (m * 60000000L, level) }
+    val want = levels.sortBy { case (us, l) => (-l, us) }.take(10)
+    assert(got.toSeq == want.toSeq)
+    assert(deltas.map(_._2).sum == 0L, "every session must open and close")
+  }
+
+  test("t34 session paths are <=5 valid stages and counts cover sessions") {
+    val rows = graft.operators.Temporal.sessionPaths(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val types = Set("error", "signup", "purchase", "view", "click")
+    rows.foreach { case (p, n) =>
+      val stages = p.split(">")
+      assert(stages.length >= 1 && stages.length <= 5, s"bad path $p")
+      assert(stages.forall(types), s"unknown stage in $p")
+      assert(n >= 1)
+    }
+    val nSessions = graft.operators.Temporal.userSessions(spark, sf0001).count()
+    assert(rows.map(_._2).sum <= nSessions, "top-10 counts cannot exceed sessions")
+  }
+
+  test("e13 recall: bounded, exact division, and qid 0 agrees with e05 vs e08") {
+    val rec = graft.ext.VectorOps.lshRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.map(_._1).toSeq == (0L to 9L))
+    rec.foreach { case (q, h, r) =>
+      assert(h >= 0 && h <= 5, s"qid $q hits $h")
+      assert(r == h / 5.0, s"qid $q recall must be hits/5 exactly")
+    }
+    // e05 IS the ann side for qid 0; e08 the exact side
+    val ann0 = graft.ext.VectorOps.annLshTop5(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact0 = graft.ext.VectorOps.batchKnn(spark, sf0001)
+      .filter($"qid" === 0).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rec.find(_._1 == 0L).get._2 == (ann0 & exact0).size.toLong)
+  }
+
+  test("q28 hand-decorrelated plan equals Catalyst's own decorrelation") {
+    Tables.registerAll(spark, sf0001)
+    val got = graft.operators.Relational.smallQtyRevenue(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = spark.sql(
+      """SELECT p_brand, round(sum(l_extendedprice),2) AS lost_revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE l_quantity < 0.5 * (SELECT sum(l_quantity)/count(*) FROM lineitem li
+        |                          WHERE li.l_partkey = p.p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("q29 anti-join formulation equals the NOT EXISTS form") {
+    Tables.registerAll(spark, sf0001)
+    val got = graft.operators.Relational.inactiveHighBalance(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = spark.sql(
+      """WITH thr AS (
+        |  SELECT round(sum(c_acctbal),2)/count(*) AS thr
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS n_custs, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey, thr
+        |WHERE c_acctbal > thr.thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("d30 groups genuinely share the leading 8-token prefix") {
+    val groups = graft.ext.TextOps.prefixDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byPrefix = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").take(8).mkString(" "))
+      .groupBy(_._2)
+    groups.foreach { case (keep, n, prefix) =>
+      val members = byPrefix(prefix).map(_._1)
+      assert(members.length.toLong == n && members.min == keep,
+        s"group '$prefix' mismatch")
+    }
+    assert(groups.length == byPrefix.count(_._2.length > 1))
+  }
+
+  test("d31 verdict is the conjunction and mean_word_len is exact") {
+    val rows = graft.ext.TextOps.ruleFilter(spark, sf0001).collect()
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, mwl) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      val (rl, rw, rs, pass) =
+        (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      assert(pass == (rl && rw && rs), s"doc $id verdict")
+      val toks = texts(id).split(" ", -1)
+      assert(n == toks.length, s"doc $id token count")
+      assert(mwl == toks.map(_.length).sum.toDouble / toks.length,
+        s"doc $id mean_word_len")
+      assert(rs == (toks.contains("the") && toks.contains("a")), s"doc $id r_stop")
+    }
+  }
 }
