@@ -1372,6 +1372,48 @@ object TextOps {
       |    AND list_contains(toks, 'the') AND list_contains(toks, 'a') AS pass
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted downsampling — the curation step after scoring:
+    * keep each doc with probability proportional to its quality signal
+    * (here d03's stopword density, affinely mapped into [0.1, 0.9]), but
+    * SEEDED BY HASH, not rand(): u = md5-60(doc_id) mod 1e6 / 1e6, keep
+    * iff u < p. Reproducible across runs/engines/partitionings — the
+    * property rand()-based sampling loses the moment a task retries —
+    * and a pure row-local expression: one scan, zero shuffles, composes
+    * with d14's split (which uses an INDEPENDENT hash of the same id:
+    * distinct md5 inputs — "doc_id" vs "s:doc_id" — decorrelate the
+    * draws). All float ops (int/1e6, ×0.8/+0.1) are identical IEEE
+    * expressions both engines — the comparison can't flip.
+    */
+  def qualityWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "size(split(text,' ')) AS n_tokens",
+        s"size(filter(split(text,' '), t -> array_contains($stopArr, t))) AS n_stop",
+        s"pmod(${md5h60("concat('s:', CAST(doc_id AS STRING))")}, 1000000) / 1000000.0D AS u")
+      .selectExpr("doc_id", "n_tokens",
+        "n_stop * 1.0D / n_tokens * 0.8D + 0.1D AS p_keep", "u")
+      .filter(col("u") < col("p_keep"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityWeightedSampleSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    len(list_filter(string_split(text,' '),
+       |        t -> list_contains($stopList, t))) AS n_stop,
+       |    CAST(${md5h60Sql("'s:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE)
+       |      / 1000000 AS u
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CAST(n_stop AS DOUBLE) / n_tokens * 0.8 + 0.1 AS p_keep, u
+       |FROM m WHERE u < CAST(n_stop AS DOUBLE) / n_tokens * 0.8 + 0.1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1408,5 +1450,7 @@ object TextOps {
       Some(applyNearDupRemovalSql)),
     QueryDef("d30_prefix_dup", prefixDup, Some(prefixDupSql)),
     QueryDef("d31_rule_filter", ruleFilter, Some(ruleFilterSql)),
+    QueryDef("d32_quality_weighted_sample", qualityWeightedSample,
+      Some(qualityWeightedSampleSql)),
   )
 }

@@ -800,6 +800,50 @@ object Relational {
       |                  AND o_orderdate >= DATE '2000-01-01')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q7 shape — cross-border shipping volume by (supplier nation,
+    * customer nation, year): the SAME dimension joined twice under two
+    * roles (nation as shipper vs nation as buyer), which is the shape
+    * role-playing dimensions always take in a star schema. Both nation
+    * sides and supplier broadcast; customer stays unhinted like q24 so
+    * the plan survives customer scaling with the fact tables (AQE
+    * broadcasts it at bench SF); lineitem⋈orders is the one fact-fact
+    * exchange. Volume has true scale 4 → round(sum,4) is the exact
+    * decimal restore (QueryDef rule 1).
+    */
+  def nationTradeVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val nationTradeVolumeSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS INT) AS l_year,
+      | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |JOIN customer ON o_custkey=c_custkey
+      |JOIN supplier ON l_suppkey=s_suppkey
+      |JOIN nation n1 ON s_nationkey=n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey=n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -833,5 +877,7 @@ object Relational {
     QueryDef("q28_small_qty_revenue", smallQtyRevenue, Some(smallQtyRevenueSql)),
     QueryDef("q29_inactive_high_balance", inactiveHighBalance,
       Some(inactiveHighBalanceSql)),
+    QueryDef("q30_nation_trade_volume", nationTradeVolume,
+      Some(nationTradeVolumeSql)),
   )
 }

@@ -501,6 +501,36 @@ class SemanticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q30 role-played nation joins: cross-border only, counts cover") {
+    val rows = graft.operators.Relational.nationTradeVolume(spark, sf0001).collect()
+    rows.foreach(r => assert(r.getString(0) != r.getString(1), "same-nation row"))
+    val direct = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, sf0001), $"l_suppkey" === $"s_suppkey")
+      .filter($"s_nationkey" =!= $"c_nationkey").count()
+    assert(rows.map(_.getLong(4)).sum == direct, "group counts must cover")
+  }
+
+  test("d32 sample is the hash-deterministic subset, decorrelated from d14") {
+    val kept = graft.ext.TextOps.qualityWeightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    kept.foreach { case (id, p, u) =>
+      assert(u < p && u >= 0.0 && u < 1.0 && p >= 0.1 && p <= 0.9, s"doc $id")
+    }
+    // rerun == same subset (seeded by hash, not rand())
+    val again = graft.ext.TextOps.qualityWeightedSample(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(again == kept.map(_._1).toSeq)
+    // the draw u must not be d14's split hash (independent md5 inputs)
+    graft.functions.GraftFunctions.register(spark)
+    val corr = graft.ext.TextOps.qualityWeightedSample(spark, sf0001)
+      .selectExpr("doc_id", "u",
+        "pmod(md5_long60(CAST(doc_id AS STRING)), 100) AS d14_bucket")
+      .collect().map(r => (r.getDouble(1) * 100).toInt == r.getLong(2).toInt)
+    assert(corr.count(identity) < corr.length, "u must not mirror the d14 bucket")
+  }
+
   test("d30 groups genuinely share the leading 8-token prefix") {
     val groups = graft.ext.TextOps.prefixDup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
