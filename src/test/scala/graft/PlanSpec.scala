@@ -276,6 +276,51 @@ class PlanSpec extends SparkSpec {
     } finally scoped.unpersist()
   }
 
+  test("q28: hand-decorrelation survives scaled part cardinality (AQE off)") {
+    // With broadcast estimation disabled, the per-part avg side must join
+    // by shuffle ON PARTKEY (co-partitioned with its own agg exchange) —
+    // the shape that holds when parts scale with the fact table. Only the
+    // explicitly hinted `part` dim may broadcast.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Relational.smallQtyRevenue(spark, sf0001))
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p) // part dim only
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Subquery subquery"), p) // nothing runs per-row
+    }
+  }
+
+  test("q29: anti side pre-reduces to distinct custkeys before the anti join") {
+    val p = plan(Relational.inactiveHighBalance(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+    // the orders filter must reach the scan, and the distinct must partial-
+    // aggregate map-side (partial+final HashAggregate pair on o_custkey)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q30: second nation role adds no exchange — one fact-fact shuffle with AQE off") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Relational.nationTradeVolume(spark, sf0001))
+      // supplier + nation×2 are hinted broadcasts; lineitem⋈orders and
+      // ⋈customer shuffle — exactly the q24 budget despite the extra role
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+      assert("SortMergeJoin".r.findAllIn(p).size == 2, p)
+    }
+  }
+
+  test("t33: the sweep's single-partition cumsum sees only the minute frame") {
+    val p = plan(Temporal.concurrentSessions(spark, sf0001))
+    // sessionization + delta agg partition by key; the one SinglePartition
+    // exchange is the calendar-bounded boundary-minute frame, and the
+    // top-10 is a TakeOrderedAndProject, not a global sort
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
