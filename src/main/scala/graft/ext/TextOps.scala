@@ -1414,6 +1414,52 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Bigram-LM quality score — d23's CCNet-style cross-entropy upgraded
+    * to conditional bigram probabilities: per doc, the mean
+    * −ln p(w₂|w₁) with p(w₂|w₁) = c(w₁w₂) / c(w₁·), both counts from the
+    * corpus itself (scoring the training corpus, every observed bigram
+    * has c ≥ 1 — no smoothing needed; held-out scoring would add it).
+    * Scale shape mirrors d23 exactly where it matters: the bigram vocab
+    * is UNBOUNDED (quadratic in unigram vocab), so both count tables
+    * join BY KEY, never broadcast; the first-token totals derive from
+    * the |bigram-vocab|-sized count table, not a second corpus scan; and
+    * after the count agg's exchange the probe side is co-partitioned on
+    * the same key. avg(ln c) noise is ~1e-15 against 6-dp display
+    * rounding (d23's accepted float posture; spec re-derives driver-side).
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val bigs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))) AS b""".stripMargin)
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cf = cb.groupBy("w1").agg(sum("cb").as("cf"))
+    bigs.join(cb, Seq("w1", "w2"))
+      .join(cf, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cf"))) - avg(log(col("cb"))), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLogprobSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> {'w1': toks[i], 'w2': toks[i+1]})) AS e
+      |      FROM t WHERE len(toks) >= 2),
+      |bb AS (SELECT doc_id, e.w1 AS w1, e.w2 AS w2 FROM b),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY w1, w2),
+      |cf AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cf FROM cb GROUP BY w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln(cf)) - avg(ln(cb)), 6) AS xent
+      |FROM bb JOIN cb USING (w1, w2) JOIN cf USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1452,5 +1498,6 @@ object TextOps {
     QueryDef("d31_rule_filter", ruleFilter, Some(ruleFilterSql)),
     QueryDef("d32_quality_weighted_sample", qualityWeightedSample,
       Some(qualityWeightedSampleSql)),
+    QueryDef("d33_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
   )
 }

@@ -305,4 +305,30 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(got(doc) - expected) < 2e-6, s"doc $doc: ${got(doc)} vs $expected")
     }
   }
+
+  test("d33 bigram xent matches a driver-side recomputation from corpus counts") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val bigs = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val cb = bigs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val cf = bigs.groupBy(_._2._1).view.mapValues(_.length.toDouble).toMap
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.bigramLogprob(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // xent ≥ 0: c(w1w2) ≤ c(w1·) always, with equality only for
+    // deterministic continuations
+    assert(got.values.forall(_._2 >= 0))
+    bigs.groupBy(_._1).foreach { case (doc, bs) =>
+      val pairs = bs.map(_._2)
+      val expected = round6(
+        pairs.map(p => math.log(cf(p._1))).sum / pairs.length -
+          pairs.map(p => math.log(cb(p))).sum / pairs.length)
+      assert(got(doc)._1 == pairs.length.toLong, s"doc $doc bigram count")
+      assert(math.abs(got(doc)._2 - expected) < 2e-6,
+        s"doc $doc: ${got(doc)._2} vs $expected")
+    }
+  }
 }
