@@ -1460,6 +1460,105 @@ object TextOps {
       |FROM bb JOIN cb USING (w1, w2) JOIN cf USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d34
+
+  /** Duplicate-aware sampling: each near-dup CLUSTER contributes ~1
+    * expected document — every doc's keep-probability is 1/|cluster|,
+    * with unclustered docs forming singletons (p=1, always kept). This is
+    * the sampling step that neutralizes duplication bias WITHOUT hard
+    * deletion (soft dedup: a 40-copy boilerplate cluster still appears,
+    * once in expectation, instead of 40×). Composes d13's connected
+    * components with d32's reproducible draw: the Bernoulli uniform is an
+    * independent md5-60 of the doc id ('cw:' domain-separated from d32's
+    * 's:' stream), so the sample is identical across runs, partitionings,
+    * and engines — unlike rand(). Cluster sizes are a cluster-count-sized
+    * aggregate joined back on cluster_id; the draw is row-local.
+    */
+  def clusterWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val labeled = Tables.documents(s, dir).select("doc_id")
+      .join(dupClusters(s, dir).withColumnRenamed("doc_id", "cdoc"),
+        col("doc_id") === col("cdoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .selectExpr("doc_id", "cluster_id", "cluster_size",
+        s"pmod(${md5h60("concat('cw:', CAST(doc_id AS STRING))")}, 1000000) / 1000000.0D AS u")
+      .filter(col("u") * col("cluster_size") < 1.0)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  // Oracle: d13's recursive-CTE components + the same md5-60 draw. The
+  // keep test is spelled u*size < 1 (exact integer scale-up of the
+  // rational 1/size) on both engines — no float division on the
+  // comparison path.
+  private val clusterWeightedSampleSql =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |labeled AS (
+       |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+       |          FROM labeled GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s2.cluster_size
+       |FROM labeled l JOIN sizes s2 ON l.cluster_id = s2.cluster_id
+       |WHERE CAST(${md5h60Sql("'cw:' || CAST(l.doc_id AS VARCHAR)")} % 1000000
+       |        AS DOUBLE) / 1000000 * s2.cluster_size < 1
+       |ORDER BY l.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d35
+
+  /** Containment near-dup pairs — the ASYMMETRIC overlap measure
+    * (|A∩B|/|A|, |A∩B|/|B|) that catches subset duplication Jaccard
+    * misses: a short doc fully embedded in a long one has tiny Jaccard
+    * (union is dominated by the long doc) but containment ≈ 1 on the
+    * short side. Standard in quote/boilerplate detection. Same
+    * posting-list plan as d05 — the inverted index is built once, pairs
+    * carry both set sizes, and only the final predicate differs
+    * (greatest of the two directed containments ≥ 0.8), so the 100 TB
+    * posture is identical: two shuffles, no cross join.
+    */
+  def containmentDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleHashed(s, dir)
+      .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS h")
+    val posts = ex.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .where(size(col("ds")) > 1)
+    posts.selectExpr(pairExplode)
+      .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
+        "p.x.n_sh AS na", "p.y.n_sh AS nb")
+      .groupBy("doc_id_1", "doc_id_2", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_1in2", col("common") * lit(1.0) / col("na"))
+      .withColumn("cont_2in1", col("common") * lit(1.0) / col("nb"))
+      .filter(greatest(col("cont_1in2"), col("cont_2in1")) >= 0.8)
+      .select("doc_id_1", "doc_id_2", "cont_1in2", "cont_2in1")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  private val containmentDupPairsSql =
+    s"""WITH $shingleSqlCte
+       |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       | len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS cont_1in2,
+       | len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh) AS cont_2in1
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE greatest(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh),
+       |               len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)) >= 0.8
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1499,5 +1598,9 @@ object TextOps {
     QueryDef("d32_quality_weighted_sample", qualityWeightedSample,
       Some(qualityWeightedSampleSql)),
     QueryDef("d33_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
+    QueryDef("d34_cluster_weighted_sample", clusterWeightedSample,
+      Some(clusterWeightedSampleSql)),
+    QueryDef("d35_containment_dup_pairs", containmentDupPairs,
+      Some(containmentDupPairsSql)),
   )
 }

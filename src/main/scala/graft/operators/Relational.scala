@@ -844,6 +844,77 @@ object Relational {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q15 shape — the supplier(s) with the maximum quarterly revenue,
+    * ties preserved. The classic compute-once-use-twice plan: the per-
+    * supplier revenue aggregate is built ONCE, its max is a one-row
+    * aggregate broadcast back, and equality against that max keeps every
+    * tied supplier (the shape where `orderBy(desc).limit(1)` silently
+    * drops ties). At 100 TB the fact table is read and shuffled exactly
+    * once (one agg on l_suppkey); everything downstream of it operates on
+    * supplier-count-sized frames. Revenue has true scale 4 →
+    * round(sum,4) is the exact decimal restore, so the tie equality
+    * compares exact decimals, never drifting ulps (QueryDef rules 1, 4).
+    */
+  def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  private val topSupplierRevenueSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice*(1-l_discount)),4) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Argmin join-back (TPC-H Q2's min-cost-supplier core): for every part,
+    * the minimum observed line price and the supplier(s) that quoted it.
+    * The window-free argmin plan: a per-key min aggregate joined back to
+    * the fact on (key, value-equality). Both the aggregate and the join
+    * hash on l_partkey, so AQE reuses ONE exchange of the fact table and
+    * no per-group sort ever runs (the row_number() alternative — q08 —
+    * sorts every group; this plan only compares). The equality is on the
+    * RAW stored double (no arithmetic), identical bits in any engine.
+    * Ties on (part, price) across suppliers are all kept, deduplicated —
+    * the dedup rides the same partkey partitioning map-side.
+    */
+  def cheapestSupplierPerPart(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val mn = li.groupBy(col("l_partkey").as("mk"))
+      .agg(min("l_extendedprice").as("min_price"))
+    li.join(mn, col("l_partkey") === col("mk") &&
+        col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey"), col("min_price"), col("l_suppkey"))
+      .distinct()
+      .orderBy("l_partkey", "l_suppkey")
+  }
+
+  private val cheapestSupplierPerPartSql =
+    """WITH mn AS (
+      |  SELECT l_partkey AS mk, min(l_extendedprice) AS min_price
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT DISTINCT l_partkey, min_price, l_suppkey
+      |FROM lineitem JOIN mn
+      |  ON l_partkey = mk AND l_extendedprice = min_price
+      |ORDER BY l_partkey, l_suppkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -879,5 +950,9 @@ object Relational {
       Some(inactiveHighBalanceSql)),
     QueryDef("q30_nation_trade_volume", nationTradeVolume,
       Some(nationTradeVolumeSql)),
+    QueryDef("q31_top_supplier_revenue", topSupplierRevenue,
+      Some(topSupplierRevenueSql)),
+    QueryDef("q32_cheapest_supplier_per_part", cheapestSupplierPerPart,
+      Some(cheapestSupplierPerPartSql)),
   )
 }

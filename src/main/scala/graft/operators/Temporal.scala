@@ -1274,6 +1274,86 @@ object Temporal {
       |SELECT path, count(*) AS n_sessions
       |FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  /** Winsorized (tail-clamped) robust mean per event type — the display
+    * convention the reference documents for KPI tails
+    * (docs/KPI_dictionary.md:19-21 "winsorize tails") promoted to a
+    * first-class aggregate: clamp each value into its group's
+    * [P05, P95], then average. Plan: one exact-percentile aggregate over
+    * the type keyspace (5 rows), broadcast back onto the fact, one more
+    * hash agg — the fact table never sorts globally and shuffles only on
+    * event_type. At 100 TB swap the exact percentile for t19's mergeable
+    * histogram sketch; the clamp+mean stages are unchanged.
+    * Determinism: the interpolated bounds are rounded to 6 dp on BOTH
+    * engines BEFORE clamping, so every clamped value is an exact decimal
+    * of scale ≤ 6 and round(sum,6)/n is the exact-restore mean (QueryDef
+    * rules 1-2) — no ulp-order hazard survives.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.groupBy(col("event_type").as("bt"))
+      .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+    ev.join(broadcast(bounds), col("event_type") === col("bt"))
+      .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(first("lo").as("lo"), first("hi").as("hi"),
+        count(lit(1)).as("n"),
+        (round(sum("wv"), 6) / count(lit(1))).as("wins_mean"),
+        (round(sum("value"), 2) / count(lit(1))).as("raw_mean"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizedStatsSql =
+    """WITH b AS (
+      |  SELECT event_type AS bt,
+      |    round(quantile_cont(value, 0.05), 6) AS lo,
+      |    round(quantile_cont(value, 0.95), 6) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, any_value(lo) AS lo, any_value(hi) AS hi,
+      |  count(*) AS n,
+      |  round(sum(least(greatest(value, lo), hi)), 6) / count(*) AS wins_mean,
+      |  round(sum(value), 2) / count(*) AS raw_mean
+      |FROM events JOIN b ON event_type = bt
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CDC changelog apply — latest-wins snapshot with delete tombstones
+    * (the MERGE/upsert pattern every lakehouse table maintenance job
+    * runs): events is read as an ordered changelog per user_id; the
+    * user's LATEST event decides their snapshot row, and a latest
+    * 'error' acts as a tombstone that deletes the user from the
+    * snapshot. One user_id exchange serves both window computations
+    * (recency rank and per-user change count); the snapshot is
+    * key-cardinality-sized, never event-volume-sized. At 100 TB the
+    * changelog would be date-partitioned and this exact plan applies a
+    * day's partition against the key space it touches.
+    * Determinism: ordering is fully tie-broken (ts desc, event_id desc);
+    * value is emitted raw (stored bits, QueryDef rule 4).
+    */
+  def cdcSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        unix_micros(col("ts")).as("last_ts_us"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val cdcSnapshotSql =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, event_type AS last_type, value AS last_value,
+      |  epoch_us(ts) AS last_ts_us, n_events
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1313,5 +1393,7 @@ object Temporal {
     QueryDef("t33_concurrent_sessions", concurrentSessions,
       Some(concurrentSessionsSql)),
     QueryDef("t34_session_paths", sessionPaths, Some(sessionPathsSql)),
+    QueryDef("t35_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
+    QueryDef("t36_cdc_snapshot", cdcSnapshot, Some(cdcSnapshotSql)),
   )
 }

@@ -562,4 +562,103 @@ class SemanticsSpec extends SparkSpec {
       assert(rs == (toks.contains("the") && toks.contains("a")), s"doc $id r_stop")
     }
   }
+
+  test("q31 keeps every supplier tied at the max, none below") {
+    val rev = Tables.lineitem(spark, sf0001)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mx = rev.values.max
+    val got = graft.operators.Relational.topSupplierRevenue(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSet == rev.filter(_._2 == mx).keySet)
+    got.foreach { case (k, v) => assert(v == mx, s"supplier $k below max") }
+  }
+
+  test("q32 argmin join-back equals the window-rank formulation") {
+    val viaJoin = graft.operators.Relational
+      .cheapestSupplierPerPart(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("l_partkey").orderBy($"l_extendedprice")
+    val viaRank = Tables.lineitem(spark, sf0001)
+      .withColumn("rk", rank().over(w)).filter($"rk" === 1)
+      .select("l_partkey", "l_extendedprice", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaJoin == viaRank)
+  }
+
+  test("t35 winsorized mean sits within the clamp bounds; degenerate clamp = raw mean") {
+    graft.operators.Temporal.winsorizedStats(spark, sf0001).collect().foreach { r =>
+      val (lo, hi, wm) = (r.getDouble(1), r.getDouble(2), r.getDouble(4))
+      assert(lo <= wm && wm <= hi, s"${r.getString(0)}: mean outside bounds")
+    }
+    // clamping to [P0, P100] is the identity: wins_mean == raw_mean exactly
+    val ev = Tables.events(spark, sf0001)
+    val b = ev.groupBy($"event_type".as("bt"))
+      .agg(round(expr("percentile(value, 0.0)"), 6).as("lo"),
+        round(expr("percentile(value, 1.0)"), 6).as("hi"))
+    val deg = ev.join(broadcast(b), $"event_type" === $"bt")
+      .withColumn("wv", least(greatest($"value", $"lo"), $"hi"))
+      .groupBy("event_type")
+      .agg((round(sum("wv"), 6) / count(lit(1))).as("wm"),
+        (round(sum("value"), 6) / count(lit(1))).as("rm"))
+      .collect()
+    deg.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+  }
+
+  test("t36 cdc snapshot: tombstoned users absent, others carry their latest event") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val latest = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.maxBy(e => (e._2.getTime, e._3))
+    }
+    val snap = graft.operators.Temporal.cdcSnapshot(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    latest.foreach { case (u, e) =>
+      if (e._4 == "error") assert(!snap.contains(u), s"user $u not tombstoned")
+      else assert(snap(u) == ((e._4, e._5)), s"user $u wrong snapshot row")
+    }
+    assert(snap.size + latest.count(_._2._4 == "error") == latest.size)
+  }
+
+  test("d34 sample: singleton clusters always kept, rerun identical, sizes cover corpus") {
+    val rows = graft.ext.TextOps.clusterWeightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clusters = graft.ext.TextOps.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // every doc outside the dup graph is a singleton with p=1 → present
+    val clustered = clusters.keySet
+    val keptIds = rows.map(_._1).toSet
+    Tables.documents(spark, sf0001).select("doc_id").collect().map(_.getLong(0))
+      .filterNot(clustered).foreach(id =>
+        assert(keptIds(id), s"singleton $id must always be kept"))
+    // cluster sizes must partition the corpus
+    val sizeOf = rows.map(r => r._2 -> r._3).toMap
+    val counts = (clusters.values ++ Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).filterNot(clustered))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    sizeOf.foreach { case (c, n) => assert(counts(c).toLong == n) }
+    assert(counts.values.sum.toLong == nDocs)
+    val again = graft.ext.TextOps.clusterWeightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq, "hash-seeded draw must be reproducible")
+  }
+
+  test("d35 containment dominates jaccard and covers every jaccard>=0.8 pair") {
+    val cont = graft.ext.TextOps.containmentDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val jacc = graft.ext.TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // max containment >= jaccard on shared pairs (union >= min set size)
+    jacc.foreach { case (p, j) =>
+      cont.get(p).foreach { case (a, b) => assert(a.max(b) >= j, s"$p") }
+      if (j >= 0.8) assert(cont.contains(p), s"pair $p with jaccard $j missing")
+    }
+  }
 }
