@@ -1354,6 +1354,118 @@ object Temporal {
       |FROM ranked WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** Session-quality rollup — the product-analytics report over t12's
+    * sessionization: per DAY of session start, session count, bounce
+    * rate (1-event sessions), mean duration, and mean depth. The
+    * sessionize→reduce-to-sessions→rollup-by-day chain shuffles the
+    * event log ONCE (on user_id, for the gap windows); the session frame
+    * is session-cardinality-sized and the day rollup's keyspace is the
+    * calendar. Determinism: bounce/duration/depth means are exact-
+    * integer sums divided by exact counts (QueryDef rule 3) — no
+    * rounding anywhere. Duration sums are µs longs: a day's sum stays
+    * under 2⁵³ while per-session durations are gap-bounded (30 min/gap ×
+    * events); at corpus scales beyond that, accumulate DECIMAL(38,0)
+    * like t24.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(to_date(col("start_ts")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum(when(col("n_ev") === 1, 1L).otherwise(0L)) * lit(1.0) /
+          count(lit(1))).as("bounce_rate"),
+        (sum(unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) * lit(1.0) /
+          count(lit(1))).as("avg_duration_us"),
+        (sum("n_ev") * lit(1.0) / count(lit(1))).as("avg_depth"))
+      .orderBy("day")
+  }
+
+  private val sessionStatsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id, ts
+      |  FROM flagged),
+      |sr AS (
+      |  SELECT user_id, sess_id, min(ts) AS start_ts, max(ts) AS end_ts,
+      |    count(*) AS n_ev
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT CAST(start_ts AS DATE) AS day, count(*) AS n_sessions,
+      |  sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS bounce_rate,
+      |  sum(epoch_us(end_ts) - epoch_us(start_ts)) * 1.0 / count(*) AS avg_duration_us,
+      |  sum(n_ev) * 1.0 / count(*) AS avg_depth
+      |FROM sr GROUP BY day ORDER BY day""".stripMargin
+
+  /** Exponentially-weighted moving average over each type's hourly series
+    * — trend smoothing that discounts the past geometrically (α = 0.3,
+    * trailing 24 observed buckets). Spelled as 24 EXPLICIT weighted lag
+    * terms in a FIXED left-to-right summation order on both engines
+    * (QueryDef rule 5 taken further: not just explicit lags, but an
+    * order-pinned fold), with the weights (1−α)^d materialized as
+    * literal doubles from repeated multiplication — libm pow() is NOT
+    * cross-engine bit-stable, literals round-trip exactly. Even with
+    * the spelled-out fold one engine still reassociates (measured ≤2e-14
+    * absolute), so the quotient carries 6-dp display rounding per
+    * QueryDef rule 6 (an EWMA is never exactly on a rounding boundary).
+    * The window is per-type over the hours-sized aggregate (tiny after
+    * reduction); the raw event volume only ever feeds the bucket agg.
+    */
+  def ewmaHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((round(sum("value"), 2) / count(lit(1))).as("av"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val num = ewmaWeights.zipWithIndex.map { case (wt, d) =>
+      coalesce(lag(col("av"), d).over(w), lit(0.0)) * lit(wt)
+    }.reduceLeft(_ + _)
+    val den = ewmaWeights.zipWithIndex.map { case (wt, d) =>
+      when(lag(col("av"), d).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    hourly
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_type"), unix_micros(col("h")).as("h_us"),
+        col("av").as("avg_value"), col("ewma"))
+      .orderBy("event_type", "h_us")
+  }
+
+  /** (1−α)^d for d = 0..23 by repeated multiplication; printed into both
+    * query texts via Double.toString (shortest round-trip repr).
+    */
+  private val ewmaWeights: Seq[Double] =
+    Iterator.iterate(1.0)(_ * 0.7).take(24).toSeq
+
+  private val ewmaHourlySql = {
+    val num = ewmaWeights.zipWithIndex.map { case (wt, d) =>
+      s"coalesce(lag(av, $d) OVER w, 0.0) * $wt"
+    }.mkString(" + ")
+    val den = ewmaWeights.zipWithIndex.map { case (wt, d) =>
+      s"CASE WHEN lag(av, $d) OVER w IS NOT NULL THEN $wt ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    round(sum(value), 2) / count(*) AS av
+       |  FROM events GROUP BY event_type, h)
+       |SELECT event_type, epoch_us(h) AS h_us, av AS avg_value,
+       |  round(($num) / ($den), 6) AS ewma
+       |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+       |ORDER BY event_type, h_us""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1395,5 +1507,7 @@ object Temporal {
     QueryDef("t34_session_paths", sessionPaths, Some(sessionPathsSql)),
     QueryDef("t35_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("t36_cdc_snapshot", cdcSnapshot, Some(cdcSnapshotSql)),
+    QueryDef("t37_session_stats", sessionStats, Some(sessionStatsSql)),
+    QueryDef("t38_ewma_hourly", ewmaHourly, Some(ewmaHourlySql)),
   )
 }

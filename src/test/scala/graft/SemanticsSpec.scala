@@ -661,4 +661,68 @@ class SemanticsSpec extends SparkSpec {
       if (j >= 0.8) assert(cont.contains(p), s"pair $p with jaccard $j missing")
     }
   }
+
+  test("t37 session stats match a driver-side sessionization sweep") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val out = collection.mutable.ArrayBuffer[collection.mutable.ArrayBuffer[Long]]()
+      var prev = Long.MinValue
+      sorted.foreach { case (_, us, _) =>
+        if (prev == Long.MinValue || us - prev > 30L * 60 * 1000000)
+          out += collection.mutable.ArrayBuffer(us)
+        else out.last += us
+        prev = us
+      }
+      out
+    }.toSeq
+    val byDay = sessions.groupBy(ss =>
+      java.time.Instant.ofEpochSecond(ss.head / 1000000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+    val got = graft.operators.Temporal.sessionStats(spark, sf0001).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (day, ss) =>
+      val (n, bounce, dur, depth) = got(day)
+      assert(n == ss.size, s"$day n_sessions")
+      assert(bounce == ss.count(_.size == 1).toDouble / ss.size, s"$day bounce")
+      assert(dur == ss.map(s0 => s0.last - s0.head).sum.toDouble / ss.size, s"$day dur")
+      assert(depth == ss.map(_.size).sum.toDouble / ss.size, s"$day depth")
+    }
+  }
+
+  test("t38 ewma: first bucket is its own value; recompute matches") {
+    val rows = graft.operators.Temporal.ewmaHourly(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val w = Iterator.iterate(1.0)(_ * 0.7).take(24).toSeq
+    rows.groupBy(_._1).values.foreach { series =>
+      val s0 = series.sortBy(_._2)
+      // tolerance = 6-dp display quantization (5e-7) + float noise
+      assert(math.abs(s0.head._4 - s0.head._3) < 5.1e-7,
+        s"${s0.head._1}: first ewma must equal first bucket mean")
+      s0.zipWithIndex.foreach { case ((_, _, _, ewma), i) =>
+        val lags = (0 until 24).flatMap(d =>
+          if (i - d >= 0) Some(w(d) -> s0(i - d)._3) else None)
+        val expect = lags.map { case (wt, x) => wt * x }.sum /
+          lags.map(_._1).sum
+        assert(math.abs(ewma - expect) < 5.1e-7, s"row $i")
+      }
+    }
+  }
+
+  test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
+    val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
+    val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
+    val (minSz, maxSz, imb) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nonEmpty + empty == 16)
+    assert(minSz >= 1 && maxSz >= minSz)
+    assert(imb >= 1.0, "max/mean must be >= 1")
+    val n = Tables.embeddings(spark, sf0001).count()
+    // imbalance = max * n_nonempty / total ⇒ total recoverable exactly
+    assert(math.rint(maxSz * nonEmpty / imb) == n.toDouble)
+  }
 }
