@@ -214,6 +214,52 @@ object StreamOps {
       }
   }
 
+  case class CdcRow(user_id: Long, op: String, last_type: String,
+                    last_value: Double, last_ts: Timestamp, n_events: Long)
+  /** Latest-event state for [[cdcSnapshotStream]] — public for the state
+    * encoder, like [[ScdState]].
+    */
+  case class CdcState(last_ts: Timestamp, last_eid: Long, last_type: String,
+                      last_value: Double, n_events: Long)
+
+  /** Streaming CDC snapshot maintenance — the streaming twin of the
+    * oracle-checked t36 (Temporal.cdcSnapshot): per-user state keeps the
+    * LATEST event under the fully-tie-broken (ts, event_id) order (O(1)
+    * per key); every micro-batch emits the user's current snapshot row,
+    * marked op='U' (upsert) or op='D' (tombstone — latest event is an
+    * 'error') for a downstream MERGE sink. Unlike [[latestPerUser]] this
+    * carries DELETE semantics: a 'D' row tells the sink to drop the key,
+    * exactly how a lakehouse CDC apply consumes a changefeed.
+    * Out-of-order arrival across micro-batches is handled (the state
+    * compare is by event-time, not arrival); n_events assumes
+    * exactly-once delivery like the rest of the stateful surface.
+    */
+  def cdcSnapshotStream(events: Dataset[Event]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[CdcState]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { e =>
+            val newer = cur == null || {
+              val c = e.ts.compareTo(cur.last_ts)
+              c > 0 || (c == 0 && e.event_id > cur.last_eid)
+            }
+            cur =
+              if (newer)
+                CdcState(e.ts, e.event_id, e.event_type, e.value,
+                  if (cur == null) 1L else cur.n_events + 1)
+              else cur.copy(n_events = cur.n_events + 1)
+          }
+          state.update(cur)
+          Iterator.single(CdcRow(uid,
+            if (cur.last_type == "error") "D" else "U",
+            cur.last_type, cur.last_value, cur.last_ts, cur.n_events))
+      }
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state —
     * the streaming form of d01-style exact dedup: duplicate deliveries
     * (at-least-once sources) collapse to the first arrival, and state for

@@ -302,4 +302,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming CDC snapshot converges to the batch t36 semantics across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(400)
+    val ms = MemoryStream[Event]
+    // two micro-batches split mid-stream: state must merge across them
+    ms.addData(data.take(250))
+    val q = StreamOps.cdcSnapshotStream(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("cdc_stream").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(data.drop(250))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final row per user = the one with max n_events (monotone per key)
+    val fin = spark.table("cdc_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("op"), col("last_type"),
+        col("last_value"), col("last_ts"))).as("s"))
+      .select(col("user_id"), col("s.op"), col("s.last_type"),
+        col("s.last_value"), col("s.n_events"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    // driver-side expectation: latest by (ts, event_id), error ⇒ tombstone
+    val expect = data.groupBy(_.user_id).map { case (u, es) =>
+      val latest = es.maxBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      u -> (if (latest.event_type == "error") "D" else "U",
+        latest.event_type, latest.value, es.size.toLong)
+    }
+    assert(fin == expect)
+    // tombstoned users are exactly the batch-t36 absentees
+    val dUsers = fin.filter(_._2._1 == "D").keySet
+    assert(dUsers == expect.filter(_._2._1 == "D").keySet)
+    dUsers.foreach(u => assert(expect(u)._2 == "error"))
+  }
 }
