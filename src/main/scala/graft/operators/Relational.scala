@@ -846,12 +846,15 @@ object Relational {
 
   /** TPC-H Q15 shape — the supplier(s) with the maximum quarterly revenue,
     * ties preserved. The classic compute-once-use-twice plan: the per-
-    * supplier revenue aggregate is built ONCE, its max is a one-row
-    * aggregate broadcast back, and equality against that max keeps every
-    * tied supplier (the shape where `orderBy(desc).limit(1)` silently
-    * drops ties). At 100 TB the fact table is read and shuffled exactly
-    * once (one agg on l_suppkey); everything downstream of it operates on
-    * supplier-count-sized frames. Revenue has true scale 4 →
+    * supplier revenue view feeds both its own max (one-row aggregate,
+    * broadcast back) and the tie-preserving equality against that max
+    * (the shape where `orderBy(desc).limit(1)` silently drops ties).
+    * The view is EXPLICITLY persisted: Catalyst's exchange reuse does
+    * not fire across the two differing parent aggregates (verified on
+    * the executed plan — without the persist the fact subtree is built
+    * twice), so the materialization is what makes "the fact is read and
+    * shuffled exactly once" true at 100 TB; the cached frame is
+    * supplier-cardinality-sized. Revenue has true scale 4 →
     * round(sum,4) is the exact decimal restore, so the tie equality
     * compares exact decimals, never drifting ulps (QueryDef rules 1, 4).
     */
@@ -862,6 +865,7 @@ object Relational {
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = rev.agg(max("total_rev").as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("mx"))
@@ -887,13 +891,16 @@ object Relational {
   /** Argmin join-back (TPC-H Q2's min-cost-supplier core): for every part,
     * the minimum observed line price and the supplier(s) that quoted it.
     * The window-free argmin plan: a per-key min aggregate joined back to
-    * the fact on (key, value-equality). Both the aggregate and the join
-    * hash on l_partkey, so AQE reuses ONE exchange of the fact table and
-    * no per-group sort ever runs (the row_number() alternative — q08 —
-    * sorts every group; this plan only compares). The equality is on the
-    * RAW stored double (no arithmetic), identical bits in any engine.
-    * Ties on (part, price) across suppliers are all kept, deduplicated —
-    * the dedup rides the same partkey partitioning map-side.
+    * the fact on (key, value-equality). Executed-plan shape: the fact is
+    * scanned twice (a 2-column scan for the min agg, a 3-column probe),
+    * but the PROBE side never shuffles — AQE broadcasts the per-key min
+    * frame — and no per-group sort ever runs (the row_number()
+    * alternative — q08 — sorts every group). When the key space outgrows
+    * broadcast, both sides hash on the join keys (still no sort); the
+    * window plan's single scan only wins when the fact:key ratio is
+    * small. The equality is on the RAW stored double (no arithmetic),
+    * identical bits in any engine. Ties on (part, price) across
+    * suppliers are all kept, deduplicated map-side.
     */
   def cheapestSupplierPerPart(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)

@@ -321,6 +321,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q31: the persisted revenue view makes the fact single-scan (compute once, use twice)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Relational.topSupplierRevenue(spark, sf0001)
+    df.collect() // materialize the cache so the executed plan is final
+    // count LIVE lineitem scans by tree walk — the cached InMemoryRelation
+    // reprints its defining scan in toString but it is not an operator of
+    // this plan (the cache definition ran once, on materialization)
+    def walk(p: SparkPlan): (Int, Int) = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          (if (f.toString.contains("lineitem")) 1 else 0, 0)
+        case q if q.nodeName.contains("InMemoryTableScan") => (0, 1)
+        case _ => (0, 0)
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      kids.map(walk).foldLeft(self) { case ((a, b), (c, d)) => (a + c, b + d) }
+    }
+    val (factScans, cacheReads) = walk(df.queryExecution.executedPlan)
+    assert(cacheReads >= 2, s"both consumers must read the cache ($cacheReads)")
+    assert(factScans == 0, s"no live lineitem scan may remain ($factScans)")
+  }
+
+  test("q32: probe side of the argmin join-back never shuffles (min frame broadcasts)") {
+    val df = Relational.cheapestSupplierPerPart(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exchanges: the min agg's partkey hash, the dedup hash, the output
+    // range sort — none of them a probe-side pre-join shuffle
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("partition-pruned telemetry scan (hive layout) prunes at planning") {
     // covered in TelemetrySpec via PartitionFilters on the curated store;
     // here: the testdata single-file scans carry no partition filters but
