@@ -922,6 +922,91 @@ object Relational {
       |  ON l_partkey = mk AND l_extendedprice = min_price
       |ORDER BY l_partkey, l_suppkey""".stripMargin
 
+  /** TPC-H Q21 shape — the double-correlated semi + anti composition:
+    * suppliers who were the ONLY supplier with a returned line in a
+    * multi-supplier order (EXISTS another supplier in the order, NOT
+    * EXISTS another supplier with a return). Both probe sides are
+    * PRE-REDUCED to distinct (order, supplier) pairs before any join —
+    * the shuffles carry pair cardinality, never raw line volume (q29's
+    * map-side-dedup discipline applied twice). The semi and anti joins
+    * share the orderkey hash; the supplier label is a broadcast; the
+    * top-10 is TakeOrderedAndProject.
+    */
+  def soleReturner(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val os = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val rs = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val other = os.select(col("ok").as("ook"), col("sk").as("osk"))
+    val otherR = rs.select(col("ok").as("rok"), col("sk").as("rsk"))
+    rs
+      .join(other, col("ok") === col("ook") && col("sk") =!= col("osk"),
+        "left_semi")
+      .join(otherR, col("ok") === col("rok") && col("sk") =!= col("rsk"),
+        "left_anti")
+      .groupBy("sk").agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(desc("n_orders"), col("s_suppkey"))
+      .limit(10)
+  }
+
+  private val soleReturnerSql =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |rs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |       FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT s_suppkey, s_name, count(*) AS n_orders
+      |FROM rs JOIN supplier ON rs.sk = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM os
+      |              WHERE os.ok = rs.ok AND os.sk <> rs.sk)
+      |  AND NOT EXISTS (SELECT 1 FROM rs r2
+      |                  WHERE r2.ok = rs.ok AND r2.sk <> rs.sk)
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin
+
+  /** Column profiling — the data-discovery report every warehouse "ANALYZE
+    * TABLE"/profiler emits, as ONE query: per numeric lineitem column,
+    * row/value/null counts, exact distinct count, min/max, mean. The wide
+    * row is unpivoted with `stack` into (col_name, v) pairs so a SINGLE
+    * scan feeds one hash aggregate over a 4-key keyspace — partial
+    * aggregation collapses each map task to 4 rows, so the "4 groups ×
+    * full volume" shape never skews the shuffle. All quantities are
+    * exact-integer or exact-restored decimal (QueryDef rules 1-3).
+    * At 100 TB the exact countDistinct is the one term to swap
+    * (approx_count_distinct or t22's KMV) — the rest is map-side-thin.
+    */
+  def numericProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .selectExpr(
+        """stack(4,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) AS (col_name, v)""".stripMargin)
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_vals"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        (round(sum("v"), 2) / count(col("v"))).as("mean_v"))
+      .orderBy("col_name")
+
+  private val numericProfileSql =
+    """SELECT col_name, count(*) AS n_rows, count(v) AS n_vals,
+      |  count(*) - count(v) AS n_null, count(DISTINCT v) AS ndv,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  round(sum(v), 2) / count(v) AS mean_v
+      |FROM (
+      |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY col_name ORDER BY col_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -961,5 +1046,7 @@ object Relational {
       Some(topSupplierRevenueSql)),
     QueryDef("q32_cheapest_supplier_per_part", cheapestSupplierPerPart,
       Some(cheapestSupplierPerPartSql)),
+    QueryDef("q33_sole_returner", soleReturner, Some(soleReturnerSql)),
+    QueryDef("q34_numeric_profile", numericProfile, Some(numericProfileSql)),
   )
 }

@@ -1466,6 +1466,42 @@ object Temporal {
        |ORDER BY event_type, h_us""".stripMargin
   }
 
+  /** Median absolute deviation per event type — the robust dispersion
+    * companion to t35's winsorized mean (σ is wrecked by the same tails
+    * winsorization clamps; MAD is the standard outlier-immune scale
+    * estimate, and MAD·1.4826 the robust σ). Two-level percentile: the
+    * per-type median is computed, 6-dp-pinned (t35's determinism trick —
+    * the deviations |v − m| then start from identical doubles in both
+    * engines), broadcast back, and the deviation median is one more
+    * per-type exact percentile. Same scale posture as t35: two passes
+    * over the fact, each reducing on the 5-key type space; at 100 TB
+    * both percentile stages swap for t19's mergeable histogram sketch.
+    */
+  def madByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val med = ev.groupBy(col("event_type").as("mt"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    ev.join(broadcast(med), col("event_type") === col("mt"))
+      .withColumn("dev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(first("med").as("median_v"),
+        count(lit(1)).as("n"),
+        round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+      .withColumn("robust_sigma", round(col("mad") * lit(1.4826), 6))
+      .orderBy("event_type")
+  }
+
+  private val madByTypeSql =
+    """WITH m AS (
+      |  SELECT event_type AS mt, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, any_value(med) AS median_v, count(*) AS n,
+      |  round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+      |  round(round(quantile_cont(abs(value - med), 0.5), 6) * 1.4826, 6)
+      |    AS robust_sigma
+      |FROM events JOIN m ON event_type = mt
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1509,5 +1545,6 @@ object Temporal {
     QueryDef("t36_cdc_snapshot", cdcSnapshot, Some(cdcSnapshotSql)),
     QueryDef("t37_session_stats", sessionStats, Some(sessionStatsSql)),
     QueryDef("t38_ewma_hourly", ewmaHourly, Some(ewmaHourlySql)),
+    QueryDef("t39_mad_by_type", madByType, Some(madByTypeSql)),
   )
 }

@@ -714,6 +714,61 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q33 sole returners match a driver-side double-correlation sweep") {
+    val pairs = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = pairs.groupBy(_._1)
+    val expect = byOrder.values.flatMap { ls =>
+      val supps = ls.map(_._2).distinct
+      val rSupps = ls.filter(_._3 == "R").map(_._2).distinct
+      if (supps.size > 1 && rSupps.size == 1) rSupps else Nil
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Relational.soleReturner(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // top-10 of the expectation, compared as (supplier → count) subset
+    got.foreach { case (sk, n) => assert(expect(sk) == n, s"supplier $sk") }
+    assert(got.values.min >= expect.values.toSeq.sorted(Ordering[Long].reverse)
+      .drop(10).headOption.getOrElse(0L))
+  }
+
+  test("q34 profile equals direct per-column aggregates") {
+    val prof = graft.operators.Relational.numericProfile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    val li = Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { c =>
+      val d = li.agg(count(col(c)), countDistinct(col(c)), min(col(c)),
+        max(col(c)), round(sum(col(c)), 2)).collect()(0)
+      val (nRows, nVals, nNull, ndv, mn, mx, mean) = prof(c)
+      assert(nRows == total && nVals == d.getLong(0) && nNull == total - d.getLong(0))
+      assert(ndv == d.getLong(1))
+      assert(mn == d.getDouble(2) && mx == d.getDouble(3))
+      assert(mean == d.getDouble(4) / d.getLong(0), s"$c mean")
+    }
+  }
+
+  test("t39 MAD: deviations recompute, robust sigma is the pinned multiple") {
+    val vals = Tables.events(spark, sf0001).select("event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    def interpMedian(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted; val n = s0.size
+      if (n % 2 == 1) s0(n / 2) else (s0(n / 2 - 1) + s0(n / 2)) / 2.0
+    }
+    val rows = graft.operators.Temporal.madByType(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (t, med, mad, rs) =
+        (r.getString(0), r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      val xs = vals.filter(_._1 == t).map(_._2).toSeq
+      assert(math.abs(med - interpMedian(xs)) < 5.1e-7, s"$t median")
+      val devs = xs.map(x => math.abs(x - med))
+      assert(math.abs(mad - interpMedian(devs)) < 5.1e-7, s"$t mad")
+      assert(rs == math.rint(mad * 1.4826 * 1e6) / 1e6 ||
+        math.abs(rs - mad * 1.4826) < 5.1e-7, s"$t robust sigma")
+    }
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
