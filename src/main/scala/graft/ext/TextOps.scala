@@ -1559,6 +1559,40 @@ object TextOps {
        |               len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)) >= 0.8
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  // ---------------------------------------------------------------- d36
+
+  /** Per-source vocabulary statistics — type-token ratio and hapax share,
+    * the classic lexical-diversity signals (low TTR ⇒ repetitive/
+    * boilerplate source; high hapax share ⇒ noisy/OCR-ish source; both
+    * feed source-level quality gating next to d27's report card). Two
+    * stacked aggregations: (source, token) counts ride ONE shuffle keyed
+    * by the pair (map-side combine absorbs within-partition repeats —
+    * hot tokens like 'the' collapse before the exchange), then the
+    * source-level rollup reduces onto the tiny source keyspace. All
+    * ratios are exact-integer divisions (QueryDef rule 3).
+    */
+  def hapaxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS t")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ttr", col("vocab") * lit(1.0) / col("n_tokens"))
+      .withColumn("hapax_share", col("hapax") * lit(1.0) / col("vocab"))
+      .orderBy("source")
+
+  private val hapaxStatsSql =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  count(*) * 1.0 / sum(c) AS ttr,
+      |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS hapax_share
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1602,5 +1636,6 @@ object TextOps {
       Some(clusterWeightedSampleSql)),
     QueryDef("d35_containment_dup_pairs", containmentDupPairs,
       Some(containmentDupPairsSql)),
+    QueryDef("d36_hapax_stats", hapaxStats, Some(hapaxStatsSql)),
   )
 }

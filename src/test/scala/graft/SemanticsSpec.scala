@@ -769,6 +769,26 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("d36 hapax stats recompute per source") {
+    val docs = Tables.documents(spark, sf0001).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      val toks = ds.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).view.mapValues(_.size)
+      (toks.size.toLong, counts.size.toLong,
+        counts.count(_._2 == 1).toLong)
+    }.toMap
+    val got = graft.ext.TextOps.hapaxStats(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (src, nt, v, h) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nt, v, h) == expect(src), s"source $src")
+      assert(h <= v && v <= nt)
+      assert(r.getDouble(4) == v.toDouble / nt && r.getDouble(5) == h.toDouble / v)
+    }
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
