@@ -928,18 +928,25 @@ object Relational {
     * EXISTS another supplier with a return). Both probe sides are
     * PRE-REDUCED to distinct (order, supplier) pairs before any join —
     * the shuffles carry pair cardinality, never raw line volume (q29's
-    * map-side-dedup discipline applied twice). The semi and anti joins
-    * share the orderkey hash; the supplier label is a broadcast; the
-    * top-10 is TakeOrderedAndProject.
+    * map-side-dedup discipline applied twice) — and both derive from a
+    * SINGLE persisted pair aggregate carrying a has-return flag (one
+    * fact scan and one pair exchange where the two-distinct spelling
+    * pays two of each). The semi and anti joins share the orderkey
+    * hash; the supplier label is a broadcast; the top-10 is
+    * TakeOrderedAndProject.
     */
   def soleReturner(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val os = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val rs = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val other = os.select(col("ok").as("ook"), col("sk").as("osk"))
+    // ONE fact pass builds both probe relations: the (order, supplier)
+    // pair frame carries a has-return flag, so "all pairs" and "return
+    // pairs" are the same aggregate (persisted — three consumers would
+    // otherwise rebuild the fact subtree, q31's lesson) and the two
+    // distinct-pair shuffles of the naive spelling collapse into one.
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rs = pairs.filter(col("has_r") === 1).select("ok", "sk")
+    val other = pairs.select(col("ok").as("ook"), col("sk").as("osk"))
     val otherR = rs.select(col("ok").as("rok"), col("sk").as("rsk"))
     rs
       .join(other, col("ok") === col("ook") && col("sk") =!= col("osk"),
