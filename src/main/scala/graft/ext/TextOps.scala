@@ -1593,6 +1593,71 @@ object TextOps {
       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS hapax_share
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d37
+
+  /** Best-of-cluster canonical selection — d13's clusters with the keeper
+    * chosen by QUALITY instead of min-id: production dedup keeps the
+    * best member of each near-dup cluster (highest stopword ratio here,
+    * d03's strongest single signal on this corpus; boilerplate/salvage
+    * variants score lower), with doc_id as the deterministic tie-break.
+    * Composes three oracle-checked pieces: d13 components ⋈ d03's
+    * row-local ratio → per-cluster argmax (window rank over the
+    * cluster-sized frame — the groups are tiny by construction, so the
+    * per-group sort q32 avoids is harmless here). Emits only multi-doc
+    * clusters (singletons keep themselves trivially). The quality ratio
+    * is an exact integer division — bit-identical cross-engine, so the
+    * argmax never flips on ulps.
+    */
+  def bestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+    val q = Tables.documents(s, dir).selectExpr("doc_id",
+      s"size(filter(split(text,' '), t -> array_contains($stopArr, t))) * 1.0D" +
+        " / size(split(text,' ')) AS stop_ratio")
+    val labeled = dupClusters(s, dir).join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(desc("stop_ratio"), col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+      .filter(col("rn") === 1 && col("cluster_size") > 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("stop_ratio"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
+  private val bestOfClusterSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |q AS (SELECT doc_id,
+       |        len(list_filter(string_split(text,' '),
+       |            t -> list_contains($stopList, t))) * 1.0
+       |          / len(string_split(text,' ')) AS stop_ratio
+       |      FROM documents),
+       |ranked AS (
+       |  SELECT cc.cluster_id, cc.doc_id, q.stop_ratio,
+       |    row_number() OVER (PARTITION BY cc.cluster_id
+       |      ORDER BY q.stop_ratio DESC, cc.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size
+       |  FROM cc JOIN q ON cc.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS keep_id, stop_ratio, cluster_size
+       |FROM ranked WHERE rn = 1 AND cluster_size > 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1637,5 +1702,6 @@ object TextOps {
     QueryDef("d35_containment_dup_pairs", containmentDupPairs,
       Some(containmentDupPairsSql)),
     QueryDef("d36_hapax_stats", hapaxStats, Some(hapaxStatsSql)),
+    QueryDef("d37_best_of_cluster", bestOfCluster, Some(bestOfClusterSql)),
   )
 }

@@ -1502,6 +1502,73 @@ object Temporal {
       |FROM events JOIN m ON event_type = mt
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Snapshot diff / reconciliation — the "data diff" every pipeline
+    * migration and backfill audit runs: the t36 CDC snapshot is
+    * evaluated at two cutoffs (mid-month and month-end) and FULL OUTER
+    * joined on the key, classifying every user as added (absent at T1),
+    * removed (tombstoned between the cutoffs), or changed (any newer
+    * event); unchanged keys are suppressed like any diff. Each snapshot
+    * is one user_id window pass over its cutoff-filtered scan (the
+    * filter pushes to parquet); the full outer join hashes both
+    * key-cardinality-sized snapshots on user_id. Determinism: status is
+    * decided by exact epoch-µs comparison, values emitted raw.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def snap(cutoff: String, pre: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .filter(col("ts") < lit(cutoff).cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id").as(s"${pre}_uid"),
+          col("event_type").as(s"${pre}_type"),
+          col("value").as(s"${pre}_value"),
+          unix_micros(col("ts")).as(s"${pre}_ts_us"))
+    }
+    snap("2024-01-15", "old")
+      .join(snap("2024-01-30", "new"),
+        col("old_uid") === col("new_uid"), "full_outer")
+      .withColumn("user_id", coalesce(col("old_uid"), col("new_uid")))
+      .withColumn("status",
+        when(col("old_uid").isNull, "added")
+          .when(col("new_uid").isNull, "removed")
+          .when(col("new_ts_us") =!= col("old_ts_us"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select("user_id", "status", "old_type", "new_type",
+        "old_value", "new_value")
+      .orderBy("user_id")
+  }
+
+  private val snapshotDiffSql =
+    """WITH s1 AS (
+      |  SELECT user_id AS old_uid, event_type AS old_type,
+      |    value AS old_value, epoch_us(ts) AS old_ts_us
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE ts < TIMESTAMP '2024-01-15')
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |s2 AS (
+      |  SELECT user_id AS new_uid, event_type AS new_type,
+      |    value AS new_value, epoch_us(ts) AS new_ts_us
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE ts < TIMESTAMP '2024-01-30')
+      |  WHERE rn = 1 AND event_type <> 'error')
+      |SELECT coalesce(old_uid, new_uid) AS user_id,
+      |  CASE WHEN old_uid IS NULL THEN 'added'
+      |       WHEN new_uid IS NULL THEN 'removed'
+      |       WHEN new_ts_us <> old_ts_us THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  old_type, new_type, old_value, new_value
+      |FROM s1 FULL OUTER JOIN s2 ON old_uid = new_uid
+      |WHERE CASE WHEN old_uid IS NULL THEN 'added'
+      |           WHEN new_uid IS NULL THEN 'removed'
+      |           WHEN new_ts_us <> old_ts_us THEN 'changed'
+      |           ELSE 'unchanged' END <> 'unchanged'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1546,5 +1613,6 @@ object Temporal {
     QueryDef("t37_session_stats", sessionStats, Some(sessionStatsSql)),
     QueryDef("t38_ewma_hourly", ewmaHourly, Some(ewmaHourlySql)),
     QueryDef("t39_mad_by_type", madByType, Some(madByTypeSql)),
+    QueryDef("t40_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
   )
 }

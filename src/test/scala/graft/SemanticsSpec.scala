@@ -789,6 +789,49 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("d37 keeps the max-quality member of every multi-doc cluster") {
+    val clusters = graft.ext.TextOps.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val ratios = graft.ext.TextOps.qualityScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap // stop_ratio
+    val got = graft.ext.TextOps.bestOfCluster(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == byCluster.filter(_._2.size > 1).keySet)
+    got.foreach { case (cid, keep, ratio, size) =>
+      val members = byCluster(cid)
+      assert(size == members.size)
+      assert(members.contains(keep))
+      val best = members.map(d => (ratios(d), d)).sortBy(p => (-p._1, p._2)).head
+      assert(keep == best._2 && ratio == best._1, s"cluster $cid")
+    }
+  }
+
+  test("t40 snapshot diff classifies against a driver-side double-snapshot") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def snap(cutUs: Long): Map[Long, (String, Long)] =
+      ev.filter(_._2 < cutUs).groupBy(_._1).flatMap { case (u, es) =>
+        val latest = es.maxBy(e => (e._2, e._3))
+        if (latest._4 == "error") None else Some(u -> (latest._4, latest._2))
+      }
+    val us = (d: String) => java.time.Instant.parse(d).toEpochMilli * 1000
+    val (s1, s2) = (snap(us("2024-01-15T00:00:00Z")), snap(us("2024-01-30T00:00:00Z")))
+    val expect = (s1.keySet ++ s2.keySet).flatMap { u =>
+      (s1.get(u), s2.get(u)) match {
+        case (None, Some(_)) => Some(u -> "added")
+        case (Some(_), None) => Some(u -> "removed")
+        case (Some((_, t1)), Some((_, t2))) if t1 != t2 => Some(u -> "changed")
+        case _ => None
+      }
+    }.toMap
+    val got = graft.operators.Temporal.snapshotDiff(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect)
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
