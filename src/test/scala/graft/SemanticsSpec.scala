@@ -832,6 +832,36 @@ class SemanticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("e15 MMR equals a driver-side greedy over the exact candidates") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.rint(d / math.sqrt(na * nb) * 1e6) / 1e6
+    }
+    val qv = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy(c => (-c._3, c._1)).take(10)
+    var sel = List(cand.head)
+    var rest = cand.tail
+    while (sel.size < 5) {
+      val next = rest.map { c =>
+        val msim = sel.map(s0 => cos(c._2, s0._2)).max
+        (c, 0.7 * c._3 - 0.3 * msim)
+      }.minBy { case (c, sc) => (-sc, c._1) }
+      sel = sel :+ next._1
+      rest = rest.filterNot(_._1 == next._1._1)
+    }
+    val got = graft.ext.VectorOps.mmrTop5(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == sel.zipWithIndex.map { case (c, i) => (i + 1, c._1) })
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
