@@ -162,4 +162,60 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(zbar) < 1e-8)
     }
   }
+
+  test("winsorized mean is within [min, max] and monotone under clamp widening") {
+    val gen = Gen.listOfN(60, Gen.chooseNum(-500.0, 500.0))
+    draw(gen, 5).foreach { xs =>
+      val df = xs.toDF("v")
+      def wmean(lo: Double, hi: Double): Double = {
+        val b = df.agg(
+          round(expr(s"percentile(v, ${lo}D)"), 6).as("lo"),
+          round(expr(s"percentile(v, ${hi}D)"), 6).as("hi"))
+        df.crossJoin(b)
+          .select(least(greatest(col("v"), col("lo")), col("hi")).as("w"))
+          .agg(avg("w")).first().getDouble(0)
+      }
+      val narrow = wmean(0.25, 0.75)
+      val wide = wmean(0.05, 0.95)
+      val full = wmean(0.0, 1.0)
+      assert(narrow >= xs.min && narrow <= xs.max)
+      // widening the clamp moves the mean toward the raw mean
+      val raw = xs.sum / xs.size
+      assert(math.abs(wide - raw) <= math.abs(narrow - raw) + 1e-6)
+      assert(math.abs(full - raw) < 1e-9)
+    }
+  }
+
+  test("MAD of a constant series is 0; adding one outlier leaves the median robust") {
+    draw(Gen.chooseNum(-100.0, 100.0), 5).foreach { c =>
+      val base = Seq.fill(21)(c)
+      val df = base.toDF("v")
+      val med = df.agg(expr("percentile(v, 0.5)")).first().getDouble(0)
+      assert(med == c)
+      val mad = df.select(abs(col("v") - lit(med)).as("d"))
+        .agg(expr("percentile(d, 0.5)")).first().getDouble(0)
+      assert(mad == 0.0)
+      // one wild outlier: median and MAD unmoved (robustness), mean not
+      val out = (base :+ (c + 1e6)).toDF("v")
+      val med2 = out.agg(expr("percentile(v, 0.5)")).first().getDouble(0)
+      assert(med2 == c)
+    }
+  }
+
+  test("EWMA of a constant series is the constant at every position") {
+    val w24 = Iterator.iterate(1.0)(_ * 0.7).take(24).toSeq
+    draw(Gen.chooseNum(-100.0, 100.0), 5).foreach { c =>
+      val df = (1 to 40).map(i => (i, c)).toDF("i", "v")
+      val w = Window.orderBy("i")
+      val num = w24.zipWithIndex.map { case (wt, d) =>
+        coalesce(lag(col("v"), d).over(w), lit(0.0)) * lit(wt)
+      }.reduceLeft(_ + _)
+      val den = w24.zipWithIndex.map { case (wt, d) =>
+        when(lag(col("v"), d).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+      }.reduceLeft(_ + _)
+      val bad = df.select((num / den).as("e"))
+        .filter(abs(col("e") - lit(c)) > 1e-9).count()
+      assert(bad == 0)
+    }
+  }
 }
