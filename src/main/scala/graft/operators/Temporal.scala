@@ -1622,6 +1622,90 @@ object Temporal {
       |JOIN d ON cell.dow = d.dow, g
       |ORDER BY cell.dow, cell.hod""".stripMargin
 
+  /** Irregular→regular resampling with linear interpolation — gap filling
+    * onto the hourly grid, the step between raw telemetry and any
+    * fixed-step model input (t27 finds the holes; this FILLS them).
+    * Plan: the per-(type, hour) observation aggregate, a generated
+    * calendar spine (t27's 1-row span + type set — the fact is touched
+    * exactly twice), then per type TWO directional ignore-nulls running
+    * windows (last non-null obs looking back, first looking forward)
+    * over the spine-sized frame — linear single-shuffle, the same
+    * tagged-union discipline as the t13 as-of join, never a point-in-
+    * time join per gap. Rows are labeled obs/interp/edge (edges have no
+    * bracketing pair and stay null). Determinism: observed means are
+    * exact restores; the interpolation pv + (nv−pv)·(Δ1·1.0/Δ2) runs
+    * the SAME fixed-order float ops on exact-integer µs deltas in both
+    * engines — no display rounding.
+    */
+  def resampleInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((round(sum("value"), 2) / count(lit(1))).as("v"))
+    val span = obs.agg(min("h").as("h_lo"), max("h").as("h_hi"),
+      collect_set("event_type").as("types"))
+    val spine = span
+      .select(explode(sequence(col("h_lo"), col("h_hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"), col("types"))
+      .select(col("h"), explode(col("types")).as("event_type"))
+    val back = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("v").isNotNull, col("h"))
+    spine.join(obs, Seq("event_type", "h"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsH, ignoreNulls = true).over(back))
+      .withColumn("nv", first("v", ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsH, ignoreNulls = true).over(fwd))
+      .select(col("event_type"), unix_micros(col("h")).as("h_us"),
+        when(col("v").isNotNull, "obs")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .otherwise("edge").as("kind"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("h")) - unix_micros(col("ph"))) * lit(1.0) /
+                (unix_micros(col("nh")) - unix_micros(col("ph")))))
+          .as("value"))
+      .orderBy("event_type", "h_us")
+  }
+
+  private val resampleInterpolateSql =
+    """WITH obs AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    round(sum(value), 2) / count(*) AS v
+      |  FROM events GROUP BY event_type, h),
+      |span AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM obs),
+      |spine AS (SELECT t.event_type, g.h
+      |          FROM (SELECT DISTINCT event_type FROM obs) t,
+      |               (SELECT unnest(generate_series(h_lo, h_hi,
+      |                  INTERVAL 1 HOUR)) AS h FROM span) g),
+      |j AS (SELECT s.event_type, s.h, o.v
+      |      FROM spine s LEFT JOIN obs o
+      |        ON s.event_type = o.event_type AND s.h = o.h),
+      |f AS (SELECT *,
+      |  last_value(v IGNORE NULLS) OVER wb AS pv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |    OVER wb AS ph,
+      |  first_value(v IGNORE NULLS) OVER wf AS nv,
+      |  first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |    OVER wf AS nh
+      |  FROM j WINDOW
+      |    wb AS (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, epoch_us(h) AS h_us,
+      |  CASE WHEN v IS NOT NULL THEN 'obs'
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+      |       ELSE 'edge' END AS kind,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |         pv + (nv - pv) * ((epoch_us(h) - epoch_us(ph)) * 1.0
+      |           / (epoch_us(nh) - epoch_us(ph)))
+      |       ELSE NULL END AS value
+      |FROM f ORDER BY event_type, h_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1668,5 +1752,7 @@ object Temporal {
     QueryDef("t39_mad_by_type", madByType, Some(madByTypeSql)),
     QueryDef("t40_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("t41_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineSql)),
+    QueryDef("t42_resample_interpolate", resampleInterpolate,
+      Some(resampleInterpolateSql)),
   )
 }

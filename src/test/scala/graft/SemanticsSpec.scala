@@ -905,6 +905,37 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("t42 interpolation brackets, recomputes, and only edges are null") {
+    val rows = graft.operators.Temporal.resampleInterpolate(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    rows.groupBy(_._1).values.foreach { series =>
+      val s0 = series.sortBy(_._2)
+      val obs = s0.filter(_._3 == "obs")
+      assert(obs.nonEmpty)
+      // grid is complete and hourly
+      s0.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 - a._2 == 3600000000L)
+        case _ =>
+      }
+      s0.foreach {
+        case (_, h, "interp", Some(v)) =>
+          val prev = obs.filter(_._2 < h).last
+          val next = obs.find(_._2 > h).get
+          val (pv, nv) = (prev._4.get, next._4.get)
+          val frac = (h - prev._2) * 1.0 / (next._2 - prev._2)
+          assert(v == pv + (nv - pv) * frac, s"interp at $h")
+          assert(v >= math.min(pv, nv) && v <= math.max(pv, nv))
+        case (_, h, "edge", v) =>
+          assert(v.isEmpty)
+          assert(h < obs.head._2 || h > obs.last._2,
+            "edges only outside the observed span")
+        case (_, _, "obs", v) => assert(v.nonEmpty)
+        case other => fail(s"unexpected row $other")
+      }
+    }
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
