@@ -1658,6 +1658,68 @@ object TextOps {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d38
+
+  /** Language-ID confusion matrix — the evaluation harness for d04's
+    * in-engine classifier against the corpus's labeled `lang` column:
+    * per (true, predicted) cell, count and row share. This is the
+    * model-eval operator every heuristic classifier needs before it
+    * gates data (a d04 run whose es→en confusion is 30% should not
+    * route Spanish docs). One row-local prediction pass (d04's exact
+    * CASE argmax), one hash agg over the ≤25-cell label keyspace, and a
+    * per-true-label total joined back by broadcast; shares are
+    * exact-integer divisions.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val hitCols = langWords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("array(", ",", ")")
+      s"size(filter(split(text,' '), t -> array_contains($arr, t))) AS ${l}_hits"
+    }
+    val pred =
+      """CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+        |     WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+        |     WHEN de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+        |     WHEN fr_hits >= zh_hits THEN 'fr'
+        |     ELSE 'zh' END AS pred_lang""".stripMargin
+    val cells = Tables.documents(s, dir)
+      .selectExpr(Seq("doc_id", "lang") ++ hitCols: _*)
+      .selectExpr("lang", pred)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang").as("tl"))
+      .agg(sum("n").as("row_total"))
+    cells.join(broadcast(totals), col("lang") === col("tl"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("n") * lit(1.0) / col("row_total")).as("row_share"),
+        (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  private val langidConfusionSql = {
+    val hitCols = langWords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(text,' '), t -> list_contains($arr, t))) AS ${l}_hits"
+    }.mkString(",\n        ")
+    """WITH scored AS (
+      |  SELECT lang,
+      |   CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+      |        WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+      |        WHEN de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+      |        WHEN fr_hits >= zh_hits THEN 'fr'
+      |        ELSE 'zh' END AS pred_lang
+      |  FROM (SELECT doc_id, lang,
+      |        """.stripMargin + hitCols +
+      """
+        |      FROM documents)),
+        |cells AS (SELECT lang, pred_lang, count(*) AS n
+        |          FROM scored GROUP BY lang, pred_lang),
+        |tot AS (SELECT lang AS tl, CAST(sum(n) AS BIGINT) AS row_total
+        |        FROM cells GROUP BY lang)
+        |SELECT lang, pred_lang, n, n * 1.0 / row_total AS row_share,
+        |  lang = pred_lang AS correct
+        |FROM cells JOIN tot ON lang = tl
+        |ORDER BY lang, pred_lang""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -1703,5 +1765,6 @@ object TextOps {
       Some(containmentDupPairsSql)),
     QueryDef("d36_hapax_stats", hapaxStats, Some(hapaxStatsSql)),
     QueryDef("d37_best_of_cluster", bestOfCluster, Some(bestOfClusterSql)),
+    QueryDef("d38_langid_confusion", langidConfusion, Some(langidConfusionSql)),
   )
 }

@@ -1074,6 +1074,65 @@ object Relational {
       |  (n_active * 1.0 / n_customers) / (ta * 1.0 / tc) AS lift
       |FROM agg, tot ORDER BY decile""".stripMargin
 
+  /** Cross-fact reconciliation audit — does the order header agree with
+    * its lines? The t11/e12 data-contract idea extended ACROSS tables:
+    * per order, the line-derived total (Σ price·(1−disc)·(1+tax), true
+    * scale 6 → exact restore) is compared to o_totalprice; the one-row
+    * report counts childless orders, orders within/beyond 1% relative
+    * difference, the worst relative difference, and orphaned lines
+    * (lineitem keys with no order — the referential-integrity check).
+    * Plan: ONE orderkey-co-partitioned fact-fact join for the header
+    * comparison, one anti join for orphans; every verdict is decided on
+    * bit-identical arithmetic (exact-decimal inputs, fixed-order ops),
+    * so the 1% threshold cannot flip between engines.
+    */
+  def factReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val la = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax"))), 6).as("line_total"))
+    val relDiff = abs(col("o_totalprice") - col("line_total")) / col("o_totalprice")
+    val orphans = Tables.lineitem(s, dir).select("l_orderkey")
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("ok2")),
+        col("l_orderkey") === col("ok2"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_lines"))
+    Tables.orders(s, dir)
+      .join(la, col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("line_total").isNull, 1L).otherwise(0L)).as("n_childless"),
+        sum(when(col("line_total").isNotNull && relDiff <= 0.01, 1L)
+          .otherwise(0L)).as("n_within_1pct"),
+        sum(when(col("line_total").isNotNull && relDiff > 0.01, 1L)
+          .otherwise(0L)).as("n_beyond_1pct"),
+        round(max(when(col("line_total").isNotNull, relDiff)), 6)
+          .as("max_rel_diff"))
+      .crossJoin(orphans)
+  }
+
+  private val factReconciliationSql =
+    """WITH la AS (
+      |  SELECT l_orderkey,
+      |    round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 6) AS line_total
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (SELECT o_totalprice, line_total
+      |      FROM orders LEFT JOIN la ON o_orderkey = l_orderkey)
+      |SELECT count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_childless,
+      |  CAST(sum(CASE WHEN line_total IS NOT NULL
+      |    AND abs(o_totalprice - line_total) / o_totalprice <= 0.01
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |  CAST(sum(CASE WHEN line_total IS NOT NULL
+      |    AND abs(o_totalprice - line_total) / o_totalprice > 0.01
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1pct,
+      |  round(max(CASE WHEN line_total IS NOT NULL
+      |    THEN abs(o_totalprice - line_total) / o_totalprice END), 6)
+      |    AS max_rel_diff,
+      |  (SELECT count(*) FROM lineitem
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+      |    AS n_orphan_lines
+      |FROM j""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1116,5 +1175,7 @@ object Relational {
     QueryDef("q33_sole_returner", soleReturner, Some(soleReturnerSql)),
     QueryDef("q34_numeric_profile", numericProfile, Some(numericProfileSql)),
     QueryDef("q35_decile_lift", decileLift, Some(decileLiftSql)),
+    QueryDef("q36_fact_reconciliation", factReconciliation,
+      Some(factReconciliationSql)),
   )
 }

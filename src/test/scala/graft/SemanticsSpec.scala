@@ -936,6 +936,37 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("d38 confusion cells partition the corpus and agree with d04 row-wise") {
+    val cells = graft.ext.TextOps.langidConfusion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(cells.map(_._3).sum == nDocs)
+    cells.foreach { case (l, p, _, _, c) => assert(c == (l == p)) }
+    // row shares sum to 1 per true label
+    cells.groupBy(_._1).values.foreach(row =>
+      assert(math.abs(row.map(_._4).sum - 1.0) < 1e-12))
+    // cells recompute from d04's per-doc predictions
+    val d04 = graft.ext.TextOps.langId(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(7)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    cells.foreach { case (l, p, n, _, _) => assert(d04((l, p)) == n, s"($l,$p)") }
+  }
+
+  test("q36 reconciliation counts partition orders; orphans recompute") {
+    val r = graft.operators.Relational.factReconciliation(spark, sf0001)
+      .collect()(0)
+    val (n, childless, within, beyond) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == Tables.orders(spark, sf0001).count())
+    assert(childless + within + beyond == n)
+    assert(r.getDouble(4) >= 0.0)
+    val orphans = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(r.getLong(5) == orphans)
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
