@@ -1133,6 +1133,56 @@ object Relational {
       |    AS n_orphan_lines
       |FROM j""".stripMargin
 
+  /** Percent-of-parent hierarchy report — each nation's share of its
+    * region and each region's share of the total, on one customer-
+    * balance measure: the drill-down ratio columns every OLAP hierarchy
+    * browser shows next to the raw measure. ONE aggregation at the leaf
+    * grain (nation); the region and grand totals are windows OVER THE
+    * LEAF AGGREGATE (25 rows), never re-aggregations of the fact —
+    * compute at the finest grain once, derive ancestors by window sums
+    * (the additive-measure discipline; non-additive measures would need
+    * the separate rollup). Shares are exact-restored decimal sums
+    * divided pairwise — same bits both engines, no display rounding.
+    */
+  def percentOfParent(s: SparkSession, dir: String): DataFrame = {
+    val leaf = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("nation_bal"))
+    val byRegion = Window.partitionBy("r_name")
+    val all = Window.partitionBy()
+    leaf
+      // window sums also need the exact-decimal restore (QueryDef rule 1):
+      // partition-internal add order is engine-specific, but the summands
+      // are 2-dec decimals so round(·, 2) recovers the exact decimal sum
+      .withColumn("region_bal", round(sum("nation_bal").over(byRegion), 2))
+      .withColumn("total_bal", round(sum("nation_bal").over(all), 2))
+      .select(col("r_name"), col("n_name"), col("n_customers"),
+        col("nation_bal"),
+        (col("nation_bal") / col("region_bal")).as("share_of_region"),
+        (col("region_bal") / col("total_bal")).as("region_share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val percentOfParentSql =
+    """WITH leaf AS (
+      |  SELECT r_name, n_name, count(*) AS n_customers,
+      |    round(sum(c_acctbal), 2) AS nation_bal
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name, n_customers, nation_bal,
+      |  nation_bal / round(sum(nation_bal) OVER (PARTITION BY r_name), 2)
+      |    AS share_of_region,
+      |  round(sum(nation_bal) OVER (PARTITION BY r_name), 2)
+      |    / round(sum(nation_bal) OVER (), 2) AS region_share_of_total
+      |FROM leaf ORDER BY r_name, n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1177,5 +1227,6 @@ object Relational {
     QueryDef("q35_decile_lift", decileLift, Some(decileLiftSql)),
     QueryDef("q36_fact_reconciliation", factReconciliation,
       Some(factReconciliationSql)),
+    QueryDef("q37_percent_of_parent", percentOfParent, Some(percentOfParentSql)),
   )
 }

@@ -967,6 +967,21 @@ class SemanticsSpec extends SparkSpec {
     assert(r.getLong(5) == orphans)
   }
 
+  test("q37 shares: nations sum to 1 within each region, regions sum to 1 overall") {
+    val rows = graft.operators.Relational.percentOfParent(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).values.foreach { region =>
+      assert(math.abs(region.map(_._4).sum - 1.0) < 1e-12,
+        s"${region.head._1} nation shares")
+      // region share is constant within the region
+      assert(region.map(_._5).distinct.size == 1)
+    }
+    val regionShares = rows.groupBy(_._1).map(_._2.head._5)
+    assert(math.abs(regionShares.sum - 1.0) < 1e-12, "region shares")
+    assert(rows.length == 25)
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
