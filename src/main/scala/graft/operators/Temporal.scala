@@ -1706,6 +1706,37 @@ object Temporal {
       |       ELSE NULL END AS value
       |FROM f ORDER BY event_type, h_us""".stripMargin
 
+  /** Burstiest-user audit — rate-limit / abuse detection over a TRUE
+    * sliding horizon: per event, how many of the user's events fall in
+    * the trailing hour ENDING AT IT (t17's RANGE frame counting rows
+    * instead of summing — the frame is value-defined, so simultaneous
+    * events are peers and the count is order-independent); per user, the
+    * peak burst; top-20 burstiest. Tumbling buckets UNDERCOUNT bursts
+    * that straddle a boundary — the sliding frame is the correct
+    * semantics, and it stays one user_id exchange (window + agg ride
+    * it) plus a TakeOrderedAndProject. Pure integer outputs — nothing
+    * to round.
+    */
+  def burstiestUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .selectExpr("user_id",
+        """count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS burst""".stripMargin)
+      .groupBy("user_id")
+      .agg(max("burst").as("max_burst"), count(lit(1)).as("n_events"))
+      .orderBy(desc("max_burst"), col("user_id"))
+      .limit(20)
+
+  private val burstiestUsersSql =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS burst
+      |  FROM events)
+      |SELECT user_id, max(burst) AS max_burst, count(*) AS n_events
+      |FROM b GROUP BY user_id
+      |ORDER BY max_burst DESC, user_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1754,5 +1785,6 @@ object Temporal {
     QueryDef("t41_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineSql)),
     QueryDef("t42_resample_interpolate", resampleInterpolate,
       Some(resampleInterpolateSql)),
+    QueryDef("t43_burstiest_users", burstiestUsers, Some(burstiestUsersSql)),
   )
 }

@@ -982,6 +982,41 @@ class SemanticsSpec extends SparkSpec {
     assert(rows.length == 25)
   }
 
+  test("t43 peak bursts recompute from a driver-side sliding count") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def peak(ts: Seq[Long]): Long =
+      ts.map(t => ts.count(u => u >= t - 3600000000L && u <= t).toLong).max
+    val got = graft.operators.Temporal.burstiestUsers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (u, burst, n) =>
+      assert(n == byUser(u).size, s"user $u n_events")
+      assert(burst == peak(byUser(u)), s"user $u burst")
+    }
+    // the cut is genuinely the top: nobody outside beats the last row
+    val cutoff = got.last._2
+    val outside = byUser.keySet -- got.map(_._1).toSet
+    outside.foreach(u => assert(peak(byUser(u)) <= cutoff, s"user $u above cut"))
+  }
+
+  test("e16 separation: all 45 label pairs, ratio recomputes, spreads positive") {
+    val rows = graft.ext.VectorOps.clusterSeparation(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 45)
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      (for (a <- 0 to 9; b <- a + 1 to 9) yield (a, b)).toSet)
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    rows.foreach { case (a, b, inter, spreadSum, sep) =>
+      assert(inter >= 0 && spreadSum > 0, s"pair ($a,$b)")
+      assert(sep == r6(inter / spreadSum), s"pair ($a,$b) ratio")
+    }
+  }
+
   test("e14 ivf audit: cells partition the corpus and imbalance >= 1") {
     val r = graft.ext.VectorOps.ivfBalanceAudit(spark, sf0001).collect()(0)
     val (nonEmpty, empty) = (r.getLong(0), r.getLong(1))
