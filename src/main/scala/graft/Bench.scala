@@ -29,7 +29,12 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each invocation persists fresh frames (q31/q33) that are never
+      // shared across calls — drop them outside the timed span or every
+      // repetition leaks another copy into executor storage
+      spark.sharedState.cacheManager.clearCache()
+      dt
     }
 
     queries.foreach { case (_, fn) => run(fn) } // warm-up pass, untimed

@@ -14,6 +14,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist internal views (q31/q33) return lazy frames
+      // and can't unpersist themselves — the runner owns cleanup, or the
+      // cached frames accumulate across the whole registry
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

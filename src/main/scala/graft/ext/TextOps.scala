@@ -1485,16 +1485,18 @@ object TextOps {
       .agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "cluster_id")
       .selectExpr("doc_id", "cluster_id", "cluster_size",
-        s"pmod(${md5h60("concat('cw:', CAST(doc_id AS STRING))")}, 1000000) / 1000000.0D AS u")
-      .filter(col("u") * col("cluster_size") < 1.0)
+        s"pmod(${md5h60("concat('cw:', CAST(doc_id AS STRING))")}, 1000000) AS h")
+      .filter(col("h") * col("cluster_size") < lit(1000000L))
       .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
 
   // Oracle: d13's recursive-CTE components + the same md5-60 draw. The
-  // keep test is spelled u*size < 1 (exact integer scale-up of the
-  // rational 1/size) on both engines — no float division on the
-  // comparison path.
+  // keep test is the TRUE integer form h*size < 1_000_000 (the exact
+  // integer scale-up of u < 1/size) on both engines — genuinely no
+  // float op on the comparison path, so no reliance on matched float
+  // op order. h < 1e6 and cluster_size ≤ corpus, so the long product
+  // cannot overflow below ~9e12-doc clusters.
   private val clusterWeightedSampleSql =
     s"""WITH RECURSIVE $shingleSqlCte,
        |pairs AS (
@@ -1515,8 +1517,8 @@ object TextOps {
        |          FROM labeled GROUP BY cluster_id)
        |SELECT l.doc_id, l.cluster_id, s2.cluster_size
        |FROM labeled l JOIN sizes s2 ON l.cluster_id = s2.cluster_id
-       |WHERE CAST(${md5h60Sql("'cw:' || CAST(l.doc_id AS VARCHAR)")} % 1000000
-       |        AS DOUBLE) / 1000000 * s2.cluster_size < 1
+       |WHERE (${md5h60Sql("'cw:' || CAST(l.doc_id AS VARCHAR)")} % 1000000)
+       |        * s2.cluster_size < 1000000
        |ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d35

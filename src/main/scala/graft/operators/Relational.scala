@@ -865,6 +865,9 @@ object Relational {
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_rev"))
+      // lifecycle: the returned frame is lazy, so this function cannot
+      // unpersist — Verify/Bench clearCache() between queries; library
+      // callers own cleanup (documented contract)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = rev.agg(max("total_rev").as("mx"))
     rev.crossJoin(broadcast(mx))

@@ -613,8 +613,10 @@ class SemanticsSpec extends SparkSpec {
       .select("user_id", "ts", "event_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
         r.getDouble(4)))
+    // (getTime, getNanos, id): getTime alone ms-truncates while the
+    // operator orders by full nanos precision (StreamingSpec's key)
     val latest = ev.groupBy(_._1).map { case (u, es) =>
-      u -> es.maxBy(e => (e._2.getTime, e._3))
+      u -> es.maxBy(e => (e._2.getTime, e._2.getNanos, e._3))
     }
     val snap = graft.operators.Temporal.cdcSnapshot(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
