@@ -1186,6 +1186,62 @@ object Relational {
       |    / round(sum(nation_bal) OVER (), 2) AS region_share_of_total
       |FROM leaf ORDER BY r_name, n_name""".stripMargin
 
+  /** Ranking-metrics report — AUC (Mann-Whitney rank-sum with mid-rank
+    * ties) and precision/recall@100 for q35's scored frame (acctbal as
+    * the score, "ordered since 2000" as the label): the AUC/P@k
+    * companion of the decile-lift gains table, and the oracle anchor for
+    * [[graft.telemetry.Scorer.rankMetrics]] — the distributed
+    * replacement for the collect-based evaluator (reference eval
+    * protocol streamlit_app.py:862-872, README.md:34-38).
+    *
+    * Everything before the final division is exact-integer (the R2
+    * doubled-rank-sum trick, see rankMetrics); acctbal ties get
+    * mid-ranks and the top-100 boundary breaks ties on c_custkey, so
+    * both engines rank identically. The oracle states the cumulative
+    * count as one flat window; the Spark side runs d25's two-level
+    * bucketed prefix sum (buckets spanning acctbal's [-1000, 10000)
+    * domain) — same values, no single-partition funnel.
+    */
+  def rankMetricsReport(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select("o_custkey").distinct()
+    val scored = Tables.customer(s, dir)
+      .join(active, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("score"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+    graft.telemetry.Scorer.rankMetrics(scored, "score", "pos", k = 100,
+        tieCols = Seq("c_custkey"), bucketLo = -1000.0, bucketHi = 10000.0)
+      .select(round(col("auc"), 6).as("auc"),
+        round(col("p_at_k"), 6).as("p_at_k"),
+        round(col("r_at_k"), 6).as("r_at_k"),
+        col("npos"), col("nneg"), col("n"))
+  }
+
+  private val rankMetricsReportSql =
+    """WITH act AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE o_orderdate >= DATE '2000-01-01'),
+      |sc AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS s,
+      |         CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      |       FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+      |g AS (SELECT s, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+      |      FROM sc GROUP BY s),
+      |r AS (SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY s
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS cum FROM g),
+      |tot AS (SELECT CAST(sum(pos * (2*cum + cnt + 1)) AS BIGINT) AS r2,
+      |          CAST(sum(pos) AS BIGINT) AS npos,
+      |          CAST(sum(cnt) AS BIGINT) AS n FROM r),
+      |tk AS (SELECT CAST(sum(y) AS BIGINT) AS k_pos FROM
+      |        (SELECT y FROM sc ORDER BY s DESC, c_custkey LIMIT 100))
+      |SELECT
+      |  round((r2 - npos*(npos+1)) / (2.0 * npos * (n - npos)), 6) AS auc,
+      |  round(k_pos / 100.0, 6) AS p_at_k,
+      |  round(k_pos * 1.0 / npos, 6) AS r_at_k,
+      |  npos, (n - npos) AS nneg, n
+      |FROM tot, tk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1231,5 +1287,6 @@ object Relational {
     QueryDef("q36_fact_reconciliation", factReconciliation,
       Some(factReconciliationSql)),
     QueryDef("q37_percent_of_parent", percentOfParent, Some(percentOfParentSql)),
+    QueryDef("q38_rank_metrics", rankMetricsReport, Some(rankMetricsReportSql)),
   )
 }

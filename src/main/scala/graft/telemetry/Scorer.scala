@@ -161,22 +161,86 @@ object Scorer {
       .orderBy(desc("pred_prob"), col("cell_id"))
       .limit(n)
 
+  /** Distributed ranking-quality evaluation — AUC via the Mann-Whitney
+    * rank-sum identity plus precision/recall@k, all as column ops on a
+    * ONE-ROW result frame. No row ever reaches the driver (the old
+    * formulation collected the full scored table and counted O(pos·neg)
+    * pairs — dead at 100×; this is its exact-value replacement).
+    *
+    * AUC algebra: with mid-ranks for ties, AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻) equals the pairwise P(score⁺>score⁻)+½P(=) definition
+    * exactly. Ties collapse FIRST (group-by score → per-score count/pos
+    * tallies), then the exclusive cumulative count gives every score
+    * group its mid-rank. The whole numerator is kept in INTEGER space:
+    * R2 = Σ pos·(2·cum + cnt + 1) is twice the positive rank sum, so
+    * auc = (R2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) needs exactly ONE float division
+    * — bit-identical on any engine given the same integer inputs.
+    *
+    * Scale plan (d25's two-level prefix sum, not a flat window): the
+    * cumulative count over distinct scores would funnel through one
+    * partition, so scores bucket by a monotone range map (clamping is
+    * monotone → cross-bucket order is preserved for ANY lo/hi; the
+    * bounds only affect balance), bucket offsets come from a window over
+    * the ≤`nBuckets`-row bucket frame, and the within-bucket window is
+    * partitioned. Distinct-score cardinality bounds all window input —
+    * at extreme scale callers quantize the score (probabilities at 6 dp
+    * → ≤2e6 groups) which perturbs AUC by <1e-6.
+    *
+    * Top-k: `orderBy(desc(score), tieCols).limit(k)` is
+    * TakeOrderedAndProject — per-partition heaps, k rows to the driver
+    * side of the plan, no global sort. Pass `tieCols` when the score can
+    * tie at the k boundary or p@k is not well-defined.
+    */
+  def rankMetrics(scored: DataFrame, scoreCol: String = "pred_prob",
+                  labelCol: String = "label", k: Int = 10,
+                  tieCols: Seq[String] = Nil,
+                  bucketLo: Double = 0.0, bucketHi: Double = 1.0,
+                  nBuckets: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scored
+      .select(col(scoreCol).cast("double").as("s") +:
+        col(labelCol).cast("long").as("y") +: tieCols.map(col): _*)
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val g = base.groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .withColumn("bucket", least(lit(nBuckets - 1L), greatest(lit(0L),
+        floor((col("s") - lit(bucketLo)) /
+          lit(bucketHi - bucketLo) * nBuckets))))
+    val boff = g.groupBy("bucket").agg(sum("cnt").as("bcnt"))
+      .withColumn("boff", coalesce(sum("bcnt").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boff")
+    val ranked = g.join(broadcast(boff), "bucket")
+      .withColumn("local", coalesce(sum("cnt").over(
+        Window.partitionBy("bucket").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = ranked.agg(
+      sum(col("pos") * ((col("boff") + col("local")) * 2 + col("cnt") + 1))
+        .as("r2"),
+      sum("pos").as("npos"), sum("cnt").as("n"))
+    val topk = base
+      .orderBy(desc("s") +: tieCols.map(col): _*)
+      .limit(k)
+      .agg(coalesce(sum("y"), lit(0L)).as("k_pos"))
+    totals.crossJoin(topk).select(
+      when(col("npos") > 0 && col("npos") < col("n"),
+        (col("r2") - col("npos") * (col("npos") + 1)) /
+          (lit(2.0) * col("npos") * (col("n") - col("npos")))).as("auc"),
+      (col("k_pos") / lit(k.toDouble)).as("p_at_k"),
+      when(col("npos") > 0, col("k_pos") / col("npos").cast("double"))
+        .as("r_at_k"),
+      col("npos"), (col("n") - col("npos")).as("nneg"), col("n"))
+  }
+
   /** Ranking-quality evaluation (bundle metric parity: AUC via the
-    * Mann-Whitney statistic, precision@k / recall@k).
+    * Mann-Whitney statistic, precision@k / recall@k). Thin Map adapter
+    * over [[rankMetrics]] — the only thing collected is the one-row
+    * metrics frame.
     */
   def evaluate(scored: DataFrame, labelCol: String = "label", k: Int = 10): Map[String, Double] = {
-    val rows = scored.select(col("pred_prob"), col(labelCol).cast("int"))
-      .collect().map(r => (r.getDouble(0), r.getInt(1)))
-    val pos = rows.filter(_._2 == 1).map(_._1)
-    val neg = rows.filter(_._2 == 0).map(_._1)
-    val auc =
-      if (pos.isEmpty || neg.isEmpty) Double.NaN
-      else pos.map(p => neg.count(n => p > n) + 0.5 * neg.count(n => p == n)).sum /
-        (pos.length.toDouble * neg.length)
-    val topK = rows.sortBy(-_._1).take(k)
-    val pAtK = topK.count(_._2 == 1).toDouble / k
-    val rAtK = if (pos.isEmpty) Double.NaN else topK.count(_._2 == 1).toDouble / pos.length
-    Map("auc" -> auc, s"p_at_$k" -> pAtK, s"r_at_$k" -> rAtK,
-      "positives" -> pos.length.toDouble, "n" -> rows.length.toDouble)
+    val r = rankMetrics(scored, "pred_prob", labelCol, k).first()
+    def d(i: Int): Double = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    Map("auc" -> d(0), s"p_at_$k" -> d(1), s"r_at_$k" -> d(2),
+      "positives" -> r.getLong(3).toDouble, "n" -> r.getLong(5).toDouble)
   }
 }

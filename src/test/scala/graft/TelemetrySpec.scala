@@ -193,6 +193,24 @@ class TelemetrySpec extends SparkSpec {
     assert(m("auc") > 0.8, s"held-out AUC ${m("auc")}") // label derives from a feature
   }
 
+  test("rankMetrics: mid-rank AUC and tie-broken top-k match hand-computed values") {
+    // pos scores {0.9, 0.8, 0.3}, neg {0.8, 0.5, 0.5} → pairwise wins
+    // 3 + (0.5 + 2) + 0 = 5.5 of 9 → AUC 0.6111…; top-2 by (s desc, id)
+    // is id1(pos), id2(neg) — the 0.8 boundary tie breaks on id
+    val df = Seq((1L, 0.9, 1L), (2L, 0.8, 0L), (3L, 0.8, 1L),
+      (4L, 0.5, 0L), (5L, 0.5, 0L), (6L, 0.3, 1L))
+      .toDF("id", "pred_prob", "label")
+    val r = Scorer.rankMetrics(df, k = 2, tieCols = Seq("id")).first()
+    assert(math.abs(r.getDouble(0) - 5.5 / 9) < 1e-12, s"auc ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 0.5)                      // p@2
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12) // r@2
+    assert(r.getLong(3) == 3 && r.getLong(4) == 3 && r.getLong(5) == 6)
+    // degenerate single-class frame: AUC/r@k null-guarded, not a crash
+    val onecls = Seq((1L, 0.9, 1L), (2L, 0.1, 1L)).toDF("id", "pred_prob", "label")
+    val m = Scorer.evaluate(onecls, k = 1)
+    assert(m("auc").isNaN && m("p_at_1") == 1.0)
+  }
+
   test("scorer errors on empty feature intersection (reference guard)") {
     val junk = Seq((1, 2)).toDF("a", "b")
     val spec = Scorer.ModelSpec(Map("x" -> 0.0), Map("x" -> 1.0), Map("x" -> 1.0), Map.empty, 0.0)
