@@ -102,6 +102,21 @@ object Scorer {
     ModelSpec(means, scales, coefs, Map.empty, intercept)
   }
 
+  /** Bridge the shipped joblib artifact (S7) into the native scorer: the
+    * bundle's label rule drives [[label]] and its `num_cols` select the
+    * feature set, then the transparent spec is fitted natively. The
+    * bundle's XGBoost trees stay opaque (§7.4 — its own surface never
+    * needs bit-identical margins); its training PROTOCOL — rule, feature
+    * list, quantile — is what this honors, so a reference deployment's
+    * artifact configures this engine without hand-copying constants.
+    */
+  def fitSpecFromBundle(features: DataFrame,
+      meta: graft.sources.JoblibBundle.BundleMeta): ModelSpec = {
+    val labeled = label(features, meta.labelMetric, meta.labelQuantile)
+    fitSpec(labeled, meta.numCols).copy(
+      labelMetric = meta.labelMetric, labelQuantile = meta.labelQuantile)
+  }
+
   /** Native gradient-boosted-tree retraining (SURVEY §7.4's alternative
     * route, matching the reference's selected model family — XGBoost,
     * README.md:38 AUC 0.86): Spark ML GBTClassifier over the same feature

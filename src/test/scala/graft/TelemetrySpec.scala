@@ -193,6 +193,34 @@ class TelemetrySpec extends SparkSpec {
     assert(m("auc") > 0.8, s"held-out AUC ${m("auc")}") // label derives from a feature
   }
 
+  test("joblib bundle bridge: shipped metadata parses to published values and drives the scorer") {
+    val path = "/root/reference/data/models/next_hour_congestion.joblib"
+    assert(new java.io.File(path).isFile, "reference bundle missing")
+    val meta = graft.sources.JoblibBundle.readMeta(path)
+    // BASELINE.md rows 4-8: the bundle's actual stored metadata
+    assert(meta.numCols.size == 34 && meta.numCols.head == "throughput_mbps")
+    assert(meta.numCols.forall(Features.numericFeatures.contains),
+      "bundle num_cols must be a subset of the native feature builder's output")
+    assert(meta.catCols == Seq("tech", "band"))
+    assert(meta.labelMetric == "latency_ms" && meta.labelQuantile == 0.8
+      && meta.hiBadPrimary)
+    assert(meta.composite == Seq("drop_rate", "latency_ms", "throughput_mbps"))
+    assert(meta.trainedAt == "2025-08-20T02:06:28.703025+00:00")
+    assert(math.abs(meta.metrics("auc") - 0.5622529644268774) < 1e-15)
+    assert(math.abs(meta.metrics("ap") - 0.5502578260490998) < 1e-15)
+    assert(meta.metrics("positives") == 88.0 && meta.metrics("n") == 180.0)
+    assert(meta.metrics("p_at_10") == 0.5 && meta.metrics("p_at_20") == 0.55)
+    assert(meta.metrics("r_at_10") == 5.0 / 88) // 0.0568…: 5 of 88 positives
+    assert(meta.metrics("r_at_20") == 0.125)
+    // the bundle's rule/features drive the native trainer end-to-end
+    val cur = Ingest.readCurated(spark, curated)
+    val spec = Scorer.fitSpecFromBundle(Features.build(cur), meta)
+    assert(spec.labelMetric == "latency_ms" && spec.labelQuantile == 0.8)
+    val scored = Scorer.score(
+      Scorer.label(Features.build(cur), meta.labelMetric, meta.labelQuantile), spec)
+    assert(Scorer.evaluate(scored, k = 10)("auc") > 0.8)
+  }
+
   test("rankMetrics: mid-rank AUC and tie-broken top-k match hand-computed values") {
     // pos scores {0.9, 0.8, 0.3}, neg {0.8, 0.5, 0.5} → pairwise wins
     // 3 + (0.5 + 2) + 0 = 5.5 of 9 → AUC 0.6111…; top-2 by (s desc, id)
