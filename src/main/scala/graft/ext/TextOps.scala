@@ -246,6 +246,71 @@ object TextOps {
        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  // ---------------------------------------------------------------- d39
+
+  /** Hot-shingle frequency cap for [[cappedJaccardDupPairs]]: shingles in
+    * more than this many docs are dropped from pair GENERATION (they are
+    * non-discriminative boilerplate) and reported by
+    * [[hotShingleEvidence]]. The counting bound makes the hot set tiny:
+    * at most total-occurrences/cap shingles can exceed the cap.
+    */
+  val ShingleDfCap = 20
+
+  /** Capped-exact near-dup pairs — d05's answer through a skew-proof
+    * plan, closing the one quadratic hole in the exact path
+    * (d05 deliberately caps nothing; a shingle in 1e9 docs then emits
+    * 1e18 pairs from one aggregation buffer). Three stages:
+    * (1) hot shingles (df > [[ShingleDfCap]]) from a map-side-combinable
+    * count; (2) candidate pairs from COLD postings only — list sizes
+    * ≤ cap by construction, so emission is O(cap²) per shingle and the
+    * collect_list state is bounded (the anti-join runs BEFORE the list
+    * builds — filtering after `collect_list` would still materialize
+    * the hot buffer); (3) d06's exact verify re-joins the original
+    * shingle arrays so `common` counts EVERY shared shingle, hot ones
+    * included — the cap bounds who gets compared, never the measure.
+    *
+    * Residual risk, explicit: a pair whose shared shingles are ALL hot
+    * is never generated. Such docs are boilerplate-only overlaps by
+    * definition of the cap; [[hotShingleEvidence]] is the side channel
+    * that makes the drop auditable (DedupSpec proves pair-set equality
+    * with d05 on this corpus and postings boundedness).
+    */
+  def cappedJaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashed(s, dir)
+    val ex = sh.selectExpr("doc_id", "explode(shs) AS h")
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("h")
+    val cand = ex.join(hot, Seq("h"), "left_anti")
+      .groupBy("h").agg(sort_array(collect_list("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .selectExpr(pairExplode)
+      .selectExpr("p.x AS doc_id_1", "p.y AS doc_id_2")
+      .distinct()
+    cand
+      .join(sh.selectExpr("doc_id AS doc_id_1", "shs AS sh1"), Seq("doc_id_1"))
+      .join(sh.selectExpr("doc_id AS doc_id_2", "shs AS sh2"), Seq("doc_id_2"))
+      .selectExpr("doc_id_1", "doc_id_2",
+        "size(array_intersect(sh1, sh2)) AS common",
+        "size(sh1) AS na", "size(sh2) AS nb")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** The dup-evidence side channel for [[cappedJaccardDupPairs]]: every
+    * cap-dropped shingle with its document frequency — what an operator
+    * audits to confirm the dropped overlap really is boilerplate (and
+    * the input to a "top boilerplate n-grams" report).
+    */
+  def hotShingleEvidence(s: SparkSession, dir: String): DataFrame =
+    shingleHashed(s, dir)
+      .selectExpr("doc_id", "explode(shs) AS h")
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .orderBy(desc("df"), col("h"))
+
   // ---------------------------------------------------------------- d06
 
   /** MinHash + LSH near-dup pairs — the 100 TB path. 32 minhash values
@@ -1768,5 +1833,9 @@ object TextOps {
     QueryDef("d36_hapax_stats", hapaxStats, Some(hapaxStatsSql)),
     QueryDef("d37_best_of_cluster", bestOfCluster, Some(bestOfClusterSql)),
     QueryDef("d38_langid_confusion", langidConfusion, Some(langidConfusionSql)),
+    // shares d05's oracle: the capped plan provably emits the same pair
+    // set on this corpus (DedupSpec) and the same float op computes jaccard
+    QueryDef("d39_capped_jaccard_pairs", cappedJaccardDupPairs,
+      Some(jaccardPairsSql)),
   )
 }

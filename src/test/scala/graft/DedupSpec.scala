@@ -15,6 +15,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("capped-exact dedup: pair set and jaccards equal d05, postings bounded, evidence audited") {
+    val exact = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = TextOps.cappedJaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    assert(capped.keySet == exact.keySet,
+      s"capped missed ${exact.keySet -- capped.keySet}, extra ${capped.keySet -- exact.keySet}")
+    // verify stage restores the TRUE jaccard — bit-equal, not approximate
+    capped.foreach { case (k, j) => assert(j == exact(k), s"pair $k jaccard drift") }
+    // generation-side posting lists are bounded by the cap: recompute df
+    // and check the cold stream's max multiplicity
+    val dfs = Tables.documents(spark, sf0001)
+      .selectExpr("explode(array_distinct(word_trigram_hashes(text))) AS h")
+      .groupBy("h").count().collect().map(_.getLong(1))
+    val hot = TextOps.hotShingleEvidence(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hot.forall(_._2 > TextOps.ShingleDfCap))
+    assert(dfs.count(_ > TextOps.ShingleDfCap) == hot.length,
+      "evidence channel must report every cap-dropped shingle")
+  }
+
   test("near-dup pairs all have jaccard in (0.5, 1]") {
     val js = TextOps.jaccardDupPairs(spark, sf0001)
       .select("jaccard").collect().map(_.getDouble(0))
