@@ -294,6 +294,38 @@ object StreamOps {
         unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
   }
 
+  case class Doc(doc_id: Long, text: String)
+
+  /** Streaming incremental corpus dedup — d24's Bloom-prefiltered
+    * formulation (TextOps.bloomIncrementalDedup) over a document-arrival
+    * stream: the corpus is sketched ONCE into a broadcast Bloom filter
+    * (no false negatives), every micro-batch filters against it
+    * row-locally, and only flagged possible-dups pay the exact confirm
+    * — a stream-static LEFT ANTI join against the corpus (stateless on
+    * the stream side, so append mode needs no watermark). Rows the
+    * filter rejects are DEFINITELY new and skip the join entirely.
+    *
+    * This is the arrival-time shape of the d17/d24 batch operators: the
+    * corpus never reshuffles per batch (the 100 TB property), the
+    * stream pays O(batch) work, and the union of all emitted batches
+    * equals the batch answer — StreamingSpec pins that against d17's
+    * oracle-checked result. Batch-internal duplicates are preserved
+    * exactly as d17 preserves them (dedup WITHIN the stream is
+    * [[dedupEvents]]' job, composable upstream).
+    */
+  def incrementalDedupStream(incoming: DataFrame, base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    val n = math.max(base.count(), 1L)
+    val bloom = base.stat.bloomFilter("text", n, 0.03)
+    val bc = s.sparkContext.broadcast(bloom)
+    val might = udf((t: String) => t != null && bc.value.mightContainString(t))
+    val definitelyNew = incoming.filter(!might(col("text"))).select("doc_id")
+    val candidates = incoming.filter(might(col("text")))
+      .join(base.select("text"), Seq("text"), "left_anti")
+      .select("doc_id")
+    definitelyNew.union(candidates)
+  }
+
   /** Idempotent incremental parquet sink via foreachBatch: each micro-batch
     * lands in its own `batch_id=` directory with overwrite mode, so a
     * retried batch replaces its previous (possibly partial) output instead

@@ -267,6 +267,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch == 2L)
   }
 
+  test("streaming Bloom incremental dedup equals the oracle-checked d17 across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // d17/d24's base-vs-incoming cut: md5-60 doc bucket < 80 is corpus
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text",
+        "pmod(md5_long60(CAST(doc_id AS STRING)), 100) AS bucket")
+    val base = docs.filter(col("bucket") < 80).select("doc_id", "text")
+    val arrivals = docs.filter(col("bucket") >= 80).select("doc_id", "text")
+      .as[StreamOps.Doc].orderBy("doc_id").collect().toSeq
+    assert(arrivals.nonEmpty)
+    val ms = MemoryStream[StreamOps.Doc]
+    // three micro-batches: the corpus sketch must serve them all
+    ms.addData(arrivals.take(30))
+    val q = StreamOps.incrementalDedupStream(ms.toDF(), base)
+      .writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(arrivals.slice(30, 60))
+      q.processAllAvailable()
+      ms.addData(arrivals.drop(60))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("inc_dedup_stream")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.ext.TextOps.incrementalDedup(spark, sf0001)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("foreachBatch incremental parquet sink lands every row exactly once across batches") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/t"
