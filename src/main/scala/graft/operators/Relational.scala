@@ -1242,6 +1242,85 @@ object Relational {
       |  npos, (n - npos) AS nneg, n
       |FROM tot, tk""".stripMargin
 
+  /** TPC-H Q8 market-share shape — the one classic multi-fact tree
+    * q24/q30 don't cover: a nation's share of PROMO-part revenue sold
+    * into AMERICA-region customers, per order year. TWO nation roles
+    * (customer side selects the region, supplier side labels the
+    * seller), a part filter, and a conditional share whose numerator
+    * and denominator come from the SAME aggregation (one `when` inside
+    * the sum — never a second fact pass or a self-join on year).
+    *
+    * Plan budget (pinned in PlanSpec): lineitem⋈orders is the ONLY
+    * fact-fact shuffle; part, supplier⋈nation, customer⋈nation⋈region
+    * all broadcast at this SF. At 100 TB customer graduates to a
+    * shuffle join co-bucketed with orders on custkey (q24's argument);
+    * the share arithmetic is unaffected. Determinism: volume is a
+    * scale-4 decimal so round(sum, 4) exact-restores both sums (q31's
+    * rule); the share is ONE division of those exact decimals, then
+    * 6-dp display rounding.
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val america = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(america), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("supp_nation"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))), 4).as("target_volume"),
+        round(sum("volume"), 4).as("total_volume"))
+      .select(col("o_year"), col("target_volume"), col("total_volume"),
+        round(col("target_volume") / col("total_volume"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val marketShareSql =
+    """WITH am AS (SELECT n_nationkey FROM nation
+      |            JOIN region ON n_regionkey = r_regionkey
+      |            WHERE r_name = 'AMERICA'),
+      |li AS (SELECT l_orderkey, n.n_name AS supp_nation,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |       FROM lineitem
+      |       JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |       JOIN supplier ON l_suppkey = s_suppkey
+      |       JOIN nation n ON s_nationkey = n.n_nationkey),
+      |o AS (SELECT o_orderkey,
+      |        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+      |      FROM orders
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN am ON c_nationkey = am.n_nationkey
+      |      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |        AND o_orderdate <  TIMESTAMP '1999-01-01')
+      |SELECT o_year,
+      |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 4)
+      |    AS target_volume,
+      |  round(sum(volume), 4) AS total_volume,
+      |  round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 4)
+      |        / round(sum(volume), 4), 6) AS mkt_share
+      |FROM li JOIN o ON l_orderkey = o_orderkey
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1288,5 +1367,6 @@ object Relational {
       Some(factReconciliationSql)),
     QueryDef("q37_percent_of_parent", percentOfParent, Some(percentOfParentSql)),
     QueryDef("q38_rank_metrics", rankMetricsReport, Some(rankMetricsReportSql)),
+    QueryDef("q39_market_share", marketShare, Some(marketShareSql)),
   )
 }

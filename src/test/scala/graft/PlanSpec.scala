@@ -312,6 +312,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q39: market share runs one fact-fact shuffle; both share sums in one aggregation") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Relational.marketShare(spark, sf0001))
+      // lineitem⋈orders is the only shuffle join; part, supplier⋈nation,
+      // customer⋈nation⋈region ride explicit broadcast hints
+      assert("SortMergeJoin".r.findAllIn(p).size == 1, p)
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 6, p)
+      // numerator and denominator come from the SAME aggregation: exactly
+      // one partial+final HashAggregate pair in the whole plan
+      assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    }
+  }
+
   test("t33: the sweep's single-partition cumsum sees only the minute frame") {
     val p = plan(Temporal.concurrentSessions(spark, sf0001))
     // sessionization + delta agg partition by key; the one SinglePartition
