@@ -123,6 +123,47 @@ class MultimodalSpec extends SparkSpec {
       .forall(_.meta.mime == "application/octet-stream"))
   }
 
+  test("perceptual near-dup: duplicated payloads pair at hamming 0; banding equals brute force") {
+    import graft.ext.VectorOps
+    // media corpus with PLANTED dups: two pairs of byte-identical payloads
+    // under different ids — identical bytes decode to identical features
+    val base = fixture(20)
+    val rows = base ++ Seq(
+      base(3).copy(media_id = 100L),
+      base(7).copy(media_id = 101L))
+    val feats = featureTable(decodeAndFeaturize(
+      spark.createDataset(rows), new DeterministicFakeDecoder(16)))
+    val pairs = VectorOps.perceptualDupPairs(feats, hammingMax = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)) && pairs.contains((7L, 101L)),
+      s"planted dups must pair at hamming 0, got $pairs")
+    // banded plan ≡ brute force at the pigeonhole threshold, on a frame
+    // with REAL near-dup structure: synthetic neighbors 3 sign-flips away
+    val sigs = VectorOps.featureSimhash(feats).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unconditional sign flip on dims 0-2 (constant magnitude, so a value
+    // near zero can't dodge the flip): exactly 3 signature bits differ
+    val near = feats.selectExpr("vec_id + 1000 AS vec_id",
+      """transform(embedding, (x, i) -> IF(i < 3,
+        |  IF(x > 0D, CAST(-0.5 AS FLOAT), CAST(0.5 AS FLOAT)), x)) AS embedding""".stripMargin)
+    val all = feats.unionByName(near)
+    val banded = VectorOps.perceptualDupPairs(all, hammingMax = 7).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val allSigs = VectorOps.featureSimhash(all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val brute = (for {
+      (i, si) <- allSigs; (j, sj) <- allSigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 7
+    } yield (i, j) -> h).toMap
+    assert(banded == brute,
+      s"banded ${banded.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "synthetic 3-flip neighbors must produce pairs")
+    // each original pairs with its 3-flip neighbor at exactly hamming 3
+    sigs.keys.foreach { id =>
+      assert(banded.get((id, id + 1000)).contains(3), s"vec $id neighbor")
+    }
+  }
+
   test("end-to-end: binary files -> media table -> decode -> cosine top-k") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("media")
