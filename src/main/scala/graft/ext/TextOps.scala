@@ -212,7 +212,39 @@ object TextOps {
     * df > cap as non-discriminative) changes `common` and is therefore
     * reserved for the approximate paths (d06/d07).
     */
+  /** Pipeline-shared compute-once frames: the d05 pair set and d13
+    * cluster map are the two subtrees the dedup family (d12/d13/d26/
+    * d29/d34/d37) rebuilds when each query runs self-contained. A real
+    * pipeline materializes them once; [[enableSharedFrames]] opts into
+    * that mode (persist + register here; [[jaccardDupPairs]] and
+    * [[dupClusters]] consult the registry at entry), and
+    * [[clearSharedFrames]] releases the storage. Keyed by data dir so
+    * different SFs never cross-serve. Default behavior is unchanged —
+    * every query stays self-contained unless a driver opts in (Bench's
+    * pipeline segment reports both numbers).
+    */
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def enableSharedFrames(s: SparkSession, dir: String): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = jaccardDupPairs(s, dir).persist(lvl)
+    p.count()
+    shared.put(s"pairs:$dir", p)
+    // builds through the pairs cache just registered
+    val c = dupClusters(s, dir).persist(lvl)
+    c.count()
+    shared.put(s"clusters:$dir", c)
+  }
+
+  def clearSharedFrames(): Unit = {
+    shared.values.forEach(df => { df.unpersist(); () })
+    shared.clear()
+  }
+
   def jaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val pre = shared.get(s"pairs:$dir")
+    if (pre != null) return pre
     val ex = shingleHashed(s, dir)
       .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS h")
     // Set sizes ride WITH the doc_id through the posting lists (a slim
@@ -655,6 +687,8 @@ object TextOps {
     * iteration cap is a safety rail.
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pre = shared.get(s"clusters:$dir")
+    if (pre != null) return pre
     val pairs = jaccardDupPairs(s, dir)
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
     val edges = pairs

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
       "evidence channel must report every cap-dropped shingle")
   }
 
+  test("pipeline shared frames serve bit-identical results and release cleanly") {
+    def snap(name: String) = SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    val names = Seq("d12_edit_distance_dup_pairs", "d13_dup_clusters",
+      "d29_apply_near_dup_removal", "d34_cluster_weighted_sample",
+      "d37_best_of_cluster")
+    val isolated = names.map(n => n -> snap(n)).toMap
+    TextOps.enableSharedFrames(spark, sf0001)
+    try names.foreach { n =>
+      assert(snap(n) == isolated(n), s"$n drifts under shared frames")
+    } finally TextOps.clearSharedFrames()
+    // registry cleared: the plain self-contained path serves again
+    assert(snap("d13_dup_clusters") == isolated("d13_dup_clusters"))
+  }
+
   test("near-dup pairs all have jaccard in (0.5, 1]") {
     val js = TextOps.jaccardDupPairs(spark, sf0001)
       .select("jaccard").collect().map(_.getDouble(0))
