@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
 class SemanticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ANSI mode: every registry query plans, runs, and returns identical results") {
+    // The audit VERDICT r4 asked for: the registry must be ANSI-clean —
+    // no overflow (t24's decimal accumulator), no division-by-zero on
+    // any hot path (guards like F8's σ==0 replace exact zeros BEFORE
+    // dividing), no lossy casts that ANSI would reject. Both plan sets
+    // are built INSIDE their conf scope (ANSI changes analysis-time
+    // cast/arith resolution, not just execution).
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      val base = (df.schema.simpleString, df.collect().toSeq)
+      try {
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try {
+          val adf = fn(spark, sf0001)
+          val ansi = (adf.schema.simpleString, adf.collect().toSeq)
+          if (ansi._1 != base._1) deltas += s"$name: schema ${base._1} -> ${ansi._1}"
+          else if (ansi._2 != base._2) deltas += s"$name: rows differ"
+        } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+      } catch { case e: Throwable =>
+        deltas += s"$name: ANSI error ${String.valueOf(e.getMessage).take(120)}"
+      }
+    }
+    assert(deltas.isEmpty, s"ANSI behavior deltas:\n${deltas.mkString("\n")}")
+  }
+
   test("weekday is Mon=0 (pandas dayofweek), not Spark dayofweek Sun=1") {
     // 2024-01-01 was a Monday
     val d = Seq("2024-01-01", "2024-01-06", "2024-01-07").toDF("s")
