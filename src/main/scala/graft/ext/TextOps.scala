@@ -343,6 +343,35 @@ object TextOps {
       .filter(col("df") > ShingleDfCap)
       .orderBy(desc("df"), col("h"))
 
+  // ---------------------------------------------------------------- d40
+
+  /** Boilerplate n-gram report — the top-20 trigram shingles by document
+    * frequency, WITH their text: the human-readable face of d39's
+    * hash-keyed dup-evidence channel (an operator inspects this list to
+    * confirm the df-cap drops headers/footers, not content, and to seed
+    * an explicit boilerplate-strip rule). One (shingle → df) aggregation
+    * with map-side combine, then TakeOrderedAndProject — the full
+    * shingle keyspace never sorts globally. Ties break on the shingle
+    * text so the top-20 is total-ordered on both engines.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr(
+        """explode(array_distinct(transform(sequence(1, size(toks)-2),
+          |  i -> concat_ws(' ', slice(toks, i, 3))))) AS sh""".stripMargin)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("sh"))
+      .limit(20)
+
+  private val boilerplateNgramsSql =
+    s"""WITH $shingleSqlCte
+       |SELECT u.sh2 AS sh, count(*) AS df
+       |FROM (SELECT doc_id, unnest(sh) AS sh2 FROM s) u
+       |GROUP BY u.sh2
+       |ORDER BY df DESC, sh LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- d06
 
   /** MinHash + LSH near-dup pairs — the 100 TB path. 32 minhash values
@@ -1871,5 +1900,7 @@ object TextOps {
     // set on this corpus (DedupSpec) and the same float op computes jaccard
     QueryDef("d39_capped_jaccard_pairs", cappedJaccardDupPairs,
       Some(jaccardPairsSql)),
+    QueryDef("d40_boilerplate_ngrams", boilerplateNgrams,
+      Some(boilerplateNgramsSql)),
   )
 }

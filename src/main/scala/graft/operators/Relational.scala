@@ -1214,6 +1214,7 @@ object Relational {
     graft.telemetry.Scorer.rankMetrics(scored, "score", "pos", k = 100,
         tieCols = Seq("c_custkey"), bucketLo = -1000.0, bucketHi = 10000.0)
       .select(round(col("auc"), 6).as("auc"),
+        round(col("ap"), 6).as("ap"),
         round(col("p_at_k"), 6).as("p_at_k"),
         round(col("r_at_k"), 6).as("r_at_k"),
         col("npos"), col("nneg"), col("n"))
@@ -1229,14 +1230,21 @@ object Relational {
       |      FROM sc GROUP BY s),
       |r AS (SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY s
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |        AS BIGINT) AS cum FROM g),
+      |        AS BIGINT) AS cum,
+      |        CAST(coalesce(sum(pos) OVER (ORDER BY s
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS cump FROM g),
+      |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(sum(pos) AS BIGINT) AS npos FROM r),
       |tot AS (SELECT CAST(sum(pos * (2*cum + cnt + 1)) AS BIGINT) AS r2,
-      |          CAST(sum(pos) AS BIGINT) AS npos,
-      |          CAST(sum(cnt) AS BIGINT) AS n FROM r),
+      |          any_value(npos) AS npos, any_value(n) AS n,
+      |          sum(CAST(pos * (npos - cump) AS DOUBLE) / (n - cum)) AS ap_sum
+      |        FROM r, t0),
       |tk AS (SELECT CAST(sum(y) AS BIGINT) AS k_pos FROM
       |        (SELECT y FROM sc ORDER BY s DESC, c_custkey LIMIT 100))
       |SELECT
       |  round((r2 - npos*(npos+1)) / (2.0 * npos * (n - npos)), 6) AS auc,
+      |  round(ap_sum / npos, 6) AS ap,
       |  round(k_pos / 100.0, 6) AS p_at_k,
       |  round(k_pos * 1.0 / npos, 6) AS r_at_k,
       |  npos, (n - npos) AS nneg, n

@@ -221,18 +221,32 @@ object Scorer {
       .withColumn("bucket", least(lit(nBuckets - 1L), greatest(lit(0L),
         floor((col("s") - lit(bucketLo)) /
           lit(bucketHi - bucketLo) * nBuckets))))
-    val boff = g.groupBy("bucket").agg(sum("cnt").as("bcnt"))
-      .withColumn("boff", coalesce(sum("bcnt").over(Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "boff")
-    val ranked = g.join(broadcast(boff), "bucket")
-      .withColumn("local", coalesce(sum("cnt").over(
-        Window.partitionBy("bucket").orderBy("s")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val totals = ranked.agg(
-      sum(col("pos") * ((col("boff") + col("local")) * 2 + col("cnt") + 1))
-        .as("r2"),
-      sum("pos").as("npos"), sum("cnt").as("n"))
+    val wban = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val win = Window.partitionBy("bucket").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boths = g.groupBy("bucket")
+      .agg(sum("cnt").as("bcnt"), sum("pos").as("bpos"))
+      .withColumn("boff", coalesce(sum("bcnt").over(wban), lit(0L)))
+      .withColumn("boffp", coalesce(sum("bpos").over(wban), lit(0L)))
+      .select("bucket", "boff", "boffp")
+    val ranked = g.join(broadcast(boths), "bucket")
+      .withColumn("cum", col("boff") +
+        coalesce(sum("cnt").over(win), lit(0L)))
+      .withColumn("cump", col("boffp") +
+        coalesce(sum("pos").over(win), lit(0L)))
+    val tot = ranked.agg(sum("cnt").as("n"), sum("pos").as("npos"))
+    // AP rides the SAME prefix sums: sklearn's threshold-step definition
+    // AP = Σ_s tp_s · (TP≥s / N≥s) / n⁺ is per score GROUP (no
+    // tie-break needed); TP≥s = n⁺ − cump, N≥s = n − cum. Each term is
+    // one integer product and ONE float division; the term sum's
+    // reassociation noise (~1e-15) is absorbed by consumers' 6-dp
+    // rounding (d23's avg-of-logs policy).
+    val totals = ranked.crossJoin(broadcast(tot)).agg(
+      sum(col("pos") * (col("cum") * 2 + col("cnt") + 1)).as("r2"),
+      first("npos").as("npos"), first("n").as("n"),
+      sum((col("pos") * (col("npos") - col("cump"))).cast("double") /
+        (col("n") - col("cum"))).as("ap_sum"))
     val topk = base
       .orderBy(desc("s") +: tieCols.map(col): _*)
       .limit(k)
@@ -241,6 +255,8 @@ object Scorer {
       when(col("npos") > 0 && col("npos") < col("n"),
         (col("r2") - col("npos") * (col("npos") + 1)) /
           (lit(2.0) * col("npos") * (col("n") - col("npos")))).as("auc"),
+      when(col("npos") > 0, col("ap_sum") / col("npos").cast("double"))
+        .as("ap"),
       (col("k_pos") / lit(k.toDouble)).as("p_at_k"),
       when(col("npos") > 0, col("k_pos") / col("npos").cast("double"))
         .as("r_at_k"),
@@ -248,14 +264,15 @@ object Scorer {
   }
 
   /** Ranking-quality evaluation (bundle metric parity: AUC via the
-    * Mann-Whitney statistic, precision@k / recall@k). Thin Map adapter
-    * over [[rankMetrics]] — the only thing collected is the one-row
-    * metrics frame.
+    * Mann-Whitney statistic, average precision, precision@k /
+    * recall@k — the full metric surface the shipped bundle publishes).
+    * Thin Map adapter over [[rankMetrics]] — the only thing collected
+    * is the one-row metrics frame.
     */
   def evaluate(scored: DataFrame, labelCol: String = "label", k: Int = 10): Map[String, Double] = {
     val r = rankMetrics(scored, "pred_prob", labelCol, k).first()
     def d(i: Int): Double = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
-    Map("auc" -> d(0), s"p_at_$k" -> d(1), s"r_at_$k" -> d(2),
-      "positives" -> r.getLong(3).toDouble, "n" -> r.getLong(5).toDouble)
+    Map("auc" -> d(0), "ap" -> d(1), s"p_at_$k" -> d(2), s"r_at_$k" -> d(3),
+      "positives" -> r.getLong(4).toDouble, "n" -> r.getLong(6).toDouble)
   }
 }

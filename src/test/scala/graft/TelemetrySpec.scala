@@ -230,13 +230,16 @@ class TelemetrySpec extends SparkSpec {
       .toDF("id", "pred_prob", "label")
     val r = Scorer.rankMetrics(df, k = 2, tieCols = Seq("id")).first()
     assert(math.abs(r.getDouble(0) - 5.5 / 9) < 1e-12, s"auc ${r.getDouble(0)}")
-    assert(r.getDouble(1) == 0.5)                      // p@2
-    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12) // r@2
-    assert(r.getLong(3) == 3 && r.getLong(4) == 3 && r.getLong(5) == 6)
-    // degenerate single-class frame: AUC/r@k null-guarded, not a crash
+    // sklearn threshold-step AP: (1/1 + 2/3 + 3/6) / 3 = 13/18
+    assert(math.abs(r.getDouble(1) - 13.0 / 18) < 1e-12, s"ap ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.5)                      // p@2
+    assert(math.abs(r.getDouble(3) - 1.0 / 3) < 1e-12) // r@2
+    assert(r.getLong(4) == 3 && r.getLong(5) == 3 && r.getLong(6) == 6)
+    // degenerate single-class frame: AUC/r@k null-guarded, not a crash;
+    // all-positive ranking has AP 1 by definition
     val onecls = Seq((1L, 0.9, 1L), (2L, 0.1, 1L)).toDF("id", "pred_prob", "label")
     val m = Scorer.evaluate(onecls, k = 1)
-    assert(m("auc").isNaN && m("p_at_1") == 1.0)
+    assert(m("auc").isNaN && m("p_at_1") == 1.0 && m("ap") == 1.0)
   }
 
   test("scorer errors on empty feature intersection (reference guard)") {
