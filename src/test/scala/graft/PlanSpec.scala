@@ -327,6 +327,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q38: exactly two window passes, the global one over the bucket frame; top-k is TakeOrderedAndProject") {
+    val p = plan(Relational.rankMetricsReport(spark, sf0001))
+    // the two-level prefix machinery: ONE unpartitioned window (bucket
+    // offsets, input ≤ nBuckets rows) + ONE bucket-partitioned window
+    // (within-bucket cums); row volume never funnels through a global
+    // sort — the top-k is per-partition heaps
+    assert("Window".r.findAllIn(p).size == 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("t33: the sweep's single-partition cumsum sees only the minute frame") {
     val p = plan(Temporal.concurrentSessions(spark, sf0001))
     // sessionization + delta agg partition by key; the one SinglePartition

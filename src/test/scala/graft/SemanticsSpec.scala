@@ -36,6 +36,40 @@ class SemanticsSpec extends SparkSpec {
     assert(deltas.isEmpty, s"ANSI behavior deltas:\n${deltas.mkString("\n")}")
   }
 
+  test("q38 rank metrics equal a driver-side pairwise/sweep recomputation on real data") {
+    val r = graft.operators.Relational.rankMetricsReport(spark, sf0001).first()
+    // rebuild the scored frame and brute-force every metric on the driver
+    val active = Tables.orders(spark, sf0001)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("date"))
+      .select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rows = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), if (active(x.getLong(0))) 1 else 0))
+    val pos = rows.filter(_._3 == 1).map(_._2)
+    val neg = rows.filter(_._3 == 0).map(_._2)
+    val auc = pos.map(p => neg.count(p > _) + 0.5 * neg.count(p == _)).sum /
+      (pos.length.toDouble * neg.length)
+    def r6(x: Double) = new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(math.abs(r.getDouble(0) - r6(auc)) < 2e-6, s"auc ${r.getDouble(0)} vs $auc")
+    // sklearn threshold-sweep AP over distinct scores
+    val n = rows.length
+    val ap = rows.groupBy(_._2).map { case (s0, g) =>
+      val tp = g.count(_._3 == 1)
+      val tpGe = rows.count(x => x._2 >= s0 && x._3 == 1)
+      val nGe = rows.count(_._2 >= s0)
+      tp.toDouble * tpGe / nGe
+    }.sum / pos.length
+    assert(math.abs(r.getDouble(1) - r6(ap)) < 2e-6, s"ap ${r.getDouble(1)} vs $ap")
+    // top-100 by (acctbal desc, custkey) — the tie-broken ordering
+    val k100 = rows.sortBy(x => (-x._2, x._1)).take(100)
+    assert(r.getDouble(2) == r6(k100.count(_._3 == 1) / 100.0))
+    assert(math.abs(r.getDouble(3) -
+      r6(k100.count(_._3 == 1).toDouble / pos.length)) < 1e-12)
+    assert(r.getLong(4) == pos.length && r.getLong(6) == n)
+  }
+
   test("weekday is Mon=0 (pandas dayofweek), not Spark dayofweek Sun=1") {
     // 2024-01-01 was a Monday
     val d = Seq("2024-01-01", "2024-01-06", "2024-01-07").toDF("s")
