@@ -372,6 +372,105 @@ object TextOps {
        |GROUP BY u.sh2
        |ORDER BY df DESC, sh LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** PII scrubbing transform — the redaction pass a training-data
+    * pipeline runs before anything ships: masks emails, IPv4 addresses,
+    * 13-19-digit runs (payment-card-shaped) and phone-shaped numbers,
+    * in that order (IP before phone so dotted quads never half-match a
+    * phone; card runs before phone so a 16-digit run is one mask).
+    * Row-local `regexp_replace`/`regexp_count` chain — zero shuffles,
+    * whole-stage codegen'd, linear in text size. Emits per-category
+    * mask counts so the action is auditable (and filterable: a doc
+    * that is mostly PII is usually spam).
+    *
+    * Library op with spec coverage rather than an oracle query: the
+    * synthetic corpus plants no PII, so a registry entry would only
+    * hash-check the identity transform.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val card = "\\b\\d{13,19}\\b"
+    val phone = "\\b(?:\\+?\\d{1,2}[ -])?\\(?\\d{3}\\)?[ -]?\\d{3}[ -]?\\d{4}\\b"
+    val t = col(textCol)
+    // Column-API regexp_count/lit — routing patterns through expr()'s SQL
+    // string literal would re-escape the backslashes
+    docs
+      .withColumn("n_email", regexp_count(t, lit(email)))
+      .withColumn("masked0", regexp_replace(t, email, "<EMAIL>"))
+      .withColumn("n_ip", regexp_count(col("masked0"), lit(ip)))
+      .withColumn("masked1", regexp_replace(col("masked0"), ip, "<IP>"))
+      .withColumn("n_card", regexp_count(col("masked1"), lit(card)))
+      .withColumn("masked2", regexp_replace(col("masked1"), card, "<CARD>"))
+      .withColumn("n_phone", regexp_count(col("masked2"), lit(phone)))
+      .withColumn(textCol, regexp_replace(col("masked2"), phone, "<PHONE>"))
+      .drop("masked0", "masked1", "masked2")
+      .withColumn("pii_masked",
+        col("n_email") + col("n_ip") + col("n_card") + col("n_phone"))
+  }
+
+  // ---------------------------------------------------------------- d41
+
+  /** PMI phrase mining — word2phrase-style collocation scoring: the
+    * top-20 adjacent token pairs by pointwise mutual information
+    * ln(p(ab)/(p(a)·p(b))), min bigram count 25. The corpus-level
+    * companion of d33 (which scores DOCS by conditional bigram
+    * likelihood; this scores PAIRS for phrase promotion — the step that
+    * turns "new york" into a single vocabulary unit before tokenizer
+    * training). Plan: token and bigram count tables join BY KEY (d23/
+    * d33's unbounded-vocab discipline — never broadcast), the two
+    * one-row totals broadcast, the top-20 is TakeOrderedAndProject.
+    * Determinism: PMI = ln of ONE exact-integer rational
+    * (cab·N²/(B·ca·cb)) — a single division and a single ln, 6-dp
+    * display rounding (d23's policy); ties total-order on (w1, w2).
+    */
+  def pmiPhrases(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("explode(split(text,' ')) AS w")
+    val cu = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val nTot = cu.agg(sum("c").as("n_tok"))
+    val bigs = Tables.documents(s, dir)
+      .selectExpr("split(text,' ') AS toks").where("size(toks) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))) AS b""".stripMargin)
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbt = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val bTot = cbt.agg(sum("cab").as("n_big"))
+    cbt.filter(col("cab") >= 25)
+      .join(cu.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(cu.select(col("w").as("w2"), col("c").as("cb2")), Seq("w2"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log((col("cab") * col("n_tok") * col("n_tok")).cast("double") /
+          (col("n_big") * col("ca") * col("cb2"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val pmiPhrasesSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |u AS (SELECT unnest(toks) AS w FROM t),
+      |cu AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+      |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM cu),
+      |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |        i -> {'w1': toks[i], 'w2': toks[i+1]})) AS e
+      |      FROM t WHERE len(toks) >= 2),
+      |cbt AS (SELECT e.w1 AS w1, e.w2 AS w2, count(*) AS cab
+      |        FROM b GROUP BY 1, 2),
+      |nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n_big FROM cbt)
+      |SELECT w1, w2, cab,
+      |  round(ln(CAST(cab * n_tok * n_tok AS DOUBLE) / (n_big * ca * cb2)), 6)
+      |    AS pmi
+      |FROM (SELECT cbt.w1, cbt.w2, CAST(cbt.cab AS BIGINT) AS cab,
+      |        CAST(a.c AS BIGINT) AS ca, CAST(b2.c AS BIGINT) AS cb2
+      |      FROM cbt JOIN cu a ON cbt.w1 = a.w
+      |      JOIN cu b2 ON cbt.w2 = b2.w
+      |      WHERE cbt.cab >= 25), nt, nb
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- d06
 
   /** MinHash + LSH near-dup pairs — the 100 TB path. 32 minhash values
@@ -1902,5 +2001,6 @@ object TextOps {
       Some(jaccardPairsSql)),
     QueryDef("d40_boilerplate_ngrams", boilerplateNgrams,
       Some(boilerplateNgramsSql)),
+    QueryDef("d41_pmi_phrases", pmiPhrases, Some(pmiPhrasesSql)),
   )
 }

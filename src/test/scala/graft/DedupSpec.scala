@@ -51,6 +51,29 @@ class DedupSpec extends SparkSpec {
     assert(snap("d13_dup_clusters") == isolated("d13_dup_clusters"))
   }
 
+  test("PII scrub masks emails/IPs/cards/phones with counts; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact me at jane.doe+x@corp.example.org or 10.1.255.7 thanks"),
+      (2L, "card 4111111111111111 phone 555-867-5309 and +1 (415) 555-2671"),
+      (3L, "plain text with no sensitive values at all"),
+      (4L, "two mails a@b.io c@d.co one ip 192.168.0.1")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getString(1) == "contact me at <EMAIL> or <IP> thanks")
+    assert(out(1).getAs[Int]("n_email") == 1 && out(1).getAs[Int]("n_ip") == 1)
+    val r2 = out(2).getString(1)
+    assert(r2.contains("<CARD>") && !r2.exists(_.isDigit), r2)
+    assert(out(2).getAs[Int]("n_card") == 1 && out(2).getAs[Int]("n_phone") == 2)
+    assert(out(3).getString(1) == "plain text with no sensitive values at all")
+    assert(out(3).getAs[Int]("pii_masked") == 0)
+    assert(out(4).getAs[Int]("n_email") == 2 && out(4).getAs[Int]("n_ip") == 1)
+    // the whole corpus is PII-free: scrub is the identity there
+    val docs = Tables.documents(spark, sf0001)
+    assert(TextOps.scrubPii(docs).filter(col("pii_masked") > 0).count() == 0)
+  }
+
   test("near-dup pairs all have jaccard in (0.5, 1]") {
     val js = TextOps.jaccardDupPairs(spark, sf0001)
       .select("jaccard").collect().map(_.getDouble(0))
