@@ -53,8 +53,11 @@ object Bench {
     // 2-decimal per-query timings: 10 ms grain is below this VM's run-to-run
     // noise anyway, and the saved chars keep the line under the harness's
     // ~2000-char stdout tail as the registry grows (full ms precision for
-    // humans prints in the per-query lines above).
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
+    // humans prints in the per-query lines above). At 140 queries the line
+    // sits ~90 chars under the cap, so if 2 decimals would overflow it the
+    // map degrades to 1 decimal rather than tripping the length guard.
+    def qsAt(dec: Int): String = results
+      .map { case (k, v) => "\"" + short(k) + "\":" + s"%.${dec}f".format(v) }
       .mkString("{", ",", "}")
     // Pipeline segment: the dedup family (d12/d13/d26/d29/d34/d37 all
     // rebuild the d05 pair / d13 cluster subtree when run self-contained)
@@ -86,7 +89,9 @@ object Bench {
     val total = f"${ok.map(_._2).sum}%.3f"
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     results.foreach { case (k, v) => println(f"# $k%-40s $v%8.3f s") }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs$pipeline,"sf":"$sfDir"}"""
+    def mkLine(dec: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline,"sf":"$sfDir"}"""
+    val line = if (mkLine(2).length < 1750) mkLine(2) else mkLine(1)
     require(line.length < 1800, s"bench JSON line ${line.length} chars risks tail truncation")
     println(line)
     spark.stop()
