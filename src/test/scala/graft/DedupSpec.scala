@@ -169,6 +169,18 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("multi-probe IVF recall dominates single-probe against the exact top-5") {
+    val exact = VectorOps.knnBruteForce(spark, sf0001).collect()
+      .map(_.getLong(0)).take(5).toSet
+    val one = VectorOps.annIvfTop5(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val two = VectorOps.annIvfMultiprobe(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(two.size == 5)
+    // probing a superset of cells can only add candidates, so recall is
+    // monotone in nprobe
+    assert((exact & two).size >= (exact & one).size,
+      s"nprobe=2 recall ${(exact & two).size} < nprobe=1 ${(exact & one).size}")
+  }
+
   test("ANN-LSH results are a subset of brute-force ranking order") {
     val brute = VectorOps.knnBruteForce(spark, sf0001)
       .select("vec_id", "cos_sim").collect()
