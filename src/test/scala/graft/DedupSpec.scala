@@ -181,6 +181,26 @@ class DedupSpec extends SparkSpec {
       s"nprobe=2 recall ${(exact & two).size} < nprobe=1 ${(exact & one).size}")
   }
 
+  test("PQ-ADC top-5 lands inside the exact L2 top-50 and is run-deterministic") {
+    import org.apache.spark.sql.functions._
+    val pq = VectorOps.pqKnn(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(pq.size == 5)
+    assert(pq == VectorOps.pqKnn(spark, sf0001).collect().map(_.getLong(0)).toSeq)
+    // lossy-but-sane: with the 16-centroid stand-in codebook every ADC
+    // winner must still be a genuinely near vector (measured: 5/5 in the
+    // exact-L2 top-50, 2/5 in the top-10 on this corpus)
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") === 0).selectExpr("v AS qv")
+    val exact50 = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      .selectExpr("vec_id",
+        "aggregate(zip_with(v, qv, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x) AS d2")
+      .orderBy(col("d2"), col("vec_id")).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.forall(exact50), s"PQ picked far vectors: ${pq.filterNot(exact50)}")
+  }
+
   test("ANN-LSH results are a subset of brute-force ranking order") {
     val brute = VectorOps.knnBruteForce(spark, sf0001)
       .select("vec_id", "cos_sim").collect()
