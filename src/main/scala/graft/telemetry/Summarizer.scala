@@ -29,6 +29,86 @@ object Summarizer {
       s"[stub-summary sha=${prompt.hashCode.toHexString} len=${prompt.length}]"
   }
 
+  /** Pluggable HTTP chat-completions client (the OpenAI-compatible wire
+    * shape the reference's providers all speak) on the JDK `HttpClient` —
+    * no new dependencies. Endpoint, key and model are injected; the
+    * request body and response parsing are PURE functions
+    * ([[buildRequestBody]]/[[parseContent]]) so the protocol logic is
+    * spec-tested without any network (this environment has zero egress —
+    * `complete` itself is exercised only in a live deployment).
+    */
+  final class HttpJsonClient(endpoint: String, apiKey: String, model: String,
+                             timeoutMs: Long = 30000L) extends LlmClient {
+    private def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    /** Chat-completions request envelope; prompt rides as the single user
+      * message. Public for spec coverage.
+      */
+    def buildRequestBody(prompt: String, temperature: Double, maxTokens: Int): String =
+      s"""{"model":"${esc(model)}","temperature":$temperature,""" +
+        s""""max_tokens":$maxTokens,""" +
+        s""""messages":[{"role":"user","content":"${esc(prompt)}"}]}"""
+
+    /** Extracts `choices[0].message.content` from the standard response
+      * envelope: finds the first `"content"` key and decodes the JSON
+      * string that follows (escape-aware). Errors loudly on a shape it
+      * doesn't recognize rather than returning a fragment. Public for
+      * spec coverage.
+      */
+    def parseContent(responseJson: String): String = {
+      val key = "\"content\""
+      val at = responseJson.indexOf(key)
+      require(at >= 0, "LLM response has no content field")
+      var i = responseJson.indexOf('"', responseJson.indexOf(':', at + key.length) + 1)
+      require(i >= 0, "LLM response content is not a string")
+      i += 1
+      val out = new StringBuilder
+      while (i < responseJson.length && responseJson.charAt(i) != '"') {
+        responseJson.charAt(i) match {
+          case '\\' =>
+            responseJson.charAt(i + 1) match {
+              case 'n' => out += '\n'; i += 2
+              case 't' => out += '\t'; i += 2
+              case 'r' => out += '\r'; i += 2
+              case 'u' =>
+                out += Integer.parseInt(responseJson.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case c => out += c; i += 2
+            }
+          case c => out += c; i += 1
+        }
+      }
+      require(i < responseJson.length, "unterminated content string")
+      out.toString
+    }
+
+    override def complete(prompt: String, temperature: Double, maxTokens: Int): String = {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer $apiKey")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          buildRequestBody(prompt, temperature, maxTokens)))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2,
+        s"LLM endpoint returned ${resp.statusCode()}")
+      parseContent(resp.body())
+    }
+  }
+
   final case class Config(maxRunsPerSession: Int = 10, cacheTtlMs: Long = 600000L)
 
   /** Collects chart-sized context frames to a canonical JSON payload.

@@ -221,6 +221,23 @@ class TelemetrySpec extends SparkSpec {
     assert(Scorer.evaluate(scored, k = 10)("auc") > 0.8)
   }
 
+  test("HTTP LLM client: request body escapes correctly, response parser decodes the envelope") {
+    val c = new Summarizer.HttpJsonClient("https://example.invalid/v1", "k", "test-model")
+    val body = c.buildRequestBody("line1\nhe said \"hi\"\ttab", 0.2, 700)
+    assert(body.contains(""""model":"test-model""""))
+    assert(body.contains(""""temperature":0.2""") && body.contains(""""max_tokens":700"""))
+    assert(body.contains("""line1\nhe said \"hi\"\ttab"""))
+    assert(!body.contains("\n"), "raw control chars must never reach the wire")
+    val resp =
+      """{"id":"x","choices":[{"index":0,"message":{"role":"assistant",
+        |"content":"Cells look fine.\nNo évent at \"CELL-1\"."},
+        |"finish_reason":"stop"}],"usage":{"total_tokens":42}}""".stripMargin
+    assert(c.parseContent(resp) == "Cells look fine.\nNo évent at \"CELL-1\".")
+    intercept[IllegalArgumentException] { c.parseContent("""{"error":"rate limit"}""") }
+    // the HTTP client slots into the Service contract like the stub does
+    assert(classOf[Summarizer.LlmClient].isAssignableFrom(c.getClass))
+  }
+
   test("rankMetrics: mid-rank AUC and tie-broken top-k match hand-computed values") {
     // pos scores {0.9, 0.8, 0.3}, neg {0.8, 0.5, 0.5} → pairwise wins
     // 3 + (0.5 + 2) + 0 = 5.5 of 9 → AUC 0.6111…; top-2 by (s desc, id)
