@@ -260,6 +260,41 @@ object StreamOps {
       }
   }
 
+  /** MERGE-apply sink for [[cdcSnapshotStream]]'s changefeed: each
+    * micro-batch upserts op='U' rows and deletes op='D' keys into a
+    * keyed parquet table — lakehouse MERGE semantics on plain parquet.
+    * Per batch: read the current table, anti-join out every key the
+    * batch touches, union the batch's upserts, materialize to a temp
+    * directory, then atomically swap (delete + rename via the Hadoop
+    * FileSystem API) so readers never observe a half-applied batch and
+    * a retried batch re-applies idempotently (the merge is a pure
+    * function of table + batch). Cost per batch is one table rewrite —
+    * the plain-parquet floor; a format with deletion vectors (Delta/
+    * Iceberg) turns this same changefeed into metadata-only commits,
+    * which is why the emitted op column matches their MERGE contract.
+    */
+  def cdcApplyParquetSink(cdc: Dataset[CdcRow], tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[CdcRow] =
+    cdc.writeStream.foreachBatch { (batch: Dataset[CdcRow], batchId: Long) =>
+      val s = batch.sparkSession
+      val conf = s.sparkContext.hadoopConfiguration
+      val path = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = path.getFileSystem(conf)
+      val touched = batch.toDF().select(col("user_id")).distinct()
+      val upserts = batch.toDF().filter(col("op") === "U")
+        .select("user_id", "last_type", "last_value", "last_ts", "n_events")
+      val merged =
+        if (fs.exists(path))
+          s.read.parquet(tableDir)
+            .join(touched, Seq("user_id"), "left_anti")
+            .unionByName(upserts)
+        else upserts
+      val tmp = new org.apache.hadoop.fs.Path(tableDir + s".tmp-$batchId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(path)) fs.delete(path, true)
+      require(fs.rename(tmp, path), s"atomic swap failed for batch $batchId")
+      ()
+    }
+
   /** Streaming exact dedup on event_id with watermark-bounded state —
     * the streaming form of d01-style exact dedup: duplicate deliveries
     * (at-least-once sources) collapse to the first arrival, and state for

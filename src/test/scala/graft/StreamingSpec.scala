@@ -334,6 +334,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("CDC MERGE-apply sink materializes the snapshot table across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc-table").toString + "/t"
+    val data = sampleEvents(400)
+    val ms = MemoryStream[Event]
+    ms.addData(data.take(250))
+    val q = StreamOps.cdcApplyParquetSink(StreamOps.cdcSnapshotStream(ms.toDS()), dir)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // mid-stream: the table exists and is readable (atomic swap held)
+      assert(spark.read.parquet(dir).count() > 0)
+      ms.addData(data.drop(250))
+      q.processAllAvailable()
+    } finally q.stop()
+    val table = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("last_type"), r.getAs[Double]("last_value"))).toMap
+    // driver-side expectation: latest by (ts, event_id); error ⇒ absent
+    val latest = data.groupBy(_.user_id).map { case (u, es) =>
+      u -> es.maxBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    }
+    latest.foreach { case (u, e) =>
+      if (e.event_type == "error") assert(!table.contains(u), s"user $u not deleted")
+      else assert(table(u) == ((e.event_type, e.value)), s"user $u wrong row")
+    }
+    assert(table.size == latest.count(_._2.event_type != "error"))
+  }
+
   test("streaming CDC snapshot converges to the batch t36 semantics across micro-batches") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(400)
