@@ -71,7 +71,11 @@ object Bench {
       "d34_cluster_weighted_sample", "d37_best_of_cluster")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
-    val pipeline = if (family.nonEmpty && family.forall(resultMap.contains)) {
+    // every family member must have SUCCEEDED in the timed pass (-1.0 is the
+    // failure sentinel) — re-timing a failing query here would throw after
+    // all per-query work completed and lose the whole bench line
+    val pipeline = if (family.nonEmpty &&
+        family.forall(n => resultMap.get(n).exists(_ >= 0))) {
       def t(f: => Unit): Double =
         { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
       val build = t(graft.ext.TextOps.enableSharedFrames(spark, sfDir))

@@ -143,7 +143,11 @@ object JoblibBundle {
           var v = 0L
           var k = n - 1
           while (k >= 0) { v = (v << 8) | (d(pos + k) & 0xffL); k -= 1 }
-          if (n > 0 && d(pos + n - 1) < 0) v -= (1L << (8 * n))
+          // sign-extend only when the value occupies < 8 bytes: for n == 8
+          // the 64-bit accumulation is already exact two's complement, and
+          // (1L << 64) is 1 on the JVM (shift count mod 64) — applying it
+          // would silently decrement every negative 8-byte long
+          if (n > 0 && n < 8 && d(pos + n - 1) < 0) v -= (1L << (8 * n))
           stack += v; pos += n
         case 0x73 =>                                              // SETITEM
           val v = stack.remove(stack.length - 1)
@@ -168,6 +172,11 @@ object JoblibBundle {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Parse a raw pickle byte stream — test hook for opcode-level cases
+    * (e.g. LONG1 sign handling) that the shipped bundle doesn't exercise.
+    */
+  private[graft] def parsePickle(d: Array[Byte]): Any = parse(d, 0, toplevel = true)._1
 
   /** Load the bundle's top-level dict (plain values + opaque PyObj
     * nodes for model objects).

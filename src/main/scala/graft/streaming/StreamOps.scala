@@ -260,40 +260,113 @@ object StreamOps {
       }
   }
 
+  private val CdcCommitPrefix = "_commit-"
+
+  /** Latest committed version of a [[cdcApplyParquetSink]] table: the max
+    * batch id with a commit marker present, None before the first commit.
+    * Markers are tiny empty files flipped into place by an atomic file
+    * rename, so this resolution never observes a half-written commit.
+    */
+  def cdcLatestCommit(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(CdcCommitPrefix))
+      .map(_.stripPrefix(CdcCommitPrefix).toLong)
+      .reduceOption((a, b) => math.max(a, b))
+
+  /** Reader half of the [[cdcApplyParquetSink]] contract: resolve the
+    * newest commit marker, read that version's data directory. None before
+    * the first commit. Readers must come through here (or replicate the
+    * marker resolution) — the table ROOT holds multiple versions and is
+    * not itself a parquet dataset.
+    */
+  def readCdcTable(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cdcLatestCommit(fs, path).map { n =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(path, s"v$n").toString)
+    }
+  }
+
   /** MERGE-apply sink for [[cdcSnapshotStream]]'s changefeed: each
     * micro-batch upserts op='U' rows and deletes op='D' keys into a
     * keyed parquet table — lakehouse MERGE semantics on plain parquet.
-    * Per batch: read the current table, anti-join out every key the
-    * batch touches, union the batch's upserts, materialize to a temp
-    * directory, then atomically swap (delete + rename via the Hadoop
-    * FileSystem API) so readers never observe a half-applied batch and
-    * a retried batch re-applies idempotently (the merge is a pure
-    * function of table + batch). Cost per batch is one table rewrite —
-    * the plain-parquet floor; a format with deletion vectors (Delta/
-    * Iceberg) turns this same changefeed into metadata-only commits,
-    * which is why the emitted op column matches their MERGE contract.
+    *
+    * Commit protocol (the part that makes the atomicity claim TRUE —
+    * directory delete+rename is two filesystem ops with a visible gap,
+    * so versions + an atomically renamed marker FILE replace it):
+    * each batch writes its full merged snapshot to `v<batchId>/`, then
+    * flips `_commit-<batchId>` into place via a single file rename.
+    * Readers ([[readCdcTable]]) resolve max(committed id) → `v<id>/`, so
+    * at every instant they see exactly one complete, fully-committed
+    * snapshot — no missing-table window, no torn batch. Crash recovery:
+    * a crash before the marker flip leaves the previous commit live and
+    * the retried batch re-merges from it (the merge is a pure function
+    * of table + batch, so re-application is idempotent); a retry AFTER
+    * the flip sees its own id already committed and no-ops. Old versions
+    * beyond the newest two are pruned after each commit (markers first),
+    * bounding storage while leaving one superseded snapshot for readers
+    * that resolved just before the flip. Cost per batch is one table
+    * rewrite — the plain-parquet floor; a format with deletion vectors
+    * (Delta/Iceberg) turns this same changefeed into metadata-only
+    * commits, which is why the emitted op column matches their MERGE
+    * contract.
     */
   def cdcApplyParquetSink(cdc: Dataset[CdcRow], tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[CdcRow] =
     cdc.writeStream.foreachBatch { (batch: Dataset[CdcRow], batchId: Long) =>
+      applyCdcBatch(batch, tableDir, batchId)
+    }
+
+  /** One MERGE-apply commit — the [[cdcApplyParquetSink]] batch body,
+    * public so the retry/crash-recovery paths are directly spec-testable
+    * (a foreachBatch retry is just this function called again with the
+    * same batchId).
+    */
+  def applyCdcBatch(batch: Dataset[CdcRow], tableDir: String, batchId: Long): Unit = {
       val s = batch.sparkSession
       val conf = s.sparkContext.hadoopConfiguration
-      val path = new org.apache.hadoop.fs.Path(tableDir)
-      val fs = path.getFileSystem(conf)
-      val touched = batch.toDF().select(col("user_id")).distinct()
-      val upserts = batch.toDF().filter(col("op") === "U")
-        .select("user_id", "last_type", "last_value", "last_ts", "n_events")
-      val merged =
-        if (fs.exists(path))
-          s.read.parquet(tableDir)
-            .join(touched, Seq("user_id"), "left_anti")
-            .unionByName(upserts)
-        else upserts
-      val tmp = new org.apache.hadoop.fs.Path(tableDir + s".tmp-$batchId")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(path)) fs.delete(path, true)
-      require(fs.rename(tmp, path), s"atomic swap failed for batch $batchId")
+      val root = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = root.getFileSystem(conf)
+      fs.mkdirs(root)
+      val current = cdcLatestCommit(fs, root)
+      // retry after a successful commit: this batch (or a later one) is
+      // already live — re-merging would read v<batchId> while overwriting
+      // it, so the no-op is both the correct semantics and the safe plan
+      if (!current.exists(_ >= batchId)) {
+        val touched = batch.toDF().select(col("user_id")).distinct()
+        val upserts = batch.toDF().filter(col("op") === "U")
+          .select("user_id", "last_type", "last_value", "last_ts", "n_events")
+        val merged = current match {
+          case Some(n) =>
+            s.read.parquet(new org.apache.hadoop.fs.Path(root, s"v$n").toString)
+              .join(touched, Seq("user_id"), "left_anti")
+              .unionByName(upserts)
+          case None => upserts
+        }
+        // overwrite mode: a crashed attempt's partial v<batchId> is replaced
+        merged.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(root, s"v$batchId").toString)
+        val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$batchId.tmp")
+        fs.create(tmpMarker, true).close()
+        val marker = new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$batchId")
+        require(fs.rename(tmpMarker, marker),
+          s"commit marker flip failed for batch $batchId")
+        // prune: newest two commits stay (marker deleted before its data so
+        // resolution never points at a missing directory)
+        fs.listStatus(root).iterator
+          .map(_.getPath.getName)
+          .filter(_.startsWith(CdcCommitPrefix))
+          .map(_.stripPrefix(CdcCommitPrefix).toLong)
+          .toSeq.sorted(Ordering[Long].reverse).drop(2)
+          .foreach { n =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$n"), false)
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v$n"), true)
+          }
+      }
       ()
-    }
+  }
 
   /** Streaming exact dedup on event_id with watermark-bounded state —
     * the streaming form of d01-style exact dedup: duplicate deliveries

@@ -67,21 +67,37 @@ object Summarizer {
       val key = "\"content\""
       val at = responseJson.indexOf(key)
       require(at >= 0, "LLM response has no content field")
-      var i = responseJson.indexOf('"', responseJson.indexOf(':', at + key.length) + 1)
-      require(i >= 0, "LLM response content is not a string")
+      val colon = responseJson.indexOf(':', at + key.length)
+      require(colon >= 0, "LLM response content key has no value")
+      // the value must BE a string literal: skip whitespace after the colon
+      // and demand an opening quote there. Scanning ahead for "the next
+      // quote anywhere" would latch onto an unrelated token when content is
+      // null (tool-call / refusal envelopes) or an object.
+      var i = colon + 1
+      while (i < responseJson.length && responseJson.charAt(i).isWhitespace) i += 1
+      require(i < responseJson.length && responseJson.charAt(i) == '"',
+        "LLM response content is not a string (null/object content rejected)")
       i += 1
       val out = new StringBuilder
       while (i < responseJson.length && responseJson.charAt(i) != '"') {
         responseJson.charAt(i) match {
           case '\\' =>
+            require(i + 1 < responseJson.length, "truncated escape in content")
             responseJson.charAt(i + 1) match {
               case 'n' => out += '\n'; i += 2
               case 't' => out += '\t'; i += 2
               case 'r' => out += '\r'; i += 2
+              case 'b' => out += '\b'; i += 2
+              case 'f' => out += '\f'; i += 2
               case 'u' =>
                 out += Integer.parseInt(responseJson.substring(i + 2, i + 6), 16).toChar
                 i += 6
-              case c => out += c; i += 2
+              case c @ ('"' | '\\' | '/') => out += c; i += 2
+              case c =>
+                // JSON defines exactly the escapes above; anything else is
+                // a malformed envelope — error loudly, per the contract
+                throw new IllegalArgumentException(
+                  s"unsupported escape \\$c in LLM content")
             }
           case c => out += c; i += 1
         }

@@ -344,12 +344,12 @@ class StreamingSpec extends SparkSpec {
       .outputMode("update").start()
     try {
       q.processAllAvailable()
-      // mid-stream: the table exists and is readable (atomic swap held)
-      assert(spark.read.parquet(dir).count() > 0)
+      // mid-stream: the table resolves and is readable (commit marker live)
+      assert(StreamOps.readCdcTable(spark, dir).get.count() > 0)
       ms.addData(data.drop(250))
       q.processAllAvailable()
     } finally q.stop()
-    val table = spark.read.parquet(dir).collect()
+    val table = StreamOps.readCdcTable(spark, dir).get.collect()
       .map(r => r.getAs[Long]("user_id") ->
         (r.getAs[String]("last_type"), r.getAs[Double]("last_value"))).toMap
     // driver-side expectation: latest by (ts, event_id); error ⇒ absent
@@ -361,6 +361,44 @@ class StreamingSpec extends SparkSpec {
       else assert(table(u) == ((e.event_type, e.value)), s"user $u wrong row")
     }
     assert(table.size == latest.count(_._2.event_type != "error"))
+  }
+
+  test("CDC sink commits survive retries and crash windows without losing merged keys") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc-retry").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cdcBatch(rows: (Long, String, String, Double)*): org.apache.spark.sql.Dataset[StreamOps.CdcRow] =
+      rows.map { case (u, op, tpe, v) =>
+        StreamOps.CdcRow(u, op, tpe, v, new java.sql.Timestamp(1000L * u), 1L)
+      }.toDS()
+    def snapshot(): Map[Long, Double] =
+      StreamOps.readCdcTable(spark, dir).get.collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("last_value")).toMap
+
+    StreamOps.applyCdcBatch(cdcBatch((1L, "U", "view", 1.0), (2L, "U", "view", 2.0)), dir, 0L)
+    StreamOps.applyCdcBatch(cdcBatch((2L, "U", "click", 2.5), (3L, "U", "view", 3.0)), dir, 1L)
+    val afterTwo = snapshot()
+    assert(afterTwo == Map(1L -> 1.0, 2L -> 2.5, 3L -> 3.0))
+
+    // retry AFTER a successful commit: same batchId re-applies as a no-op —
+    // crucially it must NOT rebuild the table from this batch's rows alone
+    StreamOps.applyCdcBatch(cdcBatch((2L, "U", "click", 2.5), (3L, "U", "view", 3.0)), dir, 1L)
+    assert(snapshot() == afterTwo, "retry after commit must not change the table")
+
+    // crash window: batch 2's data dir written but the marker flip never
+    // happened — readers still resolve batch 1, and the retried batch 2
+    // re-merges from batch 1's committed snapshot
+    val orphan = new org.apache.hadoop.fs.Path(root, "v2")
+    cdcBatch((1L, "D", "error", 0.0)).toDF()
+      .write.mode("overwrite").parquet(orphan.toString)
+    assert(snapshot() == afterTwo, "uncommitted version must be invisible")
+    StreamOps.applyCdcBatch(cdcBatch((1L, "D", "error", 0.0), (4L, "U", "view", 4.0)), dir, 2L)
+    assert(snapshot() == Map(2L -> 2.5, 3L -> 3.0, 4L -> 4.0))
+
+    // retention: after 3 commits only the newest two versions remain
+    val commits = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("_commit-")).sorted
+    assert(commits.toSeq == Seq("_commit-1", "_commit-2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v0")))
   }
 
   test("streaming CDC snapshot converges to the batch t36 semantics across micro-batches") {

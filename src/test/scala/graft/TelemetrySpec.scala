@@ -221,6 +221,22 @@ class TelemetrySpec extends SparkSpec {
     assert(Scorer.evaluate(scored, k = 10)("auc") > 0.8)
   }
 
+  test("pickle LONG1 sign handling: 8-byte negatives are already exact two's complement") {
+    def long1(payload: Byte*): Long = {
+      val bytes = Array[Byte](0x8a.toByte, payload.length.toByte) ++
+        payload.toArray :+ 0x2e.toByte // LONG1 n <bytes> STOP
+      graft.sources.JoblibBundle.parsePickle(bytes).asInstanceOf[Long]
+    }
+    // n=8: the 64-bit accumulation IS the value; the (1L << 64)==1 JVM
+    // shift-mod trap must not decrement it
+    assert(long1(0xfe.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) == -2L)
+    assert(long1(0, 0, 0, 0, 0, 0, 0, 0x80.toByte) == Long.MinValue)
+    // n<8 negatives still sign-extend
+    assert(long1(0xfe.toByte) == -2L)
+    assert(long1(0x2c.toByte, 0x01.toByte) == 300L)
+  }
+
   test("HTTP LLM client: request body escapes correctly, response parser decodes the envelope") {
     val c = new Summarizer.HttpJsonClient("https://example.invalid/v1", "k", "test-model")
     val body = c.buildRequestBody("line1\nhe said \"hi\"\ttab", 0.2, 700)
@@ -234,6 +250,17 @@ class TelemetrySpec extends SparkSpec {
         |"finish_reason":"stop"}],"usage":{"total_tokens":42}}""".stripMargin
     assert(c.parseContent(resp) == "Cells look fine.\nNo évent at \"CELL-1\".")
     intercept[IllegalArgumentException] { c.parseContent("""{"error":"rate limit"}""") }
+    // null content (tool-call/refusal envelopes) must be rejected, not
+    // silently resolved to the next quoted token in the document
+    intercept[IllegalArgumentException] {
+      c.parseContent("""{"message":{"content":null,"tool_calls":[{"id":"t1"}]}}""")
+    }
+    intercept[IllegalArgumentException] {
+      c.parseContent("""{"message":{"content":{"parts":["x"]}}}""")
+    }
+    // \b and \f decode to their control chars; unknown escapes error loudly
+    assert(c.parseContent("""{"content": "a\b\fz"}""") == "a\b\fz")
+    intercept[IllegalArgumentException] { c.parseContent("""{"content":"bad\qescape"}""") }
     // the HTTP client slots into the Service contract like the stub does
     assert(classOf[Summarizer.LlmClient].isAssignableFrom(c.getClass))
   }
