@@ -7,9 +7,15 @@ package graft
   * Methodology: queries run in sorted name order; a first untimed pass
   * warms JVM/codegen/parquet footers (single-JVM local mode otherwise
   * charges one-time session costs to whichever query runs first), then
-  * each query is timed twice and the minimum is reported — steady-state
-  * engine speed, not launch noise. Cross-JVM wall clock on this class of
-  * VM varies up to 2×, which min-of-2-after-warm-up largely removes.
+  * each query is timed three times and the minimum is reported —
+  * steady-state engine speed, not launch noise. Cross-JVM wall clock on
+  * this class of VM varies up to 2×, and round 5 showed bursty host
+  * stalls can hit BOTH reps of min-of-2 (d18 read 6.9× on an unchanged
+  * plan, fully recovered next session — see PERF.md "round-5 bench
+  * regression"); min-of-3 shrinks that window, and the `floor` field
+  * (a trivial in-memory aggregate probed before and after the timed
+  * section) calibrates the VM window itself so a cross-round comparison
+  * can discount a slow host rather than misread it as a plan change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,10 +43,20 @@ object Bench {
       dt
     }
 
-    queries.foreach { case (_, fn) => run(fn) } // warm-up pass, untimed
-    val results = queries.map { case (name, fn) =>
-      name -> math.min(run(fn), run(fn))
+    // VM-noise calibration probe: no IO, no parquet — pure codegen +
+    // scheduling. A healthy window floors ~0.05 s; multi-× inflation here
+    // means host contention, not engine regression.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("sum(id) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    queries.foreach { case (_, fn) => run(fn) } // warm-up pass, untimed
+    val floorPre = (1 to 3).map(_ => probe()).min
+    val results = queries.map { case (name, fn) =>
+      name -> Seq(run(fn), run(fn), run(fn)).min
+    }
+    val floorPost = (1 to 3).map(_ => probe()).min
 
     // The harness captures only the last ~2000 chars of stdout, so the JSON
     // line must stay comfortably below that: per-query keys are compacted to
@@ -93,8 +109,9 @@ object Bench {
     val total = f"${ok.map(_._2).sum}%.3f"
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     results.foreach { case (k, v) => println(f"# $k%-40s $v%8.3f s") }
+    val floor = f""","floor":{"pre":$floorPre%.3f,"post":$floorPost%.3f}"""
     def mkLine(dec: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$floor,"sf":"$sfDir"}"""
     val line = if (mkLine(2).length < 1750) mkLine(2) else mkLine(1)
     require(line.length < 1800, s"bench JSON line ${line.length} chars risks tail truncation")
     println(line)
