@@ -75,16 +75,17 @@ object Bench {
     def qsAt(dec: Int): String = results
       .map { case (k, v) => "\"" + short(k) + "\":" + s"%.${dec}f".format(v) }
       .mkString("{", ",", "}")
-    // Pipeline segment: the dedup family (d12/d13/d26/d29/d34/d37 all
-    // rebuild the d05 pair / d13 cluster subtree when run self-contained)
-    // re-times with those frames materialized ONCE via
-    // TextOps.enableSharedFrames — how a real pipeline runs. Reported
-    // beside the isolated numbers so regression signal separates from
-    // shared-subtree recompute noise; per-query timings above keep the
-    // driver contract untouched.
+    // Pipeline segment: the dedup family (d12/d13/d18/d26/d29/d34/d37/d39
+    // all rebuild the shingle / d05 pair / d13 cluster subtrees when run
+    // self-contained — d39 builds the shingle table three times) re-times
+    // with those frames materialized ONCE via TextOps.enableSharedFrames —
+    // how a real pipeline runs. Reported beside the isolated numbers so
+    // regression signal separates from shared-subtree recompute noise;
+    // per-query timings above keep the driver contract untouched.
     val family = Seq("d12_edit_distance_dup_pairs", "d13_dup_clusters",
-      "d26_cross_split_leakage", "d29_apply_near_dup_removal",
-      "d34_cluster_weighted_sample", "d37_best_of_cluster")
+      "d18_contamination", "d26_cross_split_leakage",
+      "d29_apply_near_dup_removal", "d34_cluster_weighted_sample",
+      "d37_best_of_cluster", "d39_capped_jaccard_pairs")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the

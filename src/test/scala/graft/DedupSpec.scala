@@ -39,9 +39,10 @@ class DedupSpec extends SparkSpec {
 
   test("pipeline shared frames serve bit-identical results and release cleanly") {
     def snap(name: String) = SparkEntry.queries(name)(spark, sf0001).collect().toSeq
-    val names = Seq("d12_edit_distance_dup_pairs", "d13_dup_clusters",
-      "d29_apply_near_dup_removal", "d34_cluster_weighted_sample",
-      "d37_best_of_cluster")
+    val names = Seq("d05_jaccard_dup_pairs", "d12_edit_distance_dup_pairs",
+      "d13_dup_clusters", "d18_contamination", "d29_apply_near_dup_removal",
+      "d34_cluster_weighted_sample", "d37_best_of_cluster",
+      "d39_capped_jaccard_pairs")
     val isolated = names.map(n => n -> snap(n)).toMap
     TextOps.enableSharedFrames(spark, sf0001)
     try names.foreach { n =>
