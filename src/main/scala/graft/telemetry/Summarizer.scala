@@ -29,25 +29,75 @@ object Summarizer {
       s"[stub-summary sha=${prompt.hashCode.toHexString} len=${prompt.length}]"
   }
 
+  /** JSON string-literal escaping shared by both wire clients. */
+  private[telemetry] def escJson(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Decodes the JSON string literal that is the value of the first
+    * occurrence of `"key"` at/after `from` — shared extraction kernel of
+    * [[HttpJsonClient.parseContent]] and [[GeminiClient.parseText]].
+    * Demands an actual string literal right after the colon (whitespace
+    * permitted): `null` / object / array values are rejected loudly
+    * instead of latching onto the next quote in the document.
+    */
+  private[telemetry] def decodeStringValue(json: String, key: String,
+      from: Int = 0): String = {
+    val at = json.indexOf("\"" + key + "\"", from)
+    require(at >= 0, s"response has no $key field")
+    val colon = json.indexOf(':', at + key.length + 2)
+    require(colon >= 0, s"response $key key has no value")
+    var i = colon + 1
+    while (i < json.length && json.charAt(i).isWhitespace) i += 1
+    require(i < json.length && json.charAt(i) == '"',
+      s"response $key is not a string (null/object content rejected)")
+    i += 1
+    val out = new StringBuilder
+    while (i < json.length && json.charAt(i) != '"') {
+      json.charAt(i) match {
+        case '\\' =>
+          require(i + 1 < json.length, s"truncated escape in $key")
+          json.charAt(i + 1) match {
+            case 'n' => out += '\n'; i += 2
+            case 't' => out += '\t'; i += 2
+            case 'r' => out += '\r'; i += 2
+            case 'b' => out += '\b'; i += 2
+            case 'f' => out += '\f'; i += 2
+            case 'u' =>
+              out += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c @ ('"' | '\\' | '/') => out += c; i += 2
+            case c =>
+              // JSON defines exactly the escapes above; anything else is
+              // a malformed envelope — error loudly, per the contract
+              throw new IllegalArgumentException(
+                s"unsupported escape \\$c in $key")
+          }
+        case c => out += c; i += 1
+      }
+    }
+    require(i < json.length, s"unterminated $key string")
+    out.toString
+  }
+
   /** Pluggable HTTP chat-completions client (the OpenAI-compatible wire
-    * shape the reference's providers all speak) on the JDK `HttpClient` —
-    * no new dependencies. Endpoint, key and model are injected; the
-    * request body and response parsing are PURE functions
+    * shape — the reference's `provider == "openai"` path,
+    * streamlit_app.py:1178-1192) on the JDK `HttpClient` — no new
+    * dependencies. Endpoint, key and model are injected; the request
+    * body and response parsing are PURE functions
     * ([[buildRequestBody]]/[[parseContent]]) so the protocol logic is
     * spec-tested without any network (this environment has zero egress —
     * `complete` itself is exercised only in a live deployment).
     */
   final class HttpJsonClient(endpoint: String, apiKey: String, model: String,
                              timeoutMs: Long = 30000L) extends LlmClient {
-    private def esc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    private def esc(s: String): String = escJson(s)
 
     /** Chat-completions request envelope; prompt rides as the single user
       * message. Public for spec coverage.
@@ -63,48 +113,8 @@ object Summarizer {
       * doesn't recognize rather than returning a fragment. Public for
       * spec coverage.
       */
-    def parseContent(responseJson: String): String = {
-      val key = "\"content\""
-      val at = responseJson.indexOf(key)
-      require(at >= 0, "LLM response has no content field")
-      val colon = responseJson.indexOf(':', at + key.length)
-      require(colon >= 0, "LLM response content key has no value")
-      // the value must BE a string literal: skip whitespace after the colon
-      // and demand an opening quote there. Scanning ahead for "the next
-      // quote anywhere" would latch onto an unrelated token when content is
-      // null (tool-call / refusal envelopes) or an object.
-      var i = colon + 1
-      while (i < responseJson.length && responseJson.charAt(i).isWhitespace) i += 1
-      require(i < responseJson.length && responseJson.charAt(i) == '"',
-        "LLM response content is not a string (null/object content rejected)")
-      i += 1
-      val out = new StringBuilder
-      while (i < responseJson.length && responseJson.charAt(i) != '"') {
-        responseJson.charAt(i) match {
-          case '\\' =>
-            require(i + 1 < responseJson.length, "truncated escape in content")
-            responseJson.charAt(i + 1) match {
-              case 'n' => out += '\n'; i += 2
-              case 't' => out += '\t'; i += 2
-              case 'r' => out += '\r'; i += 2
-              case 'b' => out += '\b'; i += 2
-              case 'f' => out += '\f'; i += 2
-              case 'u' =>
-                out += Integer.parseInt(responseJson.substring(i + 2, i + 6), 16).toChar
-                i += 6
-              case c @ ('"' | '\\' | '/') => out += c; i += 2
-              case c =>
-                // JSON defines exactly the escapes above; anything else is
-                // a malformed envelope — error loudly, per the contract
-                throw new IllegalArgumentException(
-                  s"unsupported escape \\$c in LLM content")
-            }
-          case c => out += c; i += 1
-        }
-      }
-      require(i < responseJson.length, "unterminated content string")
-      out.toString
-    }
+    def parseContent(responseJson: String): String =
+      decodeStringValue(responseJson, "content")
 
     override def complete(prompt: String, temperature: Double, maxTokens: Int): String = {
       val client = java.net.http.HttpClient.newBuilder()
@@ -124,6 +134,95 @@ object Summarizer {
       parseContent(resp.body())
     }
   }
+
+  /** Gemini-native `generateContent` client — the reference's DEFAULT
+    * provider path (streamlit_app.py:1168-1177 calls
+    * `GenerativeModel(model).generate_content([system, user])`; the
+    * provider selectbox at :1218 defaults to "gemini"). Speaks the
+    * public REST wire shape of that SDK call: POST
+    * `{base}/models/{model}:generateContent` with the prompt as user
+    * parts and `generationConfig` carrying temperature/maxOutputTokens;
+    * the reply text sits at `candidates[0].content.parts[0].text`.
+    * Request build and response parse are PURE functions, spec-tested
+    * with zero network, like [[HttpJsonClient]]'s.
+    */
+  final class GeminiClient(apiKey: String, model: String,
+      base: String = "https://generativelanguage.googleapis.com/v1beta",
+      timeoutMs: Long = 30000L) extends LlmClient {
+
+    /** Resolved request URL — pure, public for spec coverage. The key
+      * travels in the `x-goog-api-key` header, never the URL (URLs leak
+      * into logs).
+      */
+    def requestUrl: String = s"$base/models/$model:generateContent"
+
+    /** generateContent envelope. The reference passes `[system, user]`
+      * as one content list; our Service sends a single prompt, which
+      * rides as one user part — `parts` takes N texts for callers that
+      * split system/user like the reference does.
+      */
+    def buildRequestBody(parts: Seq[String], temperature: Double,
+        maxTokens: Int): String = {
+      require(parts.nonEmpty, "generateContent needs at least one part")
+      val ps = parts.map(p => s"""{"text":"${escJson(p)}"}""").mkString(",")
+      s"""{"contents":[{"role":"user","parts":[$ps]}],""" +
+        s""""generationConfig":{"temperature":$temperature,""" +
+        s""""maxOutputTokens":$maxTokens}}"""
+    }
+
+    /** Extracts `candidates[0].content.parts[0].text`. A response with
+      * no `candidates` array (safety-blocked prompts return only
+      * `promptFeedback`) errors loudly with the block reason when one is
+      * present, mirroring the strictness of
+      * [[HttpJsonClient.parseContent]].
+      */
+    def parseText(responseJson: String): String = {
+      val cand = responseJson.indexOf("\"candidates\"")
+      if (cand < 0) {
+        val reason =
+          try Some(decodeStringValue(responseJson, "blockReason"))
+          catch { case _: IllegalArgumentException => None }
+        throw new IllegalArgumentException(
+          reason.fold("Gemini response has no candidates")(r =>
+            s"Gemini prompt blocked: $r"))
+      }
+      decodeStringValue(responseJson, "text", cand)
+    }
+
+    override def complete(prompt: String, temperature: Double, maxTokens: Int): String = {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(requestUrl))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .header("x-goog-api-key", apiKey)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          buildRequestBody(Seq(prompt), temperature, maxTokens)))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2,
+        s"Gemini endpoint returned ${resp.statusCode()}")
+      parseText(resp.body())
+    }
+  }
+
+  /** Provider toggle, matching the reference's selectbox semantics
+    * (streamlit_app.py:1218-1224: "gemini" default with model
+    * gemini-1.5-flash, "openai" with gpt-4o-mini, anything else is an
+    * error). `endpoint` applies to the openai-compatible path only.
+    */
+  def client(provider: String, apiKey: String, model: String = "",
+      endpoint: String = "https://api.openai.com/v1/chat/completions"): LlmClient =
+    provider match {
+      case "gemini" =>
+        new GeminiClient(apiKey, if (model.isEmpty) "gemini-1.5-flash" else model)
+      case "openai" =>
+        new HttpJsonClient(endpoint, apiKey, if (model.isEmpty) "gpt-4o-mini" else model)
+      case other =>
+        throw new IllegalArgumentException(s"unknown LLM provider: $other")
+    }
 
   final case class Config(maxRunsPerSession: Int = 10, cacheTtlMs: Long = 600000L)
 

@@ -265,6 +265,36 @@ class TelemetrySpec extends SparkSpec {
     assert(classOf[Summarizer.LlmClient].isAssignableFrom(c.getClass))
   }
 
+  test("Gemini client: generateContent wire shape, text extraction, block handling, provider toggle") {
+    val g = new Summarizer.GeminiClient("key", "gemini-1.5-flash")
+    assert(g.requestUrl ==
+      "https://generativelanguage.googleapis.com/v1beta/models/gemini-1.5-flash:generateContent")
+    // reference passes [system, user] as one content list — two parts
+    val body = g.buildRequestBody(Seq("You are an analyst.", "data:\n{\"x\":1}"), 0.2, 700)
+    assert(body.contains(""""contents":[{"role":"user","parts":[{"text":"You are an analyst."},"""))
+    assert(body.contains(""""generationConfig":{"temperature":0.2,"maxOutputTokens":700}"""))
+    assert(body.contains("""data:\n{\"x\":1}""") && !body.contains("\n"))
+    intercept[IllegalArgumentException] { g.buildRequestBody(Nil, 0.2, 700) }
+    val resp =
+      """{"candidates":[{"content":{"parts":[{"text":"Cell KPIs \"stable\".\nNo action."}],
+        |"role":"model"},"finishReason":"STOP"}],"usageMetadata":{"totalTokenCount":9}}""".stripMargin
+    assert(g.parseText(resp) == "Cell KPIs \"stable\".\nNo action.")
+    // safety-blocked: no candidates, only promptFeedback — loud error with reason
+    val blocked = intercept[IllegalArgumentException] {
+      g.parseText("""{"promptFeedback":{"blockReason":"SAFETY"}}""")
+    }
+    assert(blocked.getMessage.contains("SAFETY"))
+    // a "text" key OUTSIDE candidates must not be latched onto
+    intercept[IllegalArgumentException] {
+      g.parseText("""{"error":{"text":"quota"},"status":503}""")
+    }
+    // provider toggle mirrors the reference selectbox: gemini default model,
+    // openai chat-completions, unknown loud
+    assert(Summarizer.client("gemini", "k").isInstanceOf[Summarizer.GeminiClient])
+    assert(Summarizer.client("openai", "k").isInstanceOf[Summarizer.HttpJsonClient])
+    intercept[IllegalArgumentException] { Summarizer.client("anthropic", "k") }
+  }
+
   test("rankMetrics: mid-rank AUC and tie-broken top-k match hand-computed values") {
     // pos scores {0.9, 0.8, 0.3}, neg {0.8, 0.5, 0.5} → pairwise wins
     // 3 + (0.5 + 2) + 0 = 5.5 of 9 → AUC 0.6111…; top-2 by (s desc, id)
