@@ -421,11 +421,39 @@ object StreamOps {
     * exactly as d17 preserves them (dedup WITHIN the stream is
     * [[dedupEvents]]' job, composable upstream).
     */
-  def incrementalDedupStream(incoming: DataFrame, base: DataFrame): DataFrame = {
-    val s = base.sparkSession
+  def incrementalDedupStream(incoming: DataFrame, base: DataFrame): DataFrame =
+    incrementalDedupStream(incoming, base, buildCorpusSketch(base))
+
+  /** The corpus-side state of [[incrementalDedupStream]], built ONCE per
+    * corpus version: the broadcast Bloom filter plus the version tag that
+    * says which corpus snapshot it sketches. A long-running stream holds
+    * one of these and swaps it only when the corpus itself changes —
+    * re-calling the convenience overload per restart would re-count and
+    * re-sketch the full corpus each time, a full corpus scan that a
+    * 100 TB deployment pays at most once per corpus VERSION, not once
+    * per stream (re)start.
+    */
+  final case class CorpusSketch(version: Long,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+
+  /** Builds a [[CorpusSketch]]: one corpus count + one Bloom build
+    * (no false negatives at ~3% false positives), broadcast to every
+    * executor.
+    */
+  def buildCorpusSketch(base: DataFrame, version: Long = 0L,
+      fpp: Double = 0.03): CorpusSketch = {
     val n = math.max(base.count(), 1L)
-    val bloom = base.stat.bloomFilter("text", n, 0.03)
-    val bc = s.sparkContext.broadcast(bloom)
+    CorpusSketch(version,
+      base.sparkSession.sparkContext.broadcast(base.stat.bloomFilter("text", n, fpp)))
+  }
+
+  /** Sketch-injected form: `base` is only consulted for the exact-confirm
+    * anti-join on rows the (prebuilt) filter flags — the corpus is never
+    * re-counted or re-sketched here.
+    */
+  def incrementalDedupStream(incoming: DataFrame, base: DataFrame,
+      sketch: CorpusSketch): DataFrame = {
+    val bc = sketch.bloom
     val might = udf((t: String) => t != null && bc.value.mightContainString(t))
     val definitelyNew = incoming.filter(!might(col("text"))).select("doc_id")
     val candidates = incoming.filter(might(col("text")))

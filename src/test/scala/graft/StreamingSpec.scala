@@ -278,10 +278,13 @@ class StreamingSpec extends SparkSpec {
     val arrivals = docs.filter(col("bucket") >= 80).select("doc_id", "text")
       .as[StreamOps.Doc].orderBy("doc_id").collect().toSeq
     assert(arrivals.nonEmpty)
+    // sketch built ONCE; the stream (and any restart of it) reuses it —
+    // the corpus is never re-counted or re-sketched per call
+    val sketch = StreamOps.buildCorpusSketch(base, version = 1L)
     val ms = MemoryStream[StreamOps.Doc]
     // three micro-batches: the corpus sketch must serve them all
     ms.addData(arrivals.take(30))
-    val q = StreamOps.incrementalDedupStream(ms.toDF(), base)
+    val q = StreamOps.incrementalDedupStream(ms.toDF(), base, sketch)
       .writeStream.format("memory").queryName("inc_dedup_stream")
       .outputMode("append").start()
     try {
@@ -296,6 +299,30 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.ext.TextOps.incrementalDedup(spark, sf0001)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+
+    // a SECOND stream (a restart) reuses the same sketch object and
+    // reproduces the answer — the sketch-once contract across stream
+    // lifetimes, not just micro-batches
+    val ms2 = MemoryStream[StreamOps.Doc]
+    ms2.addData(arrivals)
+    val q2 = StreamOps.incrementalDedupStream(ms2.toDF(), base, sketch)
+      .writeStream.format("memory").queryName("inc_dedup_stream2")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val restreamed = spark.table("inc_dedup_stream2")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(restreamed == batch)
+    assert(sketch.version == 1L)
+
+    // convenience overload (self-built sketch) still serves
+    val ms3 = MemoryStream[StreamOps.Doc]
+    ms3.addData(arrivals.take(10))
+    val q3 = StreamOps.incrementalDedupStream(ms3.toDF(), base)
+      .writeStream.format("memory").queryName("inc_dedup_stream3")
+      .outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table("inc_dedup_stream3").count() ==
+      batch.count(id => arrivals.take(10).exists(_.doc_id == id)))
   }
 
   test("foreachBatch incremental parquet sink lands every row exactly once across batches") {
