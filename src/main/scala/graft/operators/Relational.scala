@@ -859,16 +859,34 @@ object Relational {
     * compares exact decimals, never drifting ulps (QueryDef rules 1, 4).
     */
   def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
+    // lifecycle: the returned frame is lazy, so this function cannot
+    // unpersist — Verify/Bench clearCache() between queries; library
+    // callers wanting scoped cleanup use [[topSupplierRevenueScoped]]
+    val rev = supplierRevenueView(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    topSupplierRevenueFrom(s, dir, rev)
+  }
+
+  /** Scoped form for library callers: the revenue view lives exactly for
+    * the duration of `f` ([[graft.Caching.withPersisted]] — unpersist in
+    * finally), so no runner sweep is needed. `f` must consume the frame
+    * eagerly (collect/write) within the scope.
+    */
+  def topSupplierRevenueScoped[A](s: SparkSession, dir: String)(f: DataFrame => A): A =
+    graft.Caching.withPersisted(supplierRevenueView(s, dir)) { rev =>
+      f(topSupplierRevenueFrom(s, dir, rev))
+    }
+
+  private def supplierRevenueView(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_rev"))
-      // lifecycle: the returned frame is lazy, so this function cannot
-      // unpersist — Verify/Bench clearCache() between queries; library
-      // callers own cleanup (documented contract)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def topSupplierRevenueFrom(s: SparkSession, dir: String,
+      rev: DataFrame): DataFrame = {
     val mx = rev.agg(max("total_rev").as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("mx"))
@@ -939,15 +957,33 @@ object Relational {
     * TakeOrderedAndProject.
     */
   def soleReturner(s: SparkSession, dir: String): DataFrame = {
-    // ONE fact pass builds both probe relations: the (order, supplier)
-    // pair frame carries a has-return flag, so "all pairs" and "return
-    // pairs" are the same aggregate (persisted — three consumers would
-    // otherwise rebuild the fact subtree, q31's lesson) and the two
-    // distinct-pair shuffles of the naive spelling collapse into one.
-    val pairs = Tables.lineitem(s, dir)
+    // lifecycle: lazy return ⇒ runner-owns-cleanup, like q31; scoped
+    // library callers use [[soleReturnerScoped]]
+    val pairs = orderSupplierPairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    soleReturnerFrom(s, dir, pairs)
+  }
+
+  /** Scoped form for library callers — pair aggregate unpersisted in
+    * finally; `f` must consume eagerly within the scope.
+    */
+  def soleReturnerScoped[A](s: SparkSession, dir: String)(f: DataFrame => A): A =
+    graft.Caching.withPersisted(orderSupplierPairs(s, dir)) { pairs =>
+      f(soleReturnerFrom(s, dir, pairs))
+    }
+
+  // ONE fact pass builds both probe relations: the (order, supplier)
+  // pair frame carries a has-return flag, so "all pairs" and "return
+  // pairs" are the same aggregate (persisted — three consumers would
+  // otherwise rebuild the fact subtree, q31's lesson) and the two
+  // distinct-pair shuffles of the naive spelling collapse into one.
+  private def orderSupplierPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def soleReturnerFrom(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val rs = pairs.filter(col("has_r") === 1).select("ok", "sk")
     val other = pairs.select(col("ok").as("ook"), col("sk").as("osk"))
     val otherR = rs.select(col("ok").as("rok"), col("sk").as("rsk"))

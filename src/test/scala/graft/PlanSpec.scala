@@ -373,6 +373,29 @@ class PlanSpec extends SparkSpec {
     assert(factScans == 0, s"no live lineitem scan may remain ($factScans)")
   }
 
+  test("scoped persist variants match registry results and leave no cache behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val q31 = Relational.topSupplierRevenue(spark, sf0001).collect().toSeq
+    val q33 = Relational.soleReturner(spark, sf0001).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val s31 = Relational.topSupplierRevenueScoped(spark, sf0001)(_.collect().toSeq)
+    val s33 = Relational.soleReturnerScoped(spark, sf0001)(_.collect().toSeq)
+    assert(s31 == q31 && s33 == q33)
+    // the scoped forms released their views themselves — no runner sweep
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scoped variants must unpersist in finally")
+    // exception path: the view is released even when f throws
+    intercept[RuntimeException] {
+      Relational.topSupplierRevenueScoped(spark, sf0001) { df =>
+        df.count(); throw new RuntimeException("caller failure")
+      }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // e15 self-cleans the same way (its consumers collect in-scope)
+    SparkEntry.queries("e15_mmr_top5")(spark, sf0001).collect()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("q32: probe side of the argmin join-back never shuffles (min frame broadcasts)") {
     val df = Relational.cheapestSupplierPerPart(spark, sf0001)
     df.collect()
