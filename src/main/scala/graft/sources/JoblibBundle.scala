@@ -33,6 +33,48 @@ object JoblibBundle {
     override def toString: String = s"<$cls>"
   }
 
+  /** Reserved state key under which a NumpyArrayWrapper's inline payload
+    * is captured: raw little-endian bytes for numeric dtypes, the parsed
+    * nested-pickle value for object dtypes.
+    */
+  val PayloadKey = "__graft_payload"
+
+  /** Decode a captured numeric wrapper as doubles (little-endian `f8`,
+    * or widened `i8`/`i4`/`f4`). */
+  def wrapperDoubles(w: PyObj): Array[Double] = {
+    val st = w.state.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    val dts = st("dtype") match {
+      case p: PyObj => p.args.asInstanceOf[Vector[Any]].head.toString
+      case s => s.toString
+    }
+    val raw = st(PayloadKey).asInstanceOf[Array[Byte]]
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dts.filter(_.isLetterOrDigit) match {
+      case "f8" => Array.fill(raw.length / 8)(bb.getDouble)
+      case "f4" => Array.fill(raw.length / 4)(bb.getFloat.toDouble)
+      case "i8" => Array.fill(raw.length / 8)(bb.getLong.toDouble)
+      case "i4" => Array.fill(raw.length / 4)(bb.getInt.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"unsupported numeric wrapper dtype $other")
+    }
+  }
+
+  /** Decode a captured object wrapper (e.g. an array of level strings)
+    * as the parsed nested-pickle payload list. Numpy pickles an object
+    * ndarray via `_reconstruct` whose BUILD state is the tuple
+    * (version, shape, dtype, is_fortran, elements) — the elements list
+    * is what callers want.
+    */
+  def wrapperObjects(w: PyObj): Seq[Any] = {
+    def elems(v: Any): Seq[Any] = v match {
+      case b: mutable.ArrayBuffer[Any @unchecked] => b.toSeq
+      case vec: Vector[Any @unchecked] if vec.nonEmpty => elems(vec.last)
+      case p: PyObj if p.state != null => elems(p.state)
+      case other => Seq(other)
+    }
+    elems(w.state.asInstanceOf[mutable.LinkedHashMap[Any, Any]](PayloadKey))
+  }
+
   private object Marker
 
   /** Parse the pickle stream at `pos`; returns (root value, end pos).
@@ -115,8 +157,14 @@ object JoblibBundle {
                   case p: PyObj => p.args.asInstanceOf[Vector[Any]].head.toString
                   case s => s.toString
                 }
-                if (dts.contains("O")) pos = parse(d, pos, toplevel = false)._2
-                else {
+                // the payload is CAPTURED into the wrapper state (reserved
+                // __data key) — round 5 merely skipped it; the tree-walk
+                // scorer needs the scaler/encoder array VALUES
+                if (dts.contains("O")) {
+                  val (payload, end) = parse(d, pos, toplevel = false)
+                  st(PayloadKey) = payload
+                  pos = end
+                } else {
                   if (st.get("numpy_array_alignment_bytes").exists(_ != null)) {
                     val pad = u8(pos); pos += 1 + pad
                   }
@@ -124,6 +172,7 @@ object JoblibBundle {
                   val n = st("shape").asInstanceOf[Vector[Any]]
                     .map(x => x.asInstanceOf[Number].longValue)
                     .product.max(1L)
+                  st(PayloadKey) = d.slice(pos, pos + (itemsize * n).toInt)
                   pos += (itemsize * n).toInt
                 }
               }

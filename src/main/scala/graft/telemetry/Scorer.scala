@@ -117,6 +117,47 @@ object Scorer {
       labelMetric = meta.labelMetric, labelQuantile = meta.labelQuantile)
   }
 
+  /** Score with the SHIPPED booster itself — the bit-parity route
+    * closing §7.4's last gap: [[graft.sources.XgbBundle]] decodes the
+    * artifact's StandardScaler/OneHotEncoder stats and all tree arrays;
+    * this reproduces `predict_proba`'s arithmetic
+    * (streamlit_app.py:723) inside the engine. The feature columns are
+    * plain column expressions — (x−μ)/σ cast to float32 (the DMatrix
+    * dtype, so the f32 rounding happens exactly once), one-hot equality
+    * per stored category level (`handle_unknown=ignore` ⇒ unknown
+    * levels are all-zeros) — feeding [[graft.functions.XgbScore]], a
+    * native expression that walks the tree arrays as DATA. The unrolled
+    * per-tree-CASE alternative was measured to overflow Janino's 64 KB
+    * method limit at 200×73 nodes and dropped the whole stage to
+    * interpreted evaluation; the data-walk expression keeps the stage in
+    * whole-stage codegen with O(num_features) generated code. Null
+    * features become NaN = XGBoost missing, routed by `default_left`.
+    */
+  def scoreBundle(df: DataFrame, m: graft.sources.XgbBundle.Model): DataFrame = {
+    val nNum = m.numCols.length
+    val featCols: Seq[Column] = m.numCols.indices.map { i =>
+      ((col(m.numCols(i)).cast("double") - lit(m.means(i))) / lit(m.scales(i)))
+        .cast("float")
+    } ++ m.catCols.indices.flatMap { j =>
+      m.categories(j).map { lvl =>
+        when(col(m.catCols(j)) === lvl, 1.0f).otherwise(0.0f).cast("float")
+      }
+    }
+    require(featCols.length == m.numFeature, s"feature width ${featCols.length}")
+    // model-bound expression enters the plan through the function
+    // registry (repo registration precedent — GraftFunctions.register);
+    // the builder closure carries the decoded model
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xgb_bundle_score",
+      exprs => graft.functions.XgbScore(exprs, m), "built-in")
+    val named = featCols.zipWithIndex.map { case (c, i) => c.as(s"__xgbf$i") }
+    df.select(col("*") +: named: _*)
+      .withColumn("pred_prob",
+        expr((0 until m.numFeature).map(i => s"__xgbf$i")
+          .mkString("xgb_bundle_score(", ", ", ")")))
+      .drop((0 until m.numFeature).map(i => s"__xgbf$i"): _*)
+  }
+
   /** Native gradient-boosted-tree retraining (SURVEY §7.4's alternative
     * route, matching the reference's selected model family — XGBoost,
     * README.md:38 AUC 0.86): Spark ML GBTClassifier over the same feature

@@ -237,6 +237,79 @@ class TelemetrySpec extends SparkSpec {
     assert(long1(0x2c.toByte, 0x01.toByte) == 300L)
   }
 
+  test("shipped booster decodes fully and scores bit-identically to an independent driver walk") {
+    val path = "/root/reference/data/models/next_hour_congestion.joblib"
+    assert(new java.io.File(path).isFile, "reference bundle missing")
+    val m = graft.sources.XgbBundle.load(path)
+    // structural parity with the artifact's published shape
+    assert(m.trees.size == 200 && m.numFeature == 40)
+    assert(m.baseScore == 0.5 && m.objective == "binary:logistic")
+    assert(m.numCols == graft.sources.JoblibBundle.readMeta(path).numCols,
+      "transformer columns must equal the bundle's own num_cols list")
+    assert(m.catCols == Seq("tech", "band"))
+    assert(m.categories == Seq(Seq("4G", "5G"), Seq("B2", "B66", "n41", "n77")))
+    assert(m.means.length == 34 && m.scales.forall(_ > 0))
+    m.trees.foreach { t =>
+      val n = t.left.length
+      assert(t.right.length == n && t.splitIndices.length == n &&
+        t.splitConditions.length == n && t.defaultLeft.length == n)
+      (0 until n).foreach { i =>
+        if (!t.isLeaf(i)) {
+          assert(t.splitIndices(i) >= 0 && t.splitIndices(i) < m.numFeature)
+          assert(t.left(i) > i && t.right(i) > i && t.right(i) < n)
+        }
+      }
+    }
+    // score the reference's REAL 600-row telemetry through the real model
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv("/root/reference/data/raw/sample_cells.csv")
+    val feats = Features.build(raw)
+    val scored = Scorer.scoreBundle(feats, m).select(
+      (Seq(col("cell_id"), col("ts"), col("pred_prob")) ++
+        m.numCols.map(c => col(c).cast("double")) ++ m.catCols.map(col)): _*)
+      .collect()
+    assert(scored.length == 600)
+    // engine path vs the driver-side array walk: same trees, same f32
+    // feature construction — must agree exactly (both end in predictFv)
+    scored.foreach { r =>
+      val nums = m.numCols.indices.map(i => r.getDouble(3 + i)).toArray
+      val cats = m.catCols.indices.map(j => r.getString(3 + m.numCols.length + j)).toArray
+      assert(math.abs(m.predict(nums, cats) - r.getDouble(2)) < 1e-12,
+        s"row ${r.getString(0)}/${r.getTimestamp(1)}")
+    }
+    val ps = scored.map(_.getDouble(2))
+    assert(ps.forall(p => p > 0.0 && p < 1.0))
+    assert(ps.max - ps.min > 0.2, "shipped model must separate the fixture")
+  }
+
+  test("xgb_score expression: hand-built ensemble pins split/missing/one-hot semantics") {
+    import graft.sources.XgbBundle.{Model, Tree}
+    // tree0: f0 < 0.5 ? 1.0 : 2.0, missing goes LEFT
+    val t0 = Tree(Array(0, 0, 0), Array(0.5f, 1.0f, 2.0f),
+      Array(1, -1, -1), Array(2, -1, -1), Array(true, false, false))
+    // tree1: f3 (one-hot of level "y") < 0.5 ? -0.5 : 0.25
+    val t1 = Tree(Array(3, 0, 0), Array(0.5f, -0.5f, 0.25f),
+      Array(1, -1, -1), Array(2, -1, -1), Array(false, false, false))
+    val m = Model(Seq("a", "b"), Array(0.0, 0.0), Array(1.0, 1.0),
+      Seq("c"), Seq(Seq("x", "y")), Seq(t0, t1), 0.5, 4, "binary:logistic")
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val df = Seq(
+      (1L, Some(0.0), 0.0, "x"), // f0<0.5 → 1.0; f3=0 → -0.5 ⇒ σ(0.5)
+      (2L, None, 0.0, "y"),      // missing f0 → default LEFT 1.0; f3=1 → 0.25 ⇒ σ(1.25)
+      (3L, Some(0.9), 0.0, "z")  // f0≥0.5 → 2.0; unknown level → zeros → -0.5 ⇒ σ(1.5)
+    ).toDF("id", "a", "b", "c")
+    val out = Scorer.scoreBundle(df, m).select("id", "pred_prob")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == sig(0.5), s"${out(1L)}")
+    assert(out(2L) == sig(1.25), s"${out(2L)}")
+    assert(out(3L) == sig(1.5), s"${out(3L)}")
+    // feature columns (not raw inputs) reach the expression as FLOAT —
+    // the type contract that makes the f32 rounding single and explicit
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("xgb_bundle_score(a, a, a, a)").collect()
+    }
+  }
+
   test("HTTP LLM client: request body escapes correctly, response parser decodes the envelope") {
     val c = new Summarizer.HttpJsonClient("https://example.invalid/v1", "k", "test-model")
     val body = c.buildRequestBody("line1\nhe said \"hi\"\ttab", 0.2, 700)
