@@ -1958,6 +1958,87 @@ object TextOps {
         |ORDER BY lang, pred_lang""".stripMargin
   }
 
+  /** Quality-score calibration audit — the gate that tells an operator
+    * whether d23's continuous LM score AGREES with d31's hard rule
+    * verdict before either drives curation: docs decile'd by unigram
+    * cross-entropy (fully tie-broken ntile), per decile the rule pass
+    * rate. A well-calibrated corpus shows pass-rate falling as xent
+    * rises; a flat profile means one signal is noise. Float shape:
+    * xent values are 6-dp decimals → round(sum, 6) exact-restores the
+    * decile sum and the mean is that / count (rules 1-2); pass rate is
+    * integer / integer, one division. The global ntile sorts only the
+    * doc-count frame; at corpus scale assignment swaps to broadcast
+    * quantile boundaries (q35's documented swap).
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scores = unigramLogprob(s, dir).select("doc_id", "xent")
+    val rules = ruleFilter(s, dir)
+      .select(col("doc_id"), col("pass").cast("int").as("p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("xent", "doc_id")
+    scores.join(rules, "doc_id")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        (round(sum("xent"), 6) / count(lit(1))).as("mean_xent"),
+        (sum("p") * lit(1.0) / count(lit(1))).as("rule_pass_rate"))
+      .orderBy("decile")
+  }
+
+  private val qualityCalibrationSql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      |tot AS (SELECT count(*) AS n_total FROM t),
+      |sc AS (SELECT doc_id, round(ln(max(n_total)) - avg(ln(c)), 6) AS xent
+      |       FROM t JOIN cnt USING (tok), tot GROUP BY doc_id),
+      |m AS (SELECT doc_id,
+      |        len(string_split(text, ' ')) AS n_tokens,
+      |        length(replace(text, ' ', '')) AS n_alpha,
+      |        string_split(text, ' ') AS toks
+      |      FROM documents),
+      |r AS (SELECT doc_id,
+      |        CAST((n_tokens BETWEEN 50 AND 100000)
+      |          AND (CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0)
+      |          AND list_contains(toks, 'the') AND list_contains(toks, 'a') AS INT) AS p
+      |      FROM m),
+      |d AS (SELECT sc.doc_id, sc.xent, r.p,
+      |        ntile(10) OVER (ORDER BY sc.xent, sc.doc_id) AS decile
+      |      FROM sc JOIN r ON sc.doc_id = r.doc_id)
+      |SELECT decile, count(*) AS n_docs,
+      |  round(sum(xent), 6) / count(*) AS mean_xent,
+      |  sum(p) * 1.0 / count(*) AS rule_pass_rate
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Corpus mixture reweighting — the sampling-weight table a pretraining
+    * run derives before drawing its data mix: per source, the actual
+    * share and the weight that would equalize shares (uniform target),
+    * plus the downsample-only cap at 1. Every float is ONE division (or
+    * comparison) of exact integers — bit-identical on any engine; one
+    * map-side-combining count aggregation + a broadcast 1-row total, no
+    * other shuffle. Non-uniform targets are a broadcast (source, share)
+    * join away; the arithmetic discipline is what this pins.
+    */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"),
+      count(lit(1)).as("n_sources"))
+    counts.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs",
+        "n_docs * 1.0D / n_total AS share",
+        "n_total * 1.0D / (n_sources * n_docs) AS weight",
+        "least(CAST(1.0 AS DOUBLE), n_total * 1.0D / (n_sources * n_docs)) AS capped_weight")
+      .orderBy("source")
+  }
+
+  private val mixtureWeightsSql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT sum(n_docs) AS n_total, count(*) AS n_sources FROM c)
+      |SELECT source, n_docs,
+      |  n_docs * 1.0 / n_total AS share,
+      |  n_total * 1.0 / (n_sources * n_docs) AS weight,
+      |  least(CAST(1.0 AS DOUBLE), n_total * 1.0 / (n_sources * n_docs)) AS capped_weight
+      |FROM c, t ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2011,5 +2092,7 @@ object TextOps {
     QueryDef("d40_boilerplate_ngrams", boilerplateNgrams,
       Some(boilerplateNgramsSql)),
     QueryDef("d41_pmi_phrases", pmiPhrases, Some(pmiPhrasesSql)),
+    QueryDef("d42_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
+    QueryDef("d43_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
   )
 }

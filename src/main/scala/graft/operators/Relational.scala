@@ -1365,6 +1365,48 @@ object Relational {
       |FROM li JOIN o ON l_orderkey = o_orderkey
       |GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  /** Returned-item revenue loss (TPC-H Q10 shape): per customer, the
+    * revenue of their RETURNED lines in one order quarter, top 20 — the
+    * chargeback/loss report every commerce warehouse runs. Plan budget:
+    * lineitem(R-only, filter pushed to the scan) ⋈ orders(quarter) is
+    * the ONLY fact-fact shuffle; customer and nation broadcast; top-20
+    * is TakeOrderedAndProject with full (revenue desc, custkey) order.
+    * Revenue has true scale 4 → round(sum, 4) is the exact decimal
+    * restore (QueryDef rule 1).
+    */
+  def returnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("lost_revenue"),
+        count(lit(1)).as("n_returned_lines"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("lost_revenue"), col("n_returned_lines"))
+      .orderBy(desc("lost_revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  private val returnedRevenueSql =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue,
+      |  count(*) AS n_returned_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-07-01'
+      |  AND o_orderdate <  TIMESTAMP '1995-10-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1412,5 +1454,6 @@ object Relational {
     QueryDef("q37_percent_of_parent", percentOfParent, Some(percentOfParentSql)),
     QueryDef("q38_rank_metrics", rankMetricsReport, Some(rankMetricsReportSql)),
     QueryDef("q39_market_share", marketShare, Some(marketShareSql)),
+    QueryDef("q40_returned_revenue", returnedRevenue, Some(returnedRevenueSql)),
   )
 }

@@ -1737,6 +1737,54 @@ object Temporal {
       |FROM b GROUP BY user_id
       |ORDER BY max_burst DESC, user_id LIMIT 20""".stripMargin
 
+  /** Last-touch attribution (t13's as-of discipline applied to marketing
+    * analytics): each purchase is credited to the user's most recent
+    * prior view/click within a 1-hour window, else 'direct'; revenue
+    * rolls up per attributed channel. One user_id exchange carries the
+    * carry-forward window (`last(..., ignoreNulls)` over an unbounded-
+    * preceding frame — linear, never a per-purchase point-in-time join);
+    * the channel keyspace is tiny so the rollup partials map-side.
+    * Revenue is the scale-2 exact-restore sum (QueryDef rule 1).
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e
+      .withColumn("src_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+      .withColumn("src_ts",
+        last(when(col("event_type") =!= "purchase", col("ts")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed", coalesce(
+        when(col("src_ts") >= col("ts") - expr("INTERVAL 1 HOUR"), col("src_type")),
+        lit("direct")))
+      .groupBy("attributed")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+      .orderBy("attributed")
+  }
+
+  private val lastTouchAttributionSql =
+    """WITH e AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_ts
+      |  FROM e)
+      |SELECT coalesce(CASE WHEN src_ts >= ts - INTERVAL 1 HOUR THEN src_type END,
+      |                'direct') AS attributed,
+      |  count(*) AS n_purchases, round(sum(value), 2) AS revenue
+      |FROM w WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1786,5 +1834,6 @@ object Temporal {
     QueryDef("t42_resample_interpolate", resampleInterpolate,
       Some(resampleInterpolateSql)),
     QueryDef("t43_burstiest_users", burstiestUsers, Some(burstiestUsersSql)),
+    QueryDef("t44_last_touch_attribution", lastTouchAttribution, Some(lastTouchAttributionSql)),
   )
 }

@@ -373,6 +373,15 @@ class PlanSpec extends SparkSpec {
     assert(factScans == 0, s"no live lineitem scan may remain ($factScans)")
   }
 
+  test("q40: returned-revenue joins one fact-fact shuffle, dims broadcast, top-20 heap") {
+    val df = Relational.returnedRevenue(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p) // customer + nation sides
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
+  }
+
   test("scoped persist variants match registry results and leave no cache behind") {
     spark.sharedState.cacheManager.clearCache()
     val q31 = Relational.topSupplierRevenue(spark, sf0001).collect().toSeq
