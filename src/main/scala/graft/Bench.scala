@@ -113,7 +113,16 @@ object Bench {
     val floor = f""","floor":{"pre":$floorPre%.3f,"post":$floorPost%.3f}"""
     def mkLine(dec: Int): String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$floor,"sf":"$sfDir"}"""
-    val line = if (mkLine(2).length < 1750) mkLine(2) else mkLine(1)
+    // degradation ladder as the registry grows: 2-decimal timings →
+    // 1-decimal → (last resort) drop the pipeline/floor enrichments but
+    // keep the per-query map — the driver contract needs total+queries;
+    // the enrichments are this repo's own additions
+    def mkBare(dec: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)},"sf":"$sfDir"}"""
+    val line =
+      if (mkLine(2).length < 1750) mkLine(2)
+      else if (mkLine(1).length < 1750) mkLine(1)
+      else mkBare(1)
     require(line.length < 1800, s"bench JSON line ${line.length} chars risks tail truncation")
     println(line)
     spark.stop()
