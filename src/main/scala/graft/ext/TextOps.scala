@@ -2039,6 +2039,65 @@ object TextOps {
       |  least(CAST(1.0 AS DOUBLE), n_total * 1.0 / (n_sources * n_docs)) AS capped_weight
       |FROM c, t ORDER BY source""".stripMargin
 
+  /** Count-Min sketch depth (independent hash rows) and width (buckets
+    * per row) for [[cmsTokenFrequency]]. 4×256 longs of state TOTAL,
+    * independent of vocabulary size.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-Min sketch frequency estimation — the sketch class the
+    * existing trio doesn't cover: KMV (t22) answers DISTINCT, Misra-
+    * Gries (d11) answers TOP-K, a CM sketch answers "how often is key
+    * X?" for ANY key with d×w bounded state and an overestimate-only
+    * error (hash collisions can only ADD counts — never undercount).
+    * Relational formulation: the token stream fans out to d (row,
+    * bucket) cells via the portable md5-60 hash (domain-separated per
+    * row), one map-side-combining aggregation builds the ≤ d×w-cell
+    * sketch — the shuffle carries the CELL keyspace, not the vocab —
+    * and a point query reads min over the key's d cells. Sketches are
+    * mergeable cell-wise (DedupSpec pins split-corpus additivity), so
+    * partitions/streams combine by addition like every sketch here.
+    * Emitted audit: the top-10 exact tokens' estimates with their
+    * overestimate — all exact integers, deterministic on both engines.
+    */
+  def cmsTokenFrequency(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = Tables.documents(s, dir).selectExpr("explode(split(text,' ')) AS tok")
+    val sketch = toks
+      .selectExpr(s"explode(sequence(0, ${CmsDepth - 1})) AS r", "tok")
+      .selectExpr("r", s"pmod(${md5h60(s"concat('cms', r, ':', tok)")}, $CmsWidth) AS b")
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), col("tok")).limit(10)
+    exact
+      .selectExpr("tok", "exact_n", s"explode(sequence(0, ${CmsDepth - 1})) AS r")
+      .selectExpr("tok", "exact_n", "r",
+        s"pmod(${md5h60(s"concat('cms', r, ':', tok)")}, $CmsWidth) AS b")
+      .join(sketch, Seq("r", "b"))
+      .groupBy("tok", "exact_n").agg(min("c").as("est_n"))
+      .selectExpr("tok", "exact_n", "est_n", "est_n - exact_n AS overestimate")
+      .orderBy(desc("exact_n"), col("tok"))
+  }
+
+  private val cmsTokenFrequencySql = {
+    val h = (arg: String) => s"${md5h60Sql(arg)} % $CmsWidth"
+    s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+      |rs AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+      |sk AS (SELECT r, ${h("'cms' || r || ':' || tok")} AS b, count(*) AS c
+      |       FROM t, rs GROUP BY 1, 2),
+      |ex AS (SELECT tok, count(*) AS exact_n FROM t GROUP BY tok
+      |       ORDER BY exact_n DESC, tok LIMIT 10),
+      |q AS (SELECT ex.tok, ex.exact_n, rs.r,
+      |        ${h("'cms' || rs.r || ':' || ex.tok")} AS b
+      |      FROM ex, rs)
+      |SELECT q.tok, q.exact_n, min(sk.c) AS est_n,
+      |  min(sk.c) - q.exact_n AS overestimate
+      |FROM q JOIN sk ON q.r = sk.r AND q.b = sk.b
+      |GROUP BY q.tok, q.exact_n
+      |ORDER BY exact_n DESC, tok""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2094,5 +2153,6 @@ object TextOps {
     QueryDef("d41_pmi_phrases", pmiPhrases, Some(pmiPhrasesSql)),
     QueryDef("d42_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
     QueryDef("d43_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
+    QueryDef("d44_cms_token_frequency", cmsTokenFrequency, Some(cmsTokenFrequencySql)),
   )
 }

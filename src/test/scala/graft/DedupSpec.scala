@@ -37,6 +37,45 @@ class DedupSpec extends SparkSpec {
       "evidence channel must report every cap-dropped shingle")
   }
 
+  test("CM sketch: overestimate-only for every token, cell-wise mergeable across a corpus split") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    def toks(pred: String) = Tables.documents(spark, sf0001)
+      .filter(pred).selectExpr("explode(split(text,' ')) AS tok")
+    def sketch(pred: String) = toks(pred)
+      .selectExpr(s"explode(sequence(0, ${TextOps.CmsDepth - 1})) AS r", "tok")
+      .selectExpr("r",
+        s"pmod(md5_long60(concat('cms', r, ':', tok)), ${TextOps.CmsWidth}) AS b")
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    // guarantee: est >= exact for EVERY token, not just the audited top-10
+    val sk = sketch("true").collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = toks("true").groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(sArg: String): Long = {
+      val hex = md5.digest(sArg.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TextOps.CmsWidth
+    }
+    exact.foreach { case (tok, n) =>
+      val est = (0 until TextOps.CmsDepth).map(r => sk((r, h(s"cms$r:$tok")))).min
+      assert(est >= n, s"CM undercounted '$tok': $est < $n")
+    }
+    // mergeability: sketch(A) + sketch(B) == sketch(A ∪ B) cell-wise
+    val a = sketch("doc_id % 2 = 0").collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = sketch("doc_id % 2 = 1").collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == sk, "split sketches must add to the full sketch")
+    // the audited report agrees with the independent recomputation here
+    val report = TextOps.cmsTokenFrequency(spark, sf0001).collect()
+    assert(report.length == 10)
+    report.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L)
+      assert(r.getAs[Long]("est_n") ==
+        (0 until TextOps.CmsDepth).map(d => sk((d, h(s"cms$d:${r.getString(0)}")))).min)
+    }
+  }
+
   test("pipeline shared frames serve bit-identical results and release cleanly") {
     def snap(name: String) = SparkEntry.queries(name)(spark, sf0001).collect().toSeq
     val names = Seq("d05_jaccard_dup_pairs", "d12_edit_distance_dup_pairs",
