@@ -254,6 +254,37 @@ class DedupSpec extends SparkSpec {
     assert((exact5 & reranked).size >= 3)
   }
 
+  test("BQ kNN: clustered recall gate + arithmetic agreement on the fixture corpus") {
+    import spark.implicits._
+    // effectiveness gate runs on data WITH structure: 4 clusters of ±1
+    // patterns (seeded noise), query in cluster 0 — centered sign bits
+    // must recover its own cluster. The fixture embeddings are
+    // near-isotropic noise (pairwise cosine ≤ ~0.33, hamming
+    // concentrated at 24±4), where NO 1-bit code can rank — so the
+    // registry entry is gated on arithmetic, this on retrieval quality.
+    val rnd = new scala.util.Random(7)
+    val protos = Array.fill(4, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, protos(c).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val e = rows.toDF("vec_id", "v")
+    val out = VectorOps.bqKnnFrom(e, queryId = 0L, shortlistN = 25).collect()
+    assert(out.length == 5)
+    // all five results must come from the query's own cluster (id % 4 == 0)
+    out.foreach(r => assert(r.getLong(0) % 4 == 0,
+      s"vec ${r.getLong(0)} is not in the query's cluster"))
+    // registry query: re-ranked cosines are the exact path's values
+    val exactScores = VectorOps.knnBruteForce(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bq = VectorOps.bqKnn(spark, sf0001).collect()
+    assert(bq.length == 5)
+    bq.filter(r => exactScores.contains(r.getLong(0))).foreach { r =>
+      assert(exactScores(r.getLong(0)) == r.getAs[Double]("cos_sim"))
+    }
+    assert(bq.forall(r => r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 60))
+  }
+
   test("ANN-LSH results are a subset of brute-force ranking order") {
     val brute = VectorOps.knnBruteForce(spark, sf0001)
       .select("vec_id", "cos_sim").collect()
