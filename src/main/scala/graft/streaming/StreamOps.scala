@@ -124,6 +124,28 @@ object StreamOps {
         col("col.est_count").as("est_count"))
   }
 
+  /** Watermarked per-hour Count-Min sketch of user activity — the
+    * streaming form of d44's CM sketch (TextOps.cmsTokenFrequency),
+    * completing the streaming sketch family: KMV answers distinct, MG
+    * answers top-k, CMS answers ANY-key frequency. State per window is
+    * ≤ depth×width counter cells regardless of user cardinality (the
+    * same bounded-state property as the others), and cells merge across
+    * micro-batches by ADDITION — count aggregation is the merge, so
+    * arrival order can't matter. Downstream reads an estimate as min
+    * over a key's `depth` cells; overestimate-only, like every CMS.
+    */
+  def hourlyUserCms(events: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("ts", s"explode(sequence(0, ${depth - 1})) AS r", "user_id")
+      .selectExpr("ts", "r",
+        s"pmod(md5_long60(concat('cms', r, ':', CAST(user_id AS STRING))), $width) AS b")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("r"), col("b"), col("c"))
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of the
     * gaps-and-islands batch query Temporal.userSessions.
     */

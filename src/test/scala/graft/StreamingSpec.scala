@@ -267,6 +267,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch == 2L)
   }
 
+  test("streaming CM sketch equals its batch twin cell-wise and never undercounts") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(500)
+    val ms = MemoryStream[Event]
+    ms.addData(data.take(250))
+    val q = StreamOps.hourlyUserCms(ms.toDF())
+      .writeStream.format("memory").queryName("cms_stream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(data.drop(250)) // cells must merge by addition across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getLong(2))
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => key(r) -> r.getLong(3)).toMap
+    val batch = StreamOps.hourlyUserCms(data.toDF()).collect()
+      .map(r => key(r) -> r.getLong(3)).toMap
+    assert(streamed == batch, "stream cells must equal the batch sketch")
+    // overestimate-only: per (window, user), min over depth cells >= exact
+    graft.functions.GraftFunctions.register(spark)
+    val exact = data.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("user_id")).count().collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).getTime * 1000L, r.getLong(1)) -> r.getLong(2))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(sArg: String): Long = java.lang.Long.parseLong(
+      md5.digest(sArg.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16) % 256
+    exact.foreach { case ((w, uid), n) =>
+      val est = (0 until 4).map(r => streamed((w, r, h(s"cms$r:$uid")))).min
+      assert(est >= n, s"CMS undercounted user $uid in window $w")
+    }
+  }
+
   test("streaming Bloom incremental dedup equals the oracle-checked d17 across micro-batches") {
     implicit val ctx = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
