@@ -1063,6 +1063,55 @@ class SemanticsSpec extends SparkSpec {
     outside.foreach(u => assert(peak(byUser(u)) <= cutoff, s"user $u above cut"))
   }
 
+  test("t44 attribution recomputes from a driver-side event sweep") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    // sweep each user's ordered stream carrying the last non-purchase touch
+    val expected = scala.collection.mutable.Map.empty[String, (Long, Double)]
+    ev.groupBy(_._3).foreach { case (_, rows) =>
+      var lastTouch: Option[(String, Long)] = None
+      rows.sortBy(r => (r._2, r._1)).foreach { case (_, us, _, tpe, v) =>
+        if (tpe == "purchase") {
+          val attr = lastTouch match {
+            case Some((t, tus)) if tus >= us - 3600000000L => t
+            case _ => "direct"
+          }
+          val (n, s0) = expected.getOrElse(attr, (0L, 0.0))
+          expected(attr) = (n + 1, s0 + v)
+        } else lastTouch = Some((tpe, us))
+      }
+    }
+    val got = graft.operators.Temporal.lastTouchAttribution(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, rev)) =>
+      assert(n == expected(k)._1, s"channel $k purchase count")
+      assert(math.abs(rev - expected(k)._2) < 1e-6, s"channel $k revenue")
+    }
+    // every purchase is attributed exactly once
+    assert(got.values.map(_._1).sum == ev.count(_._4 == "purchase"))
+  }
+
+  test("d42 calibration: deciles partition docs evenly, pass rate recomputes") {
+    val rep = graft.ext.TextOps.qualityCalibration(spark, sf0001).collect()
+    assert(rep.map(_.getInt(0)).toSeq == (1 to 10))
+    val sizes = rep.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"ntile sizes must differ by <= 1: ${sizes.mkString(",")}")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(sizes.sum == nDocs, "deciles must partition the corpus")
+    // pass rates are genuine rates and the weighted mean equals the
+    // corpus-wide rule pass rate (a partition identity)
+    val overall = graft.ext.TextOps.ruleFilter(spark, sf0001)
+      .agg(avg(col("pass").cast("int"))).first().getDouble(0)
+    val weighted = rep.map(r => r.getLong(1) * r.getDouble(3)).sum / nDocs
+    assert(math.abs(weighted - overall) < 1e-12)
+    rep.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("e16 separation: all 45 label pairs, ratio recomputes, spreads positive") {
     val rows = graft.ext.VectorOps.clusterSeparation(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
