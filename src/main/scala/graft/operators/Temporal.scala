@@ -1785,6 +1785,41 @@ object Temporal {
       |FROM w WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view update
+    * discipline: the hourly rollup is maintained by MERGING partial
+    * aggregates of a base corpus and a new-arrivals delta (md5-60
+    * bucket split, d14's deterministic cut) instead of re-aggregating
+    * the full fact — count/sum are algebraic so merge = one more
+    * group-by over |buckets| partial rows, never a second fact scan of
+    * base. The ORACLE recomputes directly over everything, so the
+    * hash-equality check IS the proof that merge ≡ recompute holds
+    * cross-engine. Floats: partials stay UNROUNDED; the scale-2
+    * exact-restore round applies once, after the merge (QueryDef rule
+    * 1 — rounding partials first would double-round); the mean derives
+    * from merged sum/count (rule 2).
+    */
+  def incrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, dir)
+      .selectExpr("ts", "event_type", "value",
+        "pmod(md5_long60(CAST(event_id AS STRING)), 100) AS bucket")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+    partial(ev.filter(col("bucket") < 80))
+      .unionByName(partial(ev.filter(col("bucket") >= 80)))
+      .groupBy("h", "event_type")
+      .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"))
+      .select(unix_micros(col("h")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("bucket_us", "event_type")
+  }
+
+  private val incrementalRollupSql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+      | count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1835,5 +1870,6 @@ object Temporal {
       Some(resampleInterpolateSql)),
     QueryDef("t43_burstiest_users", burstiestUsers, Some(burstiestUsersSql)),
     QueryDef("t44_last_touch_attribution", lastTouchAttribution, Some(lastTouchAttributionSql)),
+    QueryDef("t45_incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
   )
 }

@@ -382,6 +382,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
   }
 
+  test("xgb_score stage stays inside whole-stage codegen (no interpreted fallback)") {
+    // the reason XgbScore exists: the unrolled CASE form overflowed
+    // Janino's 64 KB method limit and silently dropped the stage to
+    // interpreted evaluation. Guard the property on a tiny model.
+    import graft.sources.XgbBundle.{Model, Tree}
+    import spark.implicits._
+    val t0 = Tree(Array(0, 0, 0), Array(0.5f, 1.0f, 2.0f),
+      Array(1, -1, -1), Array(2, -1, -1), Array(true, false, false))
+    val m = Model(Seq("a"), Array(0.0), Array(1.0), Nil, Nil, Seq(t0), 0.5, 1,
+      "binary:logistic")
+    val df = graft.telemetry.Scorer.scoreBundle(
+      spark.range(100).selectExpr("CAST(id AS DOUBLE) / 100 AS a"), m)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("*("), s"xgb_score stage fell out of codegen:\n$p")
+    assert(p.contains("xgb_score"), p)
+  }
+
   test("scoped persist variants match registry results and leave no cache behind") {
     spark.sharedState.cacheManager.clearCache()
     val q31 = Relational.topSupplierRevenue(spark, sf0001).collect().toSeq
