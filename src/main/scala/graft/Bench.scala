@@ -119,10 +119,13 @@ object Bench {
     // the enrichments are this repo's own additions
     def mkBare(dec: Int): String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)},"sf":"$sfDir"}"""
-    val line =
-      if (mkLine(2).length < 1750) mkLine(2)
-      else if (mkLine(1).length < 1750) mkLine(1)
-      else mkBare(1)
+    // absolute floor: total + failures only — the driver contract fields.
+    // Losing per-query detail beats losing the whole line to the length
+    // guard AFTER all benchmarking work completed.
+    def mkMinimal: String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson$floor,"sf":"$sfDir"}"""
+    val line = Seq(mkLine(2), mkLine(1), mkBare(1), mkMinimal)
+      .find(_.length < 1750).getOrElse(mkMinimal)
     require(line.length < 1800, s"bench JSON line ${line.length} chars risks tail truncation")
     println(line)
     spark.stop()

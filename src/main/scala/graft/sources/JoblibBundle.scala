@@ -47,6 +47,11 @@ object JoblibBundle {
       case p: PyObj => p.args.asInstanceOf[Vector[Any]].head.toString
       case s => s.toString
     }
+    // numpy spells byte order as a '<'/'>'/'=' prefix; this reader only
+    // decodes little-endian (every x86/arm-produced bundle). '>' data
+    // read as LE would be silent garbage — reject loudly instead.
+    require(!dts.startsWith(">"),
+      s"big-endian numpy payload ($dts) unsupported")
     val raw = st(PayloadKey).asInstanceOf[Array[Byte]]
     val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     dts.filter(_.isLetterOrDigit) match {

@@ -284,10 +284,15 @@ object StreamOps {
 
   private val CdcCommitPrefix = "_commit-"
 
-  /** Latest committed version of a [[cdcApplyParquetSink]] table: the max
-    * batch id with a commit marker present, None before the first commit.
-    * Markers are tiny empty files flipped into place by an atomic file
-    * rename, so this resolution never observes a half-written commit.
+  /** Latest committed VERSION of a [[cdcApplyParquetSink]] table: the max
+    * version with a commit marker present, None before the first commit.
+    * Markers are tiny files flipped into place by an atomic file rename,
+    * so this resolution never observes a half-written commit. Versions
+    * are the sink's own monotone counter, NOT stream batch ids — a
+    * restarted stream with a fresh checkpoint restarts batch ids at 0,
+    * and keying versions by batch id would make every such batch look
+    * "already applied" (silent data loss); the applied batch id is
+    * recorded IN the marker instead, purely for retry detection.
     */
   def cdcLatestCommit(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Option[Long] =
@@ -297,6 +302,16 @@ object StreamOps {
       .filter(_.startsWith(CdcCommitPrefix))
       .map(_.stripPrefix(CdcCommitPrefix).toLong)
       .reduceOption((a, b) => math.max(a, b))
+
+  /** The stream batch id recorded in a version's commit marker (−1 for a
+    * marker with unreadable/absent content). */
+  private def cdcMarkerBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, ver: Long): Long =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"$CdcCommitPrefix$ver"))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: Exception => -1L }
 
   /** Reader half of the [[cdcApplyParquetSink]] contract: resolve the
     * newest commit marker, read that version's data directory. None before
@@ -319,18 +334,25 @@ object StreamOps {
     * Commit protocol (the part that makes the atomicity claim TRUE —
     * directory delete+rename is two filesystem ops with a visible gap,
     * so versions + an atomically renamed marker FILE replace it):
-    * each batch writes its full merged snapshot to `v<batchId>/`, then
-    * flips `_commit-<batchId>` into place via a single file rename.
-    * Readers ([[readCdcTable]]) resolve max(committed id) → `v<id>/`, so
-    * at every instant they see exactly one complete, fully-committed
-    * snapshot — no missing-table window, no torn batch. Crash recovery:
-    * a crash before the marker flip leaves the previous commit live and
-    * the retried batch re-merges from it (the merge is a pure function
-    * of table + batch, so re-application is idempotent); a retry AFTER
-    * the flip sees its own id already committed and no-ops. Old versions
-    * beyond the newest two are pruned after each commit (markers first),
-    * bounding storage while leaving one superseded snapshot for readers
-    * that resolved just before the flip. Cost per batch is one table
+    * each batch writes its full merged snapshot to `v<ver>/` (the sink's
+    * own monotone version counter), then flips `_commit-<ver>` — whose
+    * CONTENT is the applied stream batch id — into place via a single
+    * file rename. Readers ([[readCdcTable]]) resolve max(committed
+    * version) → `v<ver>/`, so at every instant they see exactly one
+    * complete, fully-committed snapshot — no missing-table window, no
+    * torn batch. Crash recovery: a crash before the marker flip leaves
+    * the previous commit live and the retried batch re-merges from it
+    * (the merge is a pure function of table + batch, so re-application
+    * is idempotent); a retry AFTER the flip finds its batch id in the
+    * latest marker and no-ops. Batch ids are compared by EQUALITY with
+    * the latest marker only — a stream restarted on a fresh checkpoint
+    * restarts ids at 0, and an id-ordering comparison would silently
+    * drop every batch of the new incarnation. Old versions beyond the
+    * newest two are pruned after each commit (markers first; the data
+    * sweep goes by directory NAME so a crash mid-prune or a failed
+    * attempt's partial dir can't leak storage forever), bounding disk
+    * while leaving one superseded snapshot for readers that resolved
+    * just before the flip. Cost per batch is one table
     * rewrite — the plain-parquet floor; a format with deletion vectors
     * (Delta/Iceberg) turns this same changefeed into metadata-only
     * commits, which is why the emitted op column matches their MERGE
@@ -353,10 +375,14 @@ object StreamOps {
       val fs = root.getFileSystem(conf)
       fs.mkdirs(root)
       val current = cdcLatestCommit(fs, root)
-      // retry after a successful commit: this batch (or a later one) is
-      // already live — re-merging would read v<batchId> while overwriting
-      // it, so the no-op is both the correct semantics and the safe plan
-      if (!current.exists(_ >= batchId)) {
+      // genuine retry = the LATEST commit records this very batch id
+      // (crash after the marker flip, Spark re-delivers the batch).
+      // Anything else — including a LOWER id after a checkpoint reset
+      // restarted batch numbering — must apply: versions are the sink's
+      // own counter precisely so stale-id comparisons can't drop data.
+      val isRetry = current.exists(v => cdcMarkerBatchId(fs, root, v) == batchId)
+      if (!isRetry) {
+        val ver = current.map(_ + 1).getOrElse(0L)
         val touched = batch.toDF().select(col("user_id")).distinct()
         val upserts = batch.toDF().filter(col("op") === "U")
           .select("user_id", "last_type", "last_value", "last_ts", "n_events")
@@ -367,25 +393,44 @@ object StreamOps {
               .unionByName(upserts)
           case None => upserts
         }
-        // overwrite mode: a crashed attempt's partial v<batchId> is replaced
+        // overwrite mode: a crashed attempt's partial v<ver> is replaced
         merged.write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(root, s"v$batchId").toString)
-        val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$batchId.tmp")
-        fs.create(tmpMarker, true).close()
-        val marker = new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$batchId")
+          .parquet(new org.apache.hadoop.fs.Path(root, s"v$ver").toString)
+        // marker content = the applied batch id (retry detection); the
+        // FILE rename is the atomic commit point
+        val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$ver.tmp")
+        val out = fs.create(tmpMarker, true)
+        out.write(batchId.toString.getBytes("UTF-8"))
+        out.close()
+        val marker = new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$ver")
         require(fs.rename(tmpMarker, marker),
-          s"commit marker flip failed for batch $batchId")
-        // prune: newest two commits stay (marker deleted before its data so
-        // resolution never points at a missing directory)
-        fs.listStatus(root).iterator
+          s"commit marker flip failed for version $ver (batch $batchId)")
+        // prune: newest two committed versions stay. Sweep DATA dirs by
+        // name, not by marker — a crash between a marker delete and its
+        // data delete (or a failed attempt's partial dir) must not leak
+        // an unreclaimable v<n> forever.
+        val keep = fs.listStatus(root).iterator
           .map(_.getPath.getName)
           .filter(_.startsWith(CdcCommitPrefix))
           .map(_.stripPrefix(CdcCommitPrefix).toLong)
-          .toSeq.sorted(Ordering[Long].reverse).drop(2)
-          .foreach { n =>
-            fs.delete(new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$n"), false)
-            fs.delete(new org.apache.hadoop.fs.Path(root, s"v$n"), true)
+          .toSeq.sorted(Ordering[Long].reverse).take(2).toSet
+        fs.listStatus(root).foreach { st =>
+          val nm = st.getPath.getName
+          val stale =
+            (nm.startsWith(CdcCommitPrefix) &&
+              !keep.contains(nm.stripPrefix(CdcCommitPrefix).toLong)) ||
+            (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
+              !keep.contains(nm.drop(1).toLong))
+          if (stale) {
+            // marker before data, so resolution never points at a
+            // missing directory mid-sweep
+            if (!nm.startsWith(CdcCommitPrefix))
+              fs.delete(new org.apache.hadoop.fs.Path(root,
+                s"$CdcCommitPrefix${nm.drop(1)}"), false)
+            fs.delete(st.getPath, true)
+            ()
           }
+        }
       }
       ()
   }

@@ -144,18 +144,14 @@ object Scorer {
       }
     }
     require(featCols.length == m.numFeature, s"feature width ${featCols.length}")
-    // model-bound expression enters the plan through the function
-    // registry (repo registration precedent — GraftFunctions.register);
-    // the builder closure carries the decoded model
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "xgb_bundle_score",
-      exprs => graft.functions.XgbScore(exprs, m), "built-in")
-    val named = featCols.zipWithIndex.map { case (c, i) => c.as(s"__xgbf$i") }
-    df.select(col("*") +: named: _*)
-      .withColumn("pred_prob",
-        expr((0 until m.numFeature).map(i => s"__xgbf$i")
-          .mkString("xgb_bundle_score(", ", ", ")")))
-      .drop((0 until m.numFeature).map(i => s"__xgbf$i"): _*)
+    // the model-bound expression is constructed DIRECTLY (GraftSqlBridge)
+    // rather than through the session function registry the other graft
+    // functions use: a registry entry would be session-global mutable
+    // state — two models scoring concurrently would race on the name,
+    // and the binding would leak into later spark.sql lookups
+    df.withColumn("pred_prob",
+      org.apache.spark.sql.GraftSqlBridge.column(graft.functions.XgbScore(
+        featCols.map(org.apache.spark.sql.GraftSqlBridge.expression), m)))
   }
 
   /** Native gradient-boosted-tree retraining (SURVEY §7.4's alternative

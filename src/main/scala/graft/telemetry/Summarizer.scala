@@ -70,6 +70,7 @@ object Summarizer {
             case 'b' => out += '\b'; i += 2
             case 'f' => out += '\f'; i += 2
             case 'u' =>
+              require(i + 6 <= json.length, s"truncated \\u escape in $key")
               out += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
               i += 6
             case c @ ('"' | '\\' | '/') => out += c; i += 2

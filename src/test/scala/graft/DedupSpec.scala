@@ -274,13 +274,25 @@ class DedupSpec extends SparkSpec {
     // all five results must come from the query's own cluster (id % 4 == 0)
     out.foreach(r => assert(r.getLong(0) % 4 == 0,
       s"vec ${r.getLong(0)} is not in the query's cluster"))
-    // registry query: re-ranked cosines are the exact path's values
-    val exactScores = VectorOps.knnBruteForce(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // registry query: re-ranked cosines equal a directly computed exact
+    // cosine for EVERY returned id (top-10-overlap filtering would be
+    // vacuous here — the noise fixture's hamming shortlist may share
+    // nothing with the exact top-10)
     val bq = VectorOps.bqKnn(spark, sf0001).collect()
     assert(bq.length == 5)
-    bq.filter(r => exactScores.contains(r.getLong(0))).foreach { r =>
-      assert(exactScores(r.getLong(0)) == r.getAs[Double]("cos_sim"))
+    graft.functions.GraftFunctions.register(spark)
+    val ids = bq.map(_.getLong(0))
+    val q0 = Tables.embeddings(spark, sf0001).filter(col("vec_id") === 0)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS qv")
+    val directScores = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .crossJoin(q0)
+      .selectExpr("vec_id", "round(cosine_similarity(v, qv), 6) AS cs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bq.foreach { r =>
+      assert(directScores(r.getLong(0)) == r.getAs[Double]("cos_sim"),
+        s"re-rank cosine drift for vec ${r.getLong(0)}")
     }
     assert(bq.forall(r => r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 60))
   }

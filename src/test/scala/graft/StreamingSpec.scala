@@ -458,6 +458,16 @@ class StreamingSpec extends SparkSpec {
     val commits = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("_commit-")).sorted
     assert(commits.toSeq == Seq("_commit-1", "_commit-2"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v0")))
+
+    // checkpoint reset: a NEW stream incarnation restarts batch ids at 0 —
+    // those batches must APPLY (the sink versions by its own counter and
+    // detects retries by batch-id EQUALITY with the latest marker; an
+    // id-ordering guard would silently drop the whole new incarnation)
+    StreamOps.applyCdcBatch(cdcBatch((5L, "U", "view", 5.0)), dir, 0L)
+    assert(snapshot() == Map(2L -> 2.5, 3L -> 3.0, 4L -> 4.0, 5L -> 5.0),
+      "post-reset batch must merge, not no-op")
+    val commits2 = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("_commit-")).sorted
+    assert(commits2.toSeq == Seq("_commit-2", "_commit-3"))
   }
 
   test("streaming CDC snapshot converges to the batch t36 semantics across micro-batches") {

@@ -306,7 +306,10 @@ class TelemetrySpec extends SparkSpec {
     // feature columns (not raw inputs) reach the expression as FLOAT —
     // the type contract that makes the f32 rounding single and explicit
     intercept[org.apache.spark.sql.AnalysisException] {
-      df.selectExpr("xgb_bundle_score(a, a, a, a)").collect()
+      df.select(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.XgbScore(Seq.fill(4)(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("a").cast("double"))), m)))
+        .collect()
     }
   }
 
