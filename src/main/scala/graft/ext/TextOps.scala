@@ -2098,6 +2098,48 @@ object TextOps {
       |ORDER BY exact_n DESC, tok""".stripMargin
   }
 
+  /** Per-doc n-gram novelty — the curation dual of d18's contamination:
+    * the share of a doc's distinct 8-grams whose FIRST corpus occurrence
+    * (min doc_id) is the doc itself. Low novelty = the doc restates
+    * earlier material even when no single pair crosses a dup threshold —
+    * the "effectively duplicate tail" a mixture curator downweights
+    * (d43's weights consume exactly this kind of signal). Plan: one
+    * explode → (gram → min doc_id) agg with map-side combine — the
+    * posting-list discipline, never a self-join — then one rejoin on the
+    * gram key and a per-doc regroup; novelty = two exact integers, ONE
+    * closing division. Docs under 8 tokens have no 8-grams and are
+    * excluded (novelty undefined), like d20.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(toks)-7),
+          |  i -> concat_ws(' ', slice(toks, i, 8))))) AS g""".stripMargin)
+    val firstDoc = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firstDoc, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .selectExpr("doc_id", "n_grams", "n_novel",
+        "n_novel * 1.0D / n_grams AS novelty")
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltySql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(1, len(toks)-6),
+      |        i -> array_to_string(toks[i:i+7], ' ')))) AS g
+      |      FROM t WHERE len(toks) >= 8),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*) AS novelty
+      |FROM g JOIN f USING (g)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2154,5 +2196,6 @@ object TextOps {
     QueryDef("d42_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
     QueryDef("d43_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("d44_cms_token_frequency", cmsTokenFrequency, Some(cmsTokenFrequencySql)),
+    QueryDef("d45_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
   )
 }

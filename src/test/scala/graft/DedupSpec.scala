@@ -76,6 +76,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d45 novelty: first-occurrences partition the distinct-gram space") {
+    val rep = TextOps.ngramNovelty(spark, sf0001).collect()
+    // every distinct corpus 8-gram has exactly ONE first occurrence, so
+    // the per-doc novel counts must sum to the corpus distinct-gram count
+    val distinctGrams = Tables.documents(spark, sf0001)
+      .selectExpr("split(text,' ') AS toks").where("size(toks) >= 8")
+      .selectExpr("""explode(array_distinct(transform(sequence(1, size(toks)-7),
+        |  i -> concat_ws(' ', slice(toks, i, 8))))) AS g""".stripMargin)
+      .distinct().count()
+    assert(rep.map(_.getLong(2)).sum == distinctGrams)
+    rep.foreach { r =>
+      val novelty = r.getDouble(3)
+      assert(novelty >= 0.0 && novelty <= 1.0)
+      assert(novelty == r.getLong(2).toDouble / r.getLong(1))
+    }
+    // the lowest doc_id can never restate anything
+    assert(rep.minBy(_.getLong(0)).getDouble(3) == 1.0)
+  }
+
   test("pipeline shared frames serve bit-identical results and release cleanly") {
     def snap(name: String) = SparkEntry.queries(name)(spark, sf0001).collect().toSeq
     val names = Seq("d05_jaccard_dup_pairs", "d12_edit_distance_dup_pairs",
