@@ -114,11 +114,15 @@ object Bench {
     def mkLine(dec: Int): String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$floor,"sf":"$sfDir"}"""
     // degradation ladder as the registry grows: 2-decimal timings →
-    // 1-decimal → (last resort) drop the pipeline/floor enrichments but
-    // keep the per-query map — the driver contract needs total+queries;
-    // the enrichments are this repo's own additions
+    // 1-decimal → (last resort) drop the pipeline enrichment but keep
+    // the per-query map — the driver contract needs total+queries; the
+    // enrichments are this repo's own additions. The ~40-char floor
+    // probe survives EVERY rung (mkMinimal included): it is the
+    // VM-noise calibration the cross-round methodology checks first,
+    // and dropping it would be the inconsistency of shedding the
+    // smallest field before the biggest.
     def mkBare(dec: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$floor,"sf":"$sfDir"}"""
     // absolute floor: total + failures only — the driver contract fields.
     // Losing per-query detail beats losing the whole line to the length
     // guard AFTER all benchmarking work completed.

@@ -303,21 +303,38 @@ object StreamOps {
       .map(_.stripPrefix(CdcCommitPrefix).toLong)
       .reduceOption((a, b) => math.max(a, b))
 
-  /** The stream batch id recorded in a version's commit marker (−1 for a
-    * marker with unreadable/absent content). */
-  private def cdcMarkerBatchId(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, ver: Long): Long =
+  /** The (stream batch id, incarnation id) stamp recorded in a version's
+    * commit marker — line 1 is the batch id, line 2 the incarnation the
+    * batch belonged to ((−1, "") for a marker with unreadable/absent
+    * content, which can never equal a live stamp, so it reads as
+    * "not a retry" and the idempotent merge re-applies — safe). Both
+    * halves matter: batch ids alone collide across stream incarnations
+    * (a fresh checkpoint restarts them at 0, so "latest commit also says
+    * batch 0" does NOT prove this batch was applied), and the
+    * incarnation alone says nothing about WHICH batch committed.
+    */
+  private def cdcMarkerStamp(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, ver: Long): (Long, String) =
     try {
       val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"$CdcCommitPrefix$ver"))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    } catch { case _: Exception => -1L }
+      try {
+        val lines = new String(in.readAllBytes(), "UTF-8").linesIterator.toSeq
+        (lines.head.trim.toLong, lines.lift(1).map(_.trim).getOrElse(""))
+      } finally in.close()
+    } catch { case _: Exception => (-1L, "") }
 
   /** Reader half of the [[cdcApplyParquetSink]] contract: resolve the
     * newest commit marker, read that version's data directory. None before
     * the first commit. Readers must come through here (or replicate the
     * marker resolution) — the table ROOT holds multiple versions and is
     * not itself a parquet dataset.
+    *
+    * Read lease: the resolved version stays on disk only while it is
+    * among the newest `retain` commits (sink parameter, default 2 = live
+    * + one superseded). A reader that holds a resolved path across
+    * `retain` or more subsequent commits can observe its `v<n>` pruned
+    * mid-read — deployments with slow readers must widen `retain` to
+    * cover the longest read they expect.
     */
   def readCdcTable(spark: SparkSession, tableDir: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(tableDir)
@@ -343,12 +360,16 @@ object StreamOps {
     * torn batch. Crash recovery: a crash before the marker flip leaves
     * the previous commit live and the retried batch re-merges from it
     * (the merge is a pure function of table + batch, so re-application
-    * is idempotent); a retry AFTER the flip finds its batch id in the
-    * latest marker and no-ops. Batch ids are compared by EQUALITY with
-    * the latest marker only — a stream restarted on a fresh checkpoint
-    * restarts ids at 0, and an id-ordering comparison would silently
-    * drop every batch of the new incarnation. Old versions beyond the
-    * newest two are pruned after each commit (markers first; the data
+    * is idempotent); a retry AFTER the flip finds its (batch id,
+    * incarnation) stamp in the latest marker and no-ops. The stamp is
+    * compared by EQUALITY with the latest marker only, and carries the
+    * stream incarnation alongside the batch id — a stream restarted on a
+    * fresh checkpoint restarts ids at 0, so an id-ordering comparison
+    * would silently drop every batch of the new incarnation, and a bare
+    * id-equality check would misread the new incarnation's batch 0 as a
+    * retry whenever the previous incarnation happened to stop on batch
+    * 0. Old versions beyond the newest `retain` (default two) are pruned
+    * after each commit (markers first; the data
     * sweep goes by directory NAME so a crash mid-prune or a failed
     * attempt's partial dir can't leak storage forever), bounding disk
     * while leaving one superseded snapshot for readers that resolved
@@ -358,29 +379,45 @@ object StreamOps {
     * commits, which is why the emitted op column matches their MERGE
     * contract.
     */
-  def cdcApplyParquetSink(cdc: Dataset[CdcRow], tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[CdcRow] =
+  def cdcApplyParquetSink(cdc: Dataset[CdcRow], tableDir: String,
+      retain: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[CdcRow] = {
+    // one id per sink construction = one per stream incarnation; inside a
+    // micro-batch Spark's driver thread also carries the stable query id
+    // as a local property, which we prefer (it survives object reuse and
+    // names the checkpoint lineage batch ids are monotone within)
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
     cdc.writeStream.foreachBatch { (batch: Dataset[CdcRow], batchId: Long) =>
-      applyCdcBatch(batch, tableDir, batchId)
+      val incarnation = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(fallbackIncarnation)
+      applyCdcBatch(batch, tableDir, batchId, incarnation, retain)
     }
+  }
 
   /** One MERGE-apply commit — the [[cdcApplyParquetSink]] batch body,
     * public so the retry/crash-recovery paths are directly spec-testable
     * (a foreachBatch retry is just this function called again with the
     * same batchId).
     */
-  def applyCdcBatch(batch: Dataset[CdcRow], tableDir: String, batchId: Long): Unit = {
+  def applyCdcBatch(batch: Dataset[CdcRow], tableDir: String, batchId: Long,
+      incarnationId: String = "batch", retain: Int = 2): Unit = {
+      require(retain >= 1, s"retain must keep at least the live version, got $retain")
       val s = batch.sparkSession
       val conf = s.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(tableDir)
       val fs = root.getFileSystem(conf)
       fs.mkdirs(root)
       val current = cdcLatestCommit(fs, root)
-      // genuine retry = the LATEST commit records this very batch id
-      // (crash after the marker flip, Spark re-delivers the batch).
-      // Anything else — including a LOWER id after a checkpoint reset
-      // restarted batch numbering — must apply: versions are the sink's
-      // own counter precisely so stale-id comparisons can't drop data.
-      val isRetry = current.exists(v => cdcMarkerBatchId(fs, root, v) == batchId)
+      // genuine retry = the LATEST commit records this very (batch id,
+      // incarnation) pair (crash after the marker flip, Spark re-delivers
+      // the batch). Anything else — including the SAME id from a different
+      // incarnation after a checkpoint reset restarted batch numbering at
+      // 0 — must apply: batch ids only mean "already applied" within the
+      // incarnation that numbered them, and versions are the sink's own
+      // counter precisely so stale-id comparisons can't drop data.
+      val isRetry = current.exists { v =>
+        cdcMarkerStamp(fs, root, v) == ((batchId, incarnationId))
+      }
       if (!isRetry) {
         val ver = current.map(_ + 1).getOrElse(0L)
         val touched = batch.toDF().select(col("user_id")).distinct()
@@ -396,24 +433,27 @@ object StreamOps {
         // overwrite mode: a crashed attempt's partial v<ver> is replaced
         merged.write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(root, s"v$ver").toString)
-        // marker content = the applied batch id (retry detection); the
-        // FILE rename is the atomic commit point
+        // marker content = the applied (batch id, incarnation) stamp
+        // (retry detection); the FILE rename is the atomic commit point
         val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$ver.tmp")
         val out = fs.create(tmpMarker, true)
-        out.write(batchId.toString.getBytes("UTF-8"))
+        out.write(s"$batchId\n$incarnationId".getBytes("UTF-8"))
         out.close()
         val marker = new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$ver")
         require(fs.rename(tmpMarker, marker),
           s"commit marker flip failed for version $ver (batch $batchId)")
-        // prune: newest two committed versions stay. Sweep DATA dirs by
-        // name, not by marker — a crash between a marker delete and its
-        // data delete (or a failed attempt's partial dir) must not leak
-        // an unreclaimable v<n> forever.
+        // prune: newest `retain` committed versions stay (the live one
+        // plus retain−1 superseded snapshots for readers that resolved
+        // just before a flip — size the window to the slowest reader's
+        // lease). Sweep DATA dirs by name, not by marker — a crash
+        // between a marker delete and its data delete (or a failed
+        // attempt's partial dir) must not leak an unreclaimable v<n>
+        // forever.
         val keep = fs.listStatus(root).iterator
           .map(_.getPath.getName)
           .filter(_.startsWith(CdcCommitPrefix))
           .map(_.stripPrefix(CdcCommitPrefix).toLong)
-          .toSeq.sorted(Ordering[Long].reverse).take(2).toSet
+          .toSeq.sorted(Ordering[Long].reverse).take(retain).toSet
         fs.listStatus(root).foreach { st =>
           val nm = st.getPath.getName
           val stale =

@@ -171,11 +171,18 @@ object Summarizer {
         s""""maxOutputTokens":$maxTokens}}"""
     }
 
-    /** Extracts `candidates[0].content.parts[0].text`. A response with
-      * no `candidates` array (safety-blocked prompts return only
-      * `promptFeedback`) errors loudly with the block reason when one is
-      * present, mirroring the strictness of
-      * [[HttpJsonClient.parseContent]].
+    /** Extracts the reply text of `candidates[0].content.parts`,
+      * concatenating every text part (multi-part replies are one logical
+      * message on this wire). The search is ANCHORED down the real path —
+      * `candidates` → `content` → `parts` → the bracket-matched array —
+      * not "first `text` key after `candidates`": a candidate whose
+      * parts open with a `functionCall` (whose args may carry `text`
+      * fields), or `text`-named fields in candidate metadata, must not
+      * be mis-extracted. A response with no `candidates` array
+      * (safety-blocked prompts return only `promptFeedback`) errors
+      * loudly with the block reason when one is present, and a parts
+      * array carrying no text part errors loudly too, mirroring the
+      * strictness of [[HttpJsonClient.parseContent]].
       */
     def parseText(responseJson: String): String = {
       val cand = responseJson.indexOf("\"candidates\"")
@@ -187,7 +194,50 @@ object Summarizer {
           reason.fold("Gemini response has no candidates")(r =>
             s"Gemini prompt blocked: $r"))
       }
-      decodeStringValue(responseJson, "text", cand)
+      val content = responseJson.indexOf("\"content\"", cand)
+      require(content >= 0, "Gemini candidate has no content")
+      val parts = responseJson.indexOf("\"parts\"", content)
+      require(parts >= 0, "Gemini content has no parts")
+      val open = responseJson.indexOf('[', parts)
+      require(open >= 0, "Gemini parts is not an array")
+      // bracket-matched, string-aware walk of exactly the parts array:
+      // string literals are skipped atomically (so braces/keys inside
+      // reply text can't confuse the depth count), and a "text" string
+      // counts only when it is a KEY (next non-space char is ':') at
+      // any depth inside the array — part objects hold text at depth 2;
+      // deeper "text" keys belong to non-text parts like functionCall
+      // args and are excluded by requiring depth == 2
+      var i = open
+      var depth = 0
+      var end = -1
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (end < 0 && i < responseJson.length) {
+        responseJson.charAt(i) match {
+          case '"' =>
+            val keyAt = i
+            val isTextLiteral = responseJson.startsWith("\"text\"", i)
+            i += 1
+            while (i < responseJson.length && responseJson.charAt(i) != '"') {
+              if (responseJson.charAt(i) == '\\') i += 1
+              i += 1
+            }
+            require(i < responseJson.length, "unterminated string in Gemini parts")
+            i += 1
+            if (isTextLiteral && depth == 2) {
+              var j = i
+              while (j < responseJson.length && responseJson.charAt(j).isWhitespace) j += 1
+              if (j < responseJson.length && responseJson.charAt(j) == ':')
+                texts += decodeStringValue(responseJson, "text", keyAt)
+            }
+          case '[' | '{' => depth += 1; i += 1
+          case ']' | '}' => depth -= 1; if (depth == 0) end = i else i += 1
+          case _ => i += 1
+        }
+      }
+      require(end >= 0, "unterminated Gemini parts array")
+      require(texts.nonEmpty,
+        "Gemini candidate carries no text part (functionCall or empty reply)")
+      texts.mkString
     }
 
     override def complete(prompt: String, temperature: Double, maxTokens: Int): String = {

@@ -468,6 +468,44 @@ class StreamingSpec extends SparkSpec {
       "post-reset batch must merge, not no-op")
     val commits2 = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("_commit-")).sorted
     assert(commits2.toSeq == Seq("_commit-2", "_commit-3"))
+
+    // batch-id COLLISION across incarnations: the previous incarnation's
+    // latest committed batch id is 0 (the default-stamp apply above) and
+    // the new incarnation's first batch is also 0 — a bare id-equality
+    // check would misread it as a retry and silently drop it; the
+    // incarnation half of the marker stamp disambiguates
+    StreamOps.applyCdcBatch(cdcBatch((6L, "U", "view", 6.0)), dir, 0L,
+      incarnationId = "inc-b")
+    assert(snapshot().get(6L).contains(6.0),
+      "same batch id from a NEW incarnation must apply, not no-op")
+    // ...while a true same-incarnation retry of that batch still no-ops
+    // (the mutated value is a tracer: if the merge re-ran it would show)
+    StreamOps.applyCdcBatch(cdcBatch((6L, "U", "view", 99.0)), dir, 0L,
+      incarnationId = "inc-b")
+    assert(snapshot().get(6L).contains(6.0),
+      "same (batch id, incarnation) must be detected as a retry")
+  }
+
+  test("CDC sink retention window is configurable for slow readers") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc-retain").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cdcBatch(u: Long, v: Double): org.apache.spark.sql.Dataset[StreamOps.CdcRow] =
+      Seq(StreamOps.CdcRow(u, "U", "view", v, new java.sql.Timestamp(1000L * u), 1L)).toDS()
+    (0 until 4).foreach { i =>
+      StreamOps.applyCdcBatch(cdcBatch(i.toLong, i.toDouble), dir, i.toLong, retain = 3)
+    }
+    val commits = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_commit-")).sorted
+    assert(commits.toSeq == Seq("_commit-1", "_commit-2", "_commit-3"),
+      "retain=3 must keep the newest three committed versions")
+    (1 to 3).foreach { n =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, s"v$n")), s"v$n data must survive")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v0")))
+    intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(cdcBatch(9L, 9.0), dir, 9L, retain = 0)
+    }
   }
 
   test("streaming CDC snapshot converges to the batch t36 semantics across micro-batches") {

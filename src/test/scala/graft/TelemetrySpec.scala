@@ -364,6 +364,27 @@ class TelemetrySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       g.parseText("""{"error":{"text":"quota"},"status":503}""")
     }
+    // multi-part replies concatenate ALL text parts, not truncate to [0]
+    assert(g.parseText(
+      """{"candidates":[{"content":{"parts":[{"text":"part one. "},
+        |{"text":"part two."}],"role":"model"}}]}""".stripMargin)
+      == "part one. part two.")
+    // a "text"-named field in candidate metadata BEFORE content, and a
+    // functionCall part whose args carry "text", must not be extracted;
+    // only the real text part inside content.parts counts
+    assert(g.parseText(
+      """{"candidates":[{"meta":{"text":"not me"},"content":{"parts":[
+        |{"functionCall":{"name":"f","args":{"text":"also not me"}}},
+        |{"text":"the reply"}],"role":"model"}}]}""".stripMargin)
+      == "the reply")
+    // a candidate whose parts are ONLY a functionCall has no reply text —
+    // loud error, not a mis-extracted args field
+    intercept[IllegalArgumentException] {
+      g.parseText(
+        """{"candidates":[{"content":{"parts":[
+          |{"functionCall":{"name":"f","args":{"text":"nope"}}}],
+          |"role":"model"}}]}""".stripMargin)
+    }
     // provider toggle mirrors the reference selectbox: gemini default model,
     // openai chat-completions, unknown loud
     assert(Summarizer.client("gemini", "k").isInstanceOf[Summarizer.GeminiClient])
