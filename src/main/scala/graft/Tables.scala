@@ -41,15 +41,30 @@ object Tables {
       case n        => table(spark, dir, n).createOrReplaceTempView(n)
     }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark reads
-    * only as a raw nanosecond Long (legacy flag). We truncate to microseconds
-    * with integer division (`div`, NOT floating `/` — nanos ~1.7e18 exceed
-    * double's 2^53 integer range) which matches how DuckDB/pandas truncate
-    * ns→µs, so oracle comparisons line up exactly.
+  /** `events.ts` has shipped in two parquet physical types across driver
+    * testdata generations: TIMESTAMP(NANOS) (readable by Spark only as a
+    * raw nanosecond Long via the legacy flag) and plain TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ when the file is not UTC-adjusted). Adapt on
+    * the RESOLVED schema rather than assuming a generation:
+    *  - LongType → nanos: truncate ns→µs with integer division (`div`,
+    *    NOT floating `/` — nanos ~1.7e18 exceed double's 2^53 integer
+    *    range), matching how DuckDB/pandas truncate.
+    *  - TIMESTAMP_NTZ → cast to session-local TimestampType; the session
+    *    timezone is pinned UTC ([[GraftSession]]), so the cast is
+    *    value-preserving and downstream hour/weekday bucketing matches
+    *    the DuckDB oracle exactly.
+    * Either way callers see one stable contract: `ts` TimestampType, µs
+    * precision, UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

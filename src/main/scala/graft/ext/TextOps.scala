@@ -1966,17 +1966,25 @@ object TextOps {
     * rises; a flat profile means one signal is noise. Float shape:
     * xent values are 6-dp decimals → round(sum, 6) exact-restores the
     * decile sum and the mean is that / count (rules 1-2); pass rate is
-    * integer / integer, one division. The global ntile sorts only the
-    * doc-count frame; at corpus scale assignment swaps to broadcast
-    * quantile boundaries (q35's documented swap).
+    * integer / integer, one division. Decile assignment is
+    * [[graft.operators.Ranking.exactNtile]] — exact two-level ranking
+    * (xent value bins → ≤1024-row offset frame → in-bin window), so the
+    * doc dimension never funnels through one partition even at corpus
+    * scale; the exact NTILE semantics keep the oracle hash unchanged.
     */
   def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
     val scores = unigramLogprob(s, dir).select("doc_id", "xent")
     val rules = ruleFilter(s, dir)
       .select(col("doc_id"), col("pass").cast("int").as("p"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("xent", "doc_id")
-    scores.join(rules, "doc_id")
-      .withColumn("decile", ntile(10).over(w))
+    // exactNtile scans its input three times (span, bin counts, rank);
+    // the scored view is the expensive token-explode subtree, so persist
+    // it — registry contract: no unpersist here, Verify/Bench clearCache()
+    // between queries (q31's documented ownership model).
+    val scored = scores.join(rules, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Ranking
+      .exactNtile(scored, 10, col("xent"),
+        ascending = true, ties = Seq(col("doc_id")), out = "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         (round(sum("xent"), 6) / count(lit(1))).as("mean_xent"),

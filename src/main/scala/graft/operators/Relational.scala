@@ -1061,11 +1061,11 @@ object Relational {
     * capture share, and lift over the base rate. The positive label is a
     * pre-reduced DISTINCT key set (q29's discipline); per-decile stats
     * are exact-integer ratios and the cumulative runs over the 10-row
-    * aggregate only. The exact global ntile is a single-partition window
-    * over the CUSTOMER dimension (not fact volume) — at a scale where
-    * even that is too large, decile boundaries come from t19's mergeable
-    * histogram sketch and assignment becomes a broadcast range join;
-    * the exact form is the oracle anchor.
+    * aggregate only. Decile assignment is [[Ranking.exactNtile]] — the
+    * exact two-level formulation (value bins → bounded offset frame →
+    * in-bin window), so NO window ever sees the whole customer dimension
+    * in one partition; the only sequential steps are the ≤1024-row bin
+    * frame and the 10-row decile aggregate.
     */
   def decileLift(s: SparkSession, dir: String): DataFrame = {
     val active = Tables.orders(s, dir)
@@ -1075,9 +1075,9 @@ object Relational {
       .join(active, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_acctbal"),
         when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
-    val agg = scored
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(desc("c_acctbal"), col("c_custkey"))))
+    val agg = Ranking
+      .exactNtile(scored, 10, col("c_acctbal"), ascending = false,
+        ties = Seq(col("c_custkey")), out = "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("pos").as("n_active"))
     val tot = agg.agg(sum("n_active").as("ta"), sum("n_customers").as("tc"))
