@@ -1071,10 +1071,16 @@ object Relational {
     val active = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
       .select("o_custkey").distinct()
+    // exactNtile scans its input three times (span, bin counts, rank);
+    // the scored view is an orders-wide DISTINCT plus the customer join,
+    // so persist the narrow 3-column result — registry contract: no
+    // unpersist here, Verify/Bench clearCache() between queries (q31's
+    // documented ownership model; d42 follows the same pattern).
     val scored = Tables.customer(s, dir)
       .join(active, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_acctbal"),
         when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = Ranking
       .exactNtile(scored, 10, col("c_acctbal"), ascending = false,
         ties = Seq(col("c_custkey")), out = "decile")

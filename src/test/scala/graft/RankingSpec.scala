@@ -90,21 +90,108 @@ class RankingSpec extends SparkSpec {
     assert(e == f)
   }
 
-  test("no partition-less window over the data-scaled input") {
+  test("no partition-less window anywhere in the plan") {
     val planStr = Ranking
       .exactNtile(frame(1000), 10, col("s"), ascending = true,
         ties = Seq(col("id")), out = "tile")
       .queryExecution.optimizedPlan.toString
-    // Window specs over the row-scaled frame must carry the __bin
-    // partition key; the only unpartitioned windows run on the grouped
-    // ≤ nBuckets-row count frame (their child is an Aggregate).
+    // The adaptive design computes offsets on the driver, so the ONLY
+    // window in the plan is the in-partition row_number — and it must
+    // carry the __part partition key.
     val windows = planStr.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(windows.nonEmpty)
-    // A partitioned spec renders as windowspecdefinition(__bin#<id>, ...)
-    val partitioned = ".*windowspecdefinition\\(__bin#\\d+L?,.*".r
-    windows.filterNot(w => partitioned.matches(w)).foreach { w =>
-      assert(w.contains("__bcnt") || w.contains("__boff"),
-        s"unpartitioned window over a non-bin-count frame:\n$w\n$planStr")
+    val partitioned = ".*windowspecdefinition\\(__part#\\d+L?,.*".r
+    windows.foreach { w =>
+      assert(partitioned.matches(w),
+        s"unpartitioned window in exactNtile plan:\n$w\n$planStr")
     }
+  }
+
+  test("NaN scores rank exactly where the flat window puts them (both directions)") {
+    // Spark sorts NaN greatest: last ascending, first descending. The
+    // two-level form must route NaN identically or silently diverge.
+    val df = spark.range(300).select(col("id"),
+      when(col("id") % 7 === 0, lit(Double.NaN))
+        .otherwise(pmod(hash(col("id")), lit(997)) / lit(10.0)).as("s"))
+    val (ea, fa) = both(df, 10, asc = true)
+    assert(ea == fa)
+    val (ed, fd) = both(df, 10, asc = false)
+    assert(ed == fd)
+  }
+
+  test("reserved working names are guarded, not silently overwritten") {
+    val df = spark.range(10).select(col("id"), lit(1.0).as("s"),
+      lit(0L).as("__part"))
+    val e = intercept[IllegalArgumentException] {
+      Ranking.exactNtile(df, 2, col("s"), ascending = true,
+        ties = Seq(col("id")), out = "tile")
+    }
+    assert(e.getMessage.contains("__part"))
+  }
+
+  // Max rows any single window partition receives, via the test hook
+  // that retains the internal partition id.
+  private def maxPartRows(df: org.apache.spark.sql.DataFrame, k: Int,
+                          asc: Boolean, nBuckets: Int, maxBinRows: Long): Long =
+    Ranking.exactNtileParts(df, k, col("s"), ascending = asc,
+        ties = Seq(col("id")), out = "tile",
+        nBuckets = nBuckets, maxBinRows = maxBinRows)
+      .groupBy("__part").count()
+      .agg(max("count")).head().getLong(0)
+
+  test("99%-constant score: split round bounds every window partition") {
+    // The dominant-bin hole: 1980 of 2000 rows share one exact score.
+    // Without the split round, one in-bin window task would see all
+    // 1980 rows; with it, the heavy value key-bins by id.
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") < 1980, lit(42.0))
+        .otherwise(col("id").cast("double") / 100.0).as("s"))
+    val (e, f) = both(df, 10, asc = true)
+    assert(e == f)
+    val mx = maxPartRows(df, 10, asc = true, nBuckets = 64, maxBinRows = 100)
+    assert(mx <= 100, s"a window partition received $mx rows (> maxBinRows)")
+  }
+
+  test("all-equal scores with a small threshold key-bin by the tie column") {
+    val df = spark.range(1000).select(col("id"), lit(5.0).as("s"))
+    val (e, f) = both(df, 10, asc = true)
+    assert(e == f)
+    val mx = maxPartRows(df, 10, asc = true, nBuckets = 32, maxBinRows = 50)
+    assert(mx <= 50, s"a window partition received $mx rows (> maxBinRows)")
+  }
+
+  test("skewed score with STRING tie keys: monotone projection stays exact and bounded") {
+    // doc_id-style string keys; the 6-byte prefix projection must be
+    // monotone in Spark's binary string order for exactness to hold.
+    val df = spark.range(1200).select(
+      format_string("doc_%05d", col("id")).as("id"),
+      when(col("id") % 10 < 9, lit(1.5))
+        .otherwise(col("id").cast("double")).as("s"))
+    val exact = Ranking
+      .exactNtile(df, 10, col("s"), ascending = true,
+        ties = Seq(col("id")), out = "tile",
+        nBuckets = 32, maxBinRows = 64)
+      .select(col("id"), col("tile")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    val flat = df.withColumn("tile",
+        ntile(10).over(Window.orderBy(col("s").asc, col("id").asc)))
+      .select(col("id"), col("tile")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(exact == flat)
+    val mx = Ranking.exactNtileParts(df, 10, col("s"), ascending = true,
+        ties = Seq(col("id")), out = "tile", nBuckets = 32, maxBinRows = 64)
+      .groupBy("__part").count().agg(max("count")).head().getLong(0)
+    assert(mx <= 64, s"a window partition received $mx rows (> maxBinRows)")
+  }
+
+  test("descending skew: heavy value + NaNs still bit-equal and bounded") {
+    val df = spark.range(900).select(col("id"),
+      when(col("id") % 11 === 0, lit(Double.NaN))
+        .when(col("id") < 800, lit(-3.25))
+        .otherwise(col("id").cast("double") / 7.0).as("s"))
+    val (e, f) = both(df, 7, asc = false)
+    assert(e == f)
+    val mx = maxPartRows(df, 7, asc = false, nBuckets = 32, maxBinRows = 60)
+    assert(mx <= 60, s"a window partition received $mx rows (> maxBinRows)")
   }
 }
