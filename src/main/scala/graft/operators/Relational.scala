@@ -1413,6 +1413,53 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Model scoring under the oracle hash gate — the native
+    * [[graft.functions.XgbScore]] expression (the engine's rebuild of
+    * the reference's booster scoring, streamlit_app.py:717-725) walking
+    * a deterministic checked-in ensemble ([[graft.functions.XgbToy]])
+    * over a feature projection of the customer table. The trees are
+    * data, identical on both sides: Spark scores through the codegen'd
+    * tree walk, DuckDB through the same trees unrolled to nested CASE
+    * SQL — so the oracle hash pins the walk, the float32 feature
+    * rounding, AND the NaN/default_left missing-value routing (every
+    * 5th nationkey is nulled to exercise it). Cross-engine floats per
+    * QueryDef policy: float-exact split halves, 1/64-multiple leaves
+    * (exact f64 margin sum), base margin exactly 0; only the sigmoid is
+    * irrational, so the probability carries 6-dp display rounding.
+    * Scale shape: pure per-row projection — no shuffle, no UDF, stays
+    * inside whole-stage codegen (PlanSpec pins the codegen property).
+    */
+  def xgbScoreQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val feats: Seq[org.apache.spark.sql.Column] = Seq(
+      col("c_acctbal").cast("float"),
+      (col("c_custkey") % 97).cast("float"),
+      when(col("c_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("c_nationkey")).cast("float"),
+      length(col("c_mktsegment")).cast("float"))
+    Tables.customer(s, dir)
+      .withColumn("score", round(GraftSqlBridge.column(
+        graft.functions.XgbScore(
+          feats.map(GraftSqlBridge.expression), graft.functions.XgbToy.model)), 6))
+      .select("c_custkey", "score")
+      .orderBy("c_custkey")
+  }
+
+  private val xgbScoreQuerySql = {
+    val margin = graft.functions.XgbToy.marginSql(Seq("f0", "f1", "f2", "f3"))
+    s"""WITH f AS (
+       |  SELECT c_custkey,
+       |    CAST(c_acctbal AS REAL) AS f0,
+       |    CAST(c_custkey % 97 AS REAL) AS f1,
+       |    CASE WHEN c_nationkey % 5 = 0 THEN NULL
+       |         ELSE CAST(c_nationkey AS REAL) END AS f2,
+       |    CAST(length(c_mktsegment) AS REAL) AS f3
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  round(1.0 / (1.0 + exp(-$margin)), 6) AS score
+       |FROM f ORDER BY c_custkey""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_filter_project", filterProject, Some(filterProjectSql)),
@@ -1461,5 +1508,6 @@ object Relational {
     QueryDef("q38_rank_metrics", rankMetricsReport, Some(rankMetricsReportSql)),
     QueryDef("q39_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q40_returned_revenue", returnedRevenue, Some(returnedRevenueSql)),
+    QueryDef("q41_xgb_score", xgbScoreQuery, Some(xgbScoreQuerySql)),
   )
 }

@@ -121,6 +121,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no query plans a partition-less WindowExec over data-scaled input") {
+    // The funnel sweep: a WindowExec with an empty partitionSpec moves
+    // EVERY input row to one task — the q35/d42 class of bug that
+    // exactNtile eliminated. Like the CartesianProduct sweep, this walks
+    // every registry query's physical plan; the allowlist names the
+    // queries whose unpartitioned window runs over a frame bounded BY
+    // CONSTRUCTION (a calendar/bucket/bin aggregate, never raw rows),
+    // with the bound stated. d13 is excluded for the same reason as
+    // above (its fn executes an iterative loop to build the plan).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val bounded: Map[String, String] = Map(
+      // query -> why its unpartitioned window input is bounded
+      "q27_open_order_backlog" -> "day spine: ≤ one row per calendar day",
+      "q35_decile_lift" -> "cum_capture over the 10-row decile aggregate",
+      "q37_percent_of_parent" -> "grand-total window over the 25-row nation aggregate",
+      "q38_rank_metrics" -> "bucket-offset frame: ≤ nBuckets=1000 rows",
+      "t01_hourly_value_ma" -> "centered MA over the hourly rollup: calendar-bounded",
+      "t19_histogram_quantiles" -> "histogram bins: ≤ 64 rows",
+      "t33_concurrent_sessions" -> "boundary minutes: calendar-bounded frame",
+      "d25_sequence_packing" -> "bucket-offset frame: |docs|/100 buckets",
+      "d28_length_histogram" -> "4 fixed length bands")
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }
+      self ++ kids.flatMap(windows)
+    }
+    val offenders = SparkEntry.allQueries
+      .filterNot(_.name.startsWith("d13"))
+      .flatMap { q =>
+        val ws = windows(q.fn(spark, sf0001).queryExecution.executedPlan)
+        if (ws.isEmpty) None else Some(q.name -> ws.length)
+      }
+    val unexplained = offenders.filterNot { case (n, _) => bounded.contains(n) }
+    assert(unexplained.isEmpty,
+      s"partition-less WindowExec outside the bounded allowlist: $unexplained")
+    // the allowlist must not rot: every entry still has such a window
+    val live = offenders.map(_._1).toSet
+    val stale = bounded.keySet.diff(live)
+    assert(stale.isEmpty, s"allowlist entries with no partition-less window (remove): $stale")
+  }
+
   /** Run `body` with `confs` set, restoring previous values after. */
   private def withConfs[A](confs: (String, String)*)(body: => A): A = {
     val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
