@@ -83,9 +83,10 @@ object Bench {
     // regression signal separates from shared-subtree recompute noise;
     // per-query timings above keep the driver contract untouched.
     val family = Seq("d12_edit_distance_dup_pairs", "d13_dup_clusters",
-      "d18_contamination", "d26_cross_split_leakage",
-      "d29_apply_near_dup_removal", "d34_cluster_weighted_sample",
-      "d37_best_of_cluster", "d39_capped_jaccard_pairs")
+      "d18_contamination", "d20_crossdoc_ngram_dup",
+      "d26_cross_split_leakage", "d29_apply_near_dup_removal",
+      "d34_cluster_weighted_sample", "d37_best_of_cluster",
+      "d39_capped_jaccard_pairs", "d45_ngram_novelty")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the

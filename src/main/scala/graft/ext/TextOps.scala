@@ -244,6 +244,10 @@ object TextOps {
     val c = dupClusters(s, dir).persist(lvl)
     c.count()
     shared.put(s"clusters:$dir", c)
+    // the 8-gram subtree d20/d45 share (gram8 persists its own build)
+    val g = gram8(s, dir)
+    g.count()
+    shared.put(s"grams8:$dir", g)
   }
 
   def clearSharedFrames(): Unit = {
@@ -1097,32 +1101,70 @@ object TextOps {
     * shifted near-dups.
     *
     * Set semantics per doc (array_distinct) so a doc's own internal
-    * repetition (d19's signal) doesn't inflate its cross-doc score. Group
-    * keys are the raw 8-gram strings — exact semantics, engine-portable;
-    * at 100 TB group on xxhash64(gram) first and confirm in-bucket.
+    * repetition (d19's signal) doesn't inflate its cross-doc score.
+    * Posting aggregation keys on xxhash64(gram) with an in-bucket
+    * collision confirm ([[gram8]]) — the 100 TB shuffle carries 8-byte
+    * keys, and the raw-gram fallback branch keeps semantics exact.
     *
     * Plan shape: posting lists, not a self-join — the gram stream is
-    * grouped ONCE (collect_set of doc ids per gram) and each posting list
-    * is exploded back to (doc, n_docs) attributions, so `documents` is
-    * scanned once and the gram string shuffles once. Posting lists must
-    * be frequency-capped at scale like d05's (a boilerplate gram shared
-    * by every doc is an unbounded set AND, past the cap, is dup evidence
-    * of no further discriminative value).
+    * built once ([[gram8]], persisted), grouped ONCE (collect_set of doc
+    * ids per gram hash) and each posting list is exploded back to
+    * (doc, n_docs) attributions. Posting lists must be frequency-capped
+    * at scale like d05's (a boilerplate gram shared by every doc is an
+    * unbounded set AND, past the cap, is dup evidence of no further
+    * discriminative value).
     */
-  def crossdocNgramDup(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc distinct sliding 8-grams — the exploded subtree d20 and d45
+    * both consume (twice each: posting aggregation + attribution
+    * rejoin). Consults the shared-frames registry first; self-contained
+    * runs persist under the registry contract (runner clearCache()
+    * between queries — q31's documented ownership model), so the
+    * explode+distinct computes ONCE per query either way. Columns carry
+    * the raw gram `g` plus TWO independent 64-bit hashes: `h` is the
+    * posting key the aggregations shuffle on (8 bytes instead of a
+    * ~50-byte gram string), `h2` is the collision detector — a bucket
+    * whose h2 min ≠ max holds two distinct grams (missing a collision
+    * needs a simultaneous 128-bit collision: never) and is routed
+    * through the exact raw-gram path by the consumers. Exact semantics
+    * at hash-key shuffle cost.
+    */
+  private[graft] def gram8(s: SparkSession, dir: String): DataFrame = {
+    val pre = shared.get(s"grams8:$dir")
+    if (pre != null) return pre
     Tables.documents(s, dir)
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 8")
       .selectExpr("doc_id",
-        "explode(array_distinct(transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8))))) AS g")
+        """explode(array_distinct(transform(sequence(1, size(toks)-7),
+          |  i -> concat_ws(' ', slice(toks, i, 8))))) AS g""".stripMargin)
+      .selectExpr("doc_id", "g", "xxhash64(g) AS h", "xxhash64(g, 42) AS h2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def crossdocNgramDup(s: SparkSession, dir: String): DataFrame = {
+    val grams = gram8(s, dir)
+    // posting sets keyed by the 8-byte gram hash; h2 span detects the
+    // (never-observed) bucket collision. ReuseExchange serves both
+    // filters of aggH from one shuffle.
+    val aggH = grams.groupBy("h")
+      .agg(collect_set("doc_id").as("ds"),
+        min("h2").as("h2lo"), max("h2").as("h2hi"))
+    val clean = aggH.filter(col("h2lo") === col("h2hi"))
+      .selectExpr("size(ds) AS n_docs", "explode(ds) AS doc_id")
+    // collision fallback: regroup ONLY those buckets by the raw gram —
+    // exact semantics preserved; the branch is empty in practice
+    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
+    val exact = grams.join(bad, "h")
       .groupBy("g").agg(collect_set("doc_id").as("ds"))
       .selectExpr("size(ds) AS n_docs", "explode(ds) AS doc_id")
+    clean.union(exact)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
       .selectExpr("doc_id", "n_ngrams", "n_shared",
         "round(n_shared * 1.0D / n_ngrams, 6) AS shared_frac")
       .orderBy("doc_id")
+  }
 
   private val crossdocNgramDupSql =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
@@ -2111,22 +2153,28 @@ object TextOps {
     * (min doc_id) is the doc itself. Low novelty = the doc restates
     * earlier material even when no single pair crosses a dup threshold —
     * the "effectively duplicate tail" a mixture curator downweights
-    * (d43's weights consume exactly this kind of signal). Plan: one
-    * explode → (gram → min doc_id) agg with map-side combine — the
-    * posting-list discipline, never a self-join — then one rejoin on the
-    * gram key and a per-doc regroup; novelty = two exact integers, ONE
-    * closing division. Docs under 8 tokens have no 8-grams and are
-    * excluded (novelty undefined), like d20.
+    * (d43's weights consume exactly this kind of signal). Plan: the
+    * [[gram8]] subtree (built ONCE, persisted) feeds a (gram-hash → min
+    * doc_id) agg with map-side combine — the posting-list discipline,
+    * never a self-join — then one rejoin on the 8-byte hash key and a
+    * per-doc regroup; the h2 collision confirm routes (never-observed)
+    * hash collisions through the exact raw-gram path. novelty = two
+    * exact integers, ONE closing division. Docs under 8 tokens have no
+    * 8-grams and are excluded (novelty undefined), like d20.
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text,' ') AS toks")
-      .where("size(toks) >= 8")
-      .selectExpr("doc_id",
-        """explode(array_distinct(transform(sequence(1, size(toks)-7),
-          |  i -> concat_ws(' ', slice(toks, i, 8))))) AS g""".stripMargin)
-    val firstDoc = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(firstDoc, "g")
+    val grams = gram8(s, dir)
+    val aggH = grams.groupBy("h")
+      .agg(min("doc_id").as("first_doc"),
+        min("h2").as("h2lo"), max("h2").as("h2hi"))
+    val clean = aggH.filter(col("h2lo") === col("h2hi"))
+      .select("h", "first_doc")
+    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
+    val exact = grams.join(bad, "h")
+      .groupBy("h", "g").agg(min("doc_id").as("first_doc"))
+    val attributed = grams.join(clean, "h").select("doc_id", "first_doc")
+      .union(grams.join(exact, Seq("h", "g")).select("doc_id", "first_doc"))
+    attributed
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
