@@ -1330,25 +1330,26 @@ object TextOps {
 
   /** Bloom-prefiltered incremental dedup — d17's operator re-planned for
     * the 100 TB corpus. d17's plain left-anti join reshuffles the ENTIRE
-    * corpus for every incoming batch; here the corpus is scanned once into
-    * a mergeable Bloom filter (Spark's `stat.bloomFilter` — a distributed
-    * treeAggregate, ~1 byte/element at 3% fpp), and only the incoming rows
-    * the filter flags as possible dups pay the exact confirm join. Rows
-    * the filter rejects are DEFINITELY new (Bloom has no false negatives),
-    * so the result is exactly d17's — it shares d17's oracle SQL. In
-    * production the sketch is built once and reused across batches;
-    * here it is rebuilt per run to stay self-contained.
+    * corpus for every incoming batch; here the corpus is scanned once
+    * into a Bloom filter via Catalyst's own `bloom_filter_agg` (one
+    * distributed aggregate, ~1 byte/element at 3% fpp —
+    * [[graft.functions.GraftBloom]]), and only the incoming rows the
+    * codegen'd `might_contain` probe flags as possible dups pay the
+    * exact confirm join. Rows the filter rejects are DEFINITELY new
+    * (Bloom has no false negatives), so the result is exactly d17's —
+    * it shares d17's oracle SQL. In production the sketch is built once
+    * and reused across batches; here it is rebuilt per run to stay
+    * self-contained.
     */
   def bloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val (base, incoming) = baseIncoming(s, dir)
     // Sizing a Bloom filter needs |corpus|; production pipelines track it
     // as a table stat — recomputing it here is one columnar count scan.
     val n = math.max(base.count(), 1L)
-    val bloom = base.stat.bloomFilter("text", n, 0.03)
-    val bc = s.sparkContext.broadcast(bloom)
-    val might = udf((t: String) => t != null && bc.value.mightContainString(t))
-    val definitelyNew = incoming.filter(!might(col("text"))).select("doc_id")
-    val candidates = incoming.filter(might(col("text")))
+    val bf = graft.functions.GraftBloom.buildBytes(base, col("text"), n)
+    val might = graft.functions.GraftBloom.mightContain(bf, col("text"))
+    val definitelyNew = incoming.filter(!might).select("doc_id")
+    val candidates = incoming.filter(might)
       .join(base.select("text"), Seq("text"), "left_anti")
       .select("doc_id")
     definitelyNew.union(candidates).orderBy("doc_id")

@@ -532,26 +532,27 @@ object StreamOps {
     incrementalDedupStream(incoming, base, buildCorpusSketch(base))
 
   /** The corpus-side state of [[incrementalDedupStream]], built ONCE per
-    * corpus version: the broadcast Bloom filter plus the version tag that
-    * says which corpus snapshot it sketches. A long-running stream holds
-    * one of these and swaps it only when the corpus itself changes —
-    * re-calling the convenience overload per restart would re-count and
-    * re-sketch the full corpus each time, a full corpus scan that a
-    * 100 TB deployment pays at most once per corpus VERSION, not once
-    * per stream (re)start.
+    * corpus version: the serialized Bloom filter plus the version tag
+    * that says which corpus snapshot it sketches. A long-running stream
+    * holds one of these and swaps it only when the corpus itself
+    * changes — re-calling the convenience overload per restart would
+    * re-count and re-sketch the full corpus each time, a full corpus
+    * scan that a 100 TB deployment pays at most once per corpus
+    * VERSION, not once per stream (re)start. The filter travels as the
+    * binary blob `might_contain` consumes directly, so the probe stays
+    * inside whole-stage codegen (no UDF, no broadcast handle).
     */
-  final case class CorpusSketch(version: Long,
-      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  final case class CorpusSketch(version: Long, bloomBytes: Array[Byte])
 
-  /** Builds a [[CorpusSketch]]: one corpus count + one Bloom build
-    * (no false negatives at ~3% false positives), broadcast to every
-    * executor.
+  /** Builds a [[CorpusSketch]]: one corpus count + one distributed
+    * `bloom_filter_agg` build (no false negatives at ~3% false
+    * positives) — [[graft.functions.GraftBloom]].
     */
   def buildCorpusSketch(base: DataFrame, version: Long = 0L,
       fpp: Double = 0.03): CorpusSketch = {
     val n = math.max(base.count(), 1L)
     CorpusSketch(version,
-      base.sparkSession.sparkContext.broadcast(base.stat.bloomFilter("text", n, fpp)))
+      graft.functions.GraftBloom.buildBytes(base, col("text"), n, fpp))
   }
 
   /** Sketch-injected form: `base` is only consulted for the exact-confirm
@@ -560,10 +561,9 @@ object StreamOps {
     */
   def incrementalDedupStream(incoming: DataFrame, base: DataFrame,
       sketch: CorpusSketch): DataFrame = {
-    val bc = sketch.bloom
-    val might = udf((t: String) => t != null && bc.value.mightContainString(t))
-    val definitelyNew = incoming.filter(!might(col("text"))).select("doc_id")
-    val candidates = incoming.filter(might(col("text")))
+    val might = graft.functions.GraftBloom.mightContain(sketch.bloomBytes, col("text"))
+    val definitelyNew = incoming.filter(!might).select("doc_id")
+    val candidates = incoming.filter(might)
       .join(base.select("text"), Seq("text"), "left_anti")
       .select("doc_id")
     definitelyNew.union(candidates)

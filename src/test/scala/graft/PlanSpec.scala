@@ -432,6 +432,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
   }
 
+  test("d24: Bloom probe is the native might_contain expression, not a UDF") {
+    // the probe filter must ride whole-stage codegen: BloomFilterMightContain
+    // has doGenCode; the old Scala-UDF probe broke the generated stage
+    val df = graft.ext.TextOps.bloomIncrementalDedup(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF"), p)
+    assert(p.contains("*("), p)
+  }
+
   test("xgb_score stage stays inside whole-stage codegen (no interpreted fallback)") {
     // the reason XgbScore exists: the unrolled CASE form overflowed
     // Janino's 64 KB method limit and silently dropped the stage to
