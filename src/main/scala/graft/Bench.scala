@@ -104,6 +104,25 @@ object Bench {
       val isolated = family.map(resultMap(_)).filter(_ >= 0).sum
       f""","pipeline":{"build":$build%.2f,"shared":$sharedSec%.2f,"isolated":$isolated%.2f}"""
     } else ""
+    // Vector-serving segment, same methodology: e20 re-encodes the PQ
+    // index e19 built, e13 re-buckets what e03/e05 bucketed, e21 rebuilds
+    // its code table — VectorOps.enableSharedFrames materializes the
+    // vector/bucket/PQ/BQ index frames once, how a serving pipeline runs.
+    val vfamily = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e13_lsh_recall",
+      "e19_pq_knn", "e20_pq_rerank_top5", "e21_bq_knn")
+      .filter(n => only.forall(_.contains(n)))
+    val vpipe = if (vfamily.nonEmpty &&
+        vfamily.forall(n => resultMap.get(n).exists(_ >= 0))) {
+      def t(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val build = t(graft.ext.VectorOps.enableSharedFrames(spark, sfDir))
+      val sharedSec =
+        vfamily.map(n => t { SparkEntry.queries(n)(spark, sfDir).count(); () }).sum
+      graft.ext.VectorOps.clearSharedFrames()
+      spark.sharedState.cacheManager.clearCache()
+      val isolated = vfamily.map(resultMap(_)).filter(_ >= 0).sum
+      f""","vpipe":{"build":$build%.2f,"shared":$sharedSec%.2f,"isolated":$isolated%.2f}"""
+    } else ""
     // Failed queries (-1.0 sentinel) are excluded from the headline total —
     // summing them in would *lower* the metric on a regression — and
     // reported by name so a nonzero failure list is unmissable.
@@ -113,7 +132,7 @@ object Bench {
     results.foreach { case (k, v) => println(f"# $k%-40s $v%8.3f s") }
     val floor = f""","floor":{"pre":$floorPre%.3f,"post":$floorPost%.3f}"""
     def mkLine(dec: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$floor,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$vpipe$floor,"sf":"$sfDir"}"""
     // degradation ladder as the registry grows: 2-decimal timings →
     // 1-decimal → (last resort) drop the pipeline enrichment but keep
     // the per-query map — the driver contract needs total+queries; the

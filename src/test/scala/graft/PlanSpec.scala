@@ -484,6 +484,25 @@ class PlanSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("vector shared frames serve bit-equal results and leave no cache behind") {
+    // the VectorOps mirror of the text-side compute-once registry: the
+    // serving family must return IDENTICAL rows whether each query is
+    // self-contained or reads the persisted vector/bucket/PQ/BQ frames,
+    // and clearSharedFrames must release every byte of storage.
+    val names = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e13_lsh_recall",
+      "e19_pq_knn", "e20_pq_rerank_top5", "e21_bq_knn")
+    spark.sharedState.cacheManager.clearCache()
+    val iso = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf0001).collect().toSeq).toMap
+    graft.ext.VectorOps.enableSharedFrames(spark, sf0001)
+    val sh = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf0001).collect().toSeq).toMap
+    graft.ext.VectorOps.clearSharedFrames()
+    names.foreach(n => assert(iso(n) == sh(n), s"shared-frame drift in $n"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearSharedFrames must unpersist every registered frame")
+  }
+
   test("q32: probe side of the argmin join-back never shuffles (min frame broadcasts)") {
     val df = Relational.cheapestSupplierPerPart(spark, sf0001)
     df.collect()
