@@ -267,6 +267,102 @@ class StreamingSpec extends SparkSpec {
     assert(batch == 2L)
   }
 
+  test("tumbling out-of-order fixture: exact dropped-row count vs watermark-filtered batch twin") {
+    // Multi-batch out-of-order delivery with a deterministic watermark
+    // schedule (wm after a batch = max event time seen − 2h; a window is
+    // finalized once its END ≤ wm, and late rows into finalized windows
+    // are DROPPED). Every case sits strictly off the boundary so the
+    // expected kept/dropped split is unambiguous.
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, min: Long): Event =
+      Event(id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2025, 1, 1, 0, 0).plusMinutes(min)),
+        user_id = 1L, event_type = "click", value = 1.0)
+    val batchA = Seq(ev(1, 10), ev(2, 40), ev(3, 80), ev(4, 720)) // wm → 10:00
+    val batchB = Seq(
+      ev(5, 30),   // [00:00,01:00) end ≤ 10:00 → dropped
+      ev(6, 90),   // [01:00,02:00) end ≤ 10:00 → dropped
+      ev(7, 510),  // [08:00,09:00) end ≤ 10:00 → dropped
+      ev(8, 630),  // [10:00,11:00) end 11:00 > 10:00 → kept (behind max, not late)
+      ev(9, 690),  // [11:00,12:00) → kept
+      ev(10, 780)) // 13:00 → kept; wm → 11:00
+    val batchC = Seq(ev(11, 1200)) // 20:00 flushes everything through 18:00
+    val dropped = Set(5L, 6L, 7L)
+
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingHourly(ms.toDF())
+      .writeStream.format("memory").queryName("ooo_stream").outputMode("append").start()
+    try {
+      ms.addData(batchA); q.processAllAvailable()
+      ms.addData(batchB); q.processAllAvailable()
+      ms.addData(batchC); q.processAllAvailable()
+      // the ENGINE's own accounting must agree with the schedule above
+      val engineDropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(engineDropped == dropped.size,
+        s"engine dropped $engineDropped rows, schedule says ${dropped.size}")
+    } finally q.stop()
+
+    val flushCut = java.sql.Timestamp.valueOf("2025-01-01 20:00:00").getTime * 1000L
+    val streamed = spark.table("ooo_stream")
+      .filter(col("bucket_us") < flushCut) // batchC's own window is still open
+      .orderBy("bucket_us").collect()
+    val kept = (batchA ++ batchB ++ batchC).filterNot(e => dropped(e.event_id))
+    val twin = StreamOps.tumblingHourly(kept.toDF())
+      .filter(col("bucket_us") < flushCut)
+      .orderBy("bucket_us").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == twin.toSeq,
+      "stream must equal the batch twin over exactly the non-late rows")
+  }
+
+  test("session out-of-order fixture: exact dropped-row count vs watermark-filtered batch twin") {
+    // Same discipline for session windows (30-min gap): a late row whose
+    // provisional session [ts, ts+gap) ends ≤ wm is dropped — including
+    // one that would have MERGED into an already-finalized session.
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, user: Long, min: Long): Event =
+      Event(id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2025, 1, 1, 0, 0).plusMinutes(min)),
+        user_id = user, event_type = "click", value = 1.0)
+    val batchA = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), // u1 session 1
+      ev(4, 1, 90),                                           // u1 session 2
+      ev(5, 2, 5),                                            // u2 session
+      ev(6, 9, 720))                                          // wm → 10:00
+    val batchB = Seq(
+      ev(7, 1, 15),  // would merge into u1 session 1 (end 00:45 ≤ wm) → dropped
+      ev(8, 2, 540), // new session [09:00,09:30) end ≤ wm → dropped
+      ev(9, 1, 630), // new session [10:30,11:00) end > wm → kept
+      ev(10, 9, 840)) // 14:00 → kept; wm → 12:00
+    val batchC = Seq(ev(11, 9, 1200)) // 20:00 → wm 18:00 flushes 14:00 session
+    val dropped = Set(7L, 8L)
+
+    val ms = MemoryStream[Event]
+    val q = StreamOps.userSessionWindows(ms.toDF())
+      .writeStream.format("memory").queryName("ooo_sess").outputMode("append").start()
+    try {
+      ms.addData(batchA); q.processAllAvailable()
+      ms.addData(batchB); q.processAllAvailable()
+      ms.addData(batchC); q.processAllAvailable()
+      val engineDropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(engineDropped == dropped.size,
+        s"engine dropped $engineDropped rows, schedule says ${dropped.size}")
+    } finally q.stop()
+
+    val flushCut = java.sql.Timestamp.valueOf("2025-01-01 20:00:00").getTime * 1000L
+    val streamed = spark.table("ooo_sess")
+      .filter(col("start_us") < flushCut)
+      .orderBy("user_id", "start_us").collect()
+    val kept = (batchA ++ batchB ++ batchC).filterNot(e => dropped(e.event_id))
+    val twin = StreamOps.userSessionWindows(kept.toDF())
+      .filter(col("start_us") < flushCut)
+      .orderBy("user_id", "start_us").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == twin.toSeq,
+      "session stream must equal the batch twin over exactly the non-late rows")
+  }
+
   test("streaming CM sketch equals its batch twin cell-wise and never undercounts") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(500)
