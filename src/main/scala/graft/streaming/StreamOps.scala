@@ -435,44 +435,110 @@ object StreamOps {
           .parquet(new org.apache.hadoop.fs.Path(root, s"v$ver").toString)
         // marker content = the applied (batch id, incarnation) stamp
         // (retry detection); the FILE rename is the atomic commit point
-        val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$ver.tmp")
-        val out = fs.create(tmpMarker, true)
-        out.write(s"$batchId\n$incarnationId".getBytes("UTF-8"))
-        out.close()
-        val marker = new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$ver")
-        require(fs.rename(tmpMarker, marker),
-          s"commit marker flip failed for version $ver (batch $batchId)")
-        // prune: newest `retain` committed versions stay (the live one
-        // plus retain−1 superseded snapshots for readers that resolved
-        // just before a flip — size the window to the slowest reader's
-        // lease). Sweep DATA dirs by name, not by marker — a crash
-        // between a marker delete and its data delete (or a failed
-        // attempt's partial dir) must not leak an unreclaimable v<n>
-        // forever.
-        val keep = fs.listStatus(root).iterator
-          .map(_.getPath.getName)
-          .filter(_.startsWith(CdcCommitPrefix))
-          .map(_.stripPrefix(CdcCommitPrefix).toLong)
-          .toSeq.sorted(Ordering[Long].reverse).take(retain).toSet
-        fs.listStatus(root).foreach { st =>
-          val nm = st.getPath.getName
-          val stale =
-            (nm.startsWith(CdcCommitPrefix) &&
-              !keep.contains(nm.stripPrefix(CdcCommitPrefix).toLong)) ||
-            (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
-              !keep.contains(nm.drop(1).toLong))
-          if (stale) {
-            // marker before data, so resolution never points at a
-            // missing directory mid-sweep
-            if (!nm.startsWith(CdcCommitPrefix))
-              fs.delete(new org.apache.hadoop.fs.Path(root,
-                s"$CdcCommitPrefix${nm.drop(1)}"), false)
-            fs.delete(st.getPath, true)
-            ()
-          }
-        }
+        flipCommitMarker(fs, root, ver, batchId, incarnationId)
+        pruneCdcVersions(fs, root, retain)
       }
       ()
+  }
+
+  /** Atomic commit: write the (batch id, incarnation) stamp to a temp
+    * file, rename into `_commit-<ver>` — the single-filesystem-op flip
+    * both the MERGE sink and [[optimizeCdcTable]] commit through.
+    */
+  private def flipCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, ver: Long, batchId: Long,
+      incarnationId: String): Unit = {
+    val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$ver.tmp")
+    val out = fs.create(tmpMarker, true)
+    out.write(s"$batchId\n$incarnationId".getBytes("UTF-8"))
+    out.close()
+    val marker = new org.apache.hadoop.fs.Path(root, s"$CdcCommitPrefix$ver")
+    require(fs.rename(tmpMarker, marker),
+      s"commit marker flip failed for version $ver (batch $batchId)")
+  }
+
+  /** Prune: newest `retain` committed versions stay (the live one plus
+    * retain−1 superseded snapshots for readers that resolved just before
+    * a flip — size the window to the slowest reader's lease). Sweeps
+    * DATA dirs by name, not by marker — a crash between a marker delete
+    * and its data delete (or a failed attempt's partial dir) must not
+    * leak an unreclaimable v<n> forever.
+    */
+  private def pruneCdcVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, retain: Int): Unit = {
+    val keep = fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(CdcCommitPrefix))
+      .map(_.stripPrefix(CdcCommitPrefix).toLong)
+      .toSeq.sorted(Ordering[Long].reverse).take(retain).toSet
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      val stale =
+        (nm.startsWith(CdcCommitPrefix) &&
+          !keep.contains(nm.stripPrefix(CdcCommitPrefix).toLong)) ||
+        (nm.startsWith("v") && nm.drop(1).nonEmpty && nm.drop(1).forall(_.isDigit) &&
+          !keep.contains(nm.drop(1).toLong))
+      if (stale) {
+        // marker before data, so resolution never points at a
+        // missing directory mid-sweep
+        if (!nm.startsWith(CdcCommitPrefix))
+          fs.delete(new org.apache.hadoop.fs.Path(root,
+            s"$CdcCommitPrefix${nm.drop(1)}"), false)
+        fs.delete(st.getPath, true)
+        ()
+      }
+    }
+  }
+
+  /** Incremental OPTIMIZE pass — the table-maintenance job every
+    * long-lived keyed table needs, composed from the repo's own layout
+    * tools and committed through the SAME versioned-marker protocol as
+    * the MERGE sink (the lakehouse OPTIMIZE shape on plain parquet):
+    * resolve the latest committed snapshot, rewrite it COMPACTED
+    * (ceil(on-disk bytes / targetBytes) output files — Formats.compact's
+    * sizing, from actual file lengths, not plan stats) and Z-ORDERED on
+    * `zCols` ([[graft.operators.ZOrder.cluster]] — tight per-file
+    * min/max footer stats on every participating column), write it as
+    * `v<cur+1>/`, flip the commit marker, prune. Readers never observe
+    * a torn table — they keep resolving `v<cur>` until the flip — and
+    * the next stream batch merges on top of the optimized snapshot.
+    *
+    * The marker stamp is (−2, "optimize"): a live stream stamp always
+    * carries batchId ≥ 0, so the sink's equality-based retry detection
+    * can never mistake an optimize commit for its own batch (and a
+    * retried stream batch lands as a NEW version over the optimized
+    * data — the merge is content-idempotent, so nothing is lost).
+    *
+    * Single-writer contract: run in a maintenance window, never
+    * concurrently with the sink — the version counter is resolved, not
+    * locked (the same rule lakehouse OPTIMIZE has without a conflict
+    * resolver). Returns the new committed version; None if the table
+    * has no commit yet.
+    */
+  def optimizeCdcTable(spark: SparkSession, tableDir: String,
+      zCols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 16, retain: Int = 2): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cdcLatestCommit(fs, root).map { cur =>
+      val ver = cur + 1
+      val df = spark.read.parquet(new org.apache.hadoop.fs.Path(root, s"v$cur").toString)
+      // size from actual on-disk lengths (the listing is already
+      // driver-resident in the read's file index) — plan stats estimate
+      // decompressed bytes and would overshoot the file count severalfold
+      val hconf = spark.sessionState.newHadoopConf()
+      val bytes = df.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }.sum
+      val nFiles = math.max(1, (bytes.toDouble / targetBytes.toDouble).ceil.toInt)
+      graft.operators.ZOrder.cluster(df, zCols, bits, nFiles)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(root, s"v$ver").toString)
+      flipCommitMarker(fs, root, ver, -2L, "optimize")
+      pruneCdcVersions(fs, root, retain)
+      ver
+    }
   }
 
   /** Streaming exact dedup on event_id with watermark-bounded state —

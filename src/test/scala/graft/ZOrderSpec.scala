@@ -43,6 +43,52 @@ class ZOrderSpec extends SparkSpec {
     assert(uZ < uShuf * 0.7, s"user_id span not tightened: z=$uZ shuffled=$uShuf")
   }
 
+  test("OPTIMIZE pass: compaction + z-order committed through the CDC marker protocol") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("cdcopt").toString + "/table"
+    // scattered baseline: hash-partitioned input → every file spans ~the
+    // whole domain on both columns; value is decorrelated from user_id so
+    // tightening must come from the z-layout, not data structure
+    val rows = (0 until 4000).map { i =>
+      StreamOps.CdcRow(i.toLong, "U", "view",
+        ((i * 1103515245L + 12345L) % 1000L).toDouble,
+        new java.sql.Timestamp(1000L * i), 1L)
+    }
+    StreamOps.applyCdcBatch(rows.toDS().repartition(8), dir,
+      batchId = 0L, incarnationId = "inc-a")
+    val before = StreamOps.readCdcTable(spark, dir).get
+      .collect().map(_.toString).sorted.toSeq
+    val uBefore = avgSpan(fileSpans(s"$dir/v0", "user_id"))
+    val vBefore = avgSpan(fileSpans(s"$dir/v0", "last_value"))
+
+    val ver = StreamOps.optimizeCdcTable(spark, dir,
+      Seq("user_id", "last_value"), targetBytes = 16 * 1024)
+    assert(ver.contains(1L), s"optimize must commit v1, got $ver")
+    val after = StreamOps.readCdcTable(spark, dir).get
+    assert(after.inputFiles.forall(_.contains("/v1/")),
+      "reader must resolve the optimized version")
+    // the rewrite is layout-only: content survives bit-for-bit
+    assert(after.collect().map(_.toString).sorted.toSeq == before)
+    val uAfter = avgSpan(fileSpans(s"$dir/v1", "user_id"))
+    val vAfter = avgSpan(fileSpans(s"$dir/v1", "last_value"))
+    assert(uAfter < uBefore * 0.7, s"user_id span not tightened: $uAfter vs $uBefore")
+    assert(vAfter < vBefore * 0.7, s"last_value span not tightened: $vAfter vs $vBefore")
+
+    // the next stream batch merges ON TOP of the optimized snapshot —
+    // the optimize stamp (-2, "optimize") must not read as a retry
+    val upd = Seq(StreamOps.CdcRow(1L, "U", "click", 999.0,
+      new java.sql.Timestamp(1L), 2L)).toDS()
+    StreamOps.applyCdcBatch(upd, dir, batchId = 1L, incarnationId = "inc-a")
+    val v2 = StreamOps.readCdcTable(spark, dir).get
+    assert(v2.count() == 4000)
+    assert(v2.filter(col("user_id") === 1L)
+      .select("last_value").first().getDouble(0) == 999.0)
+
+    // a table with no commit yet is a no-op, not an error
+    assert(StreamOps.optimizeCdcTable(spark, s"$dir-none", Seq("user_id")).isEmpty)
+  }
+
   test("zkey refuses a key wider than 63 bits instead of silently aliasing") {
     import spark.implicits._
     val df = Seq((1L, 2L, 3L, 4L, 5L)).toDF("a", "b", "c", "d", "e")
