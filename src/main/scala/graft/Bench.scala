@@ -102,7 +102,11 @@ object Bench {
       graft.ext.TextOps.clearSharedFrames()
       spark.sharedState.cacheManager.clearCache()
       val isolated = family.map(resultMap(_)).filter(_ >= 0).sum
-      f""","pipeline":{"build":$build%.2f,"shared":$sharedSec%.2f,"isolated":$isolated%.2f}"""
+      // compact [build, shared, isolated] array: the object form's field
+      // names cost ~60 chars/segment, which at 152 queries pushed the
+      // 1-decimal line past the ladder rung and silently shed BOTH
+      // pipeline segments — the array keeps them on the line
+      f""","pipeline":[$build%.2f,$sharedSec%.2f,$isolated%.2f]"""
     } else ""
     // Vector-serving segment, same methodology: e20 re-encodes the PQ
     // index e19 built, e13 re-buckets what e03/e05 bucketed, e21 rebuilds
@@ -121,7 +125,7 @@ object Bench {
       graft.ext.VectorOps.clearSharedFrames()
       spark.sharedState.cacheManager.clearCache()
       val isolated = vfamily.map(resultMap(_)).filter(_ >= 0).sum
-      f""","vpipe":{"build":$build%.2f,"shared":$sharedSec%.2f,"isolated":$isolated%.2f}"""
+      f""","vpipe":[$build%.2f,$sharedSec%.2f,$isolated%.2f]""" // same [b,s,i] shape
     } else ""
     // Failed queries (-1.0 sentinel) are excluded from the headline total —
     // summing them in would *lower* the metric on a regression — and
