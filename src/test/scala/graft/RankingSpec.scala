@@ -184,6 +184,22 @@ class RankingSpec extends SparkSpec {
     assert(mx <= 64, s"a window partition received $mx rows (> maxBinRows)")
   }
 
+  test("skew split stays exact under ANSI mode") {
+    // the split round builds literal-bound CASE chains, conv() string
+    // projections and integer div arithmetic — all must survive strict
+    // ANSI semantics (SemanticsSpec covers the registry's non-skew use)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = spark.range(800).select(col("id"),
+        when(col("id") < 780, lit(7.5))
+          .otherwise(col("id").cast("double")).as("s"))
+      val (e, f) = both(df, 10, asc = true)
+      assert(e == f)
+      val mx = maxPartRows(df, 10, asc = true, nBuckets = 32, maxBinRows = 64)
+      assert(mx <= 64, s"a window partition received $mx rows (> maxBinRows)")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("descending skew: heavy value + NaNs still bit-equal and bounded") {
     val df = spark.range(900).select(col("id"),
       when(col("id") % 11 === 0, lit(Double.NaN))
