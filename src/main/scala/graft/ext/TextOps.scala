@@ -44,7 +44,7 @@ object TextOps {
     * formulation it replaces (equivalence pinned in CosineSimilaritySpec),
     * which allocated a token array plus one string per shingle per row.
     */
-  private def shingleHashed(s: SparkSession, dir: String): DataFrame = {
+  private[ext] def shingleHashed(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"shingles:$dir")
     if (pre != null) return pre
     graft.functions.GraftFunctions.register(s)
@@ -67,7 +67,7 @@ object TextOps {
       |  i -> transform(slice(ds, i + 1, size(ds) - i),
       |       d -> struct(element_at(ds, i) AS x, d AS y))))) AS p""".stripMargin
 
-  private val shingleSqlCte =
+  private[ext] val shingleSqlCte =
     """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |s AS (SELECT doc_id,
       |        list_distinct(list_transform(range(1, len(toks)-1),
