@@ -2197,6 +2197,150 @@ object TextOps {
       |FROM g JOIN f USING (g)
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d46
+
+  /** Maximal duplicated-substring spans — ExactSubstr-style dedup (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): every 8-token window that also occurs
+    * in ANOTHER document marks its token range duplicated, and
+    * overlapping/adjacent duplicated windows merge into MAXIMAL spans —
+    * the unit a substring-dedup pass cuts from the corpus. This is the
+    * paper's suffix-array formulation collapsed to fixed-width windows,
+    * which is the join-friendly distributed form: a suffix array is a
+    * global sequential structure, positional n-gram postings shuffle on
+    * a hash key.
+    *
+    * Plan shape: POSITIONAL 8-grams (explode, NOT distinct — d20/d45's
+    * [[gram8]] drops positions, so this op carries its own exploded
+    * frame, persisted across its two consumers under the registry
+    * contract), a posting agg keyed by the 8-byte gram hash with d20's
+    * h2 collision detector (clean buckets answer from the hash; a
+    * colliding bucket — never observed — regroups by raw gram), then a
+    * per-doc gaps-and-islands merge: fixed-width windows sorted by
+    * position make the running-max-end reduce to lag(pos) + 7, so a
+    * span breaks exactly when the gap to the previous window start
+    * exceeds the gram width. Every window is doc-partitioned — the
+    * merge is partition-local at any corpus size, and the posting
+    * shuffle carries 8-byte hashes, never gram strings.
+    */
+  def dupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks)-7),
+          |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
+          |  AS w""".stripMargin)
+      .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
+        "xxhash64(w.g) AS h", "xxhash64(w.g, 42) AS h2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggH = pos.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min("h2").as("h2lo"), max("h2").as("h2hi"))
+    val dupClean = aggH
+      .filter(col("h2lo") === col("h2hi") && col("nd") >= 2).select("h")
+    // collision fallback: regroup ONLY colliding buckets by the raw gram
+    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
+    val dupExact = pos.join(bad, "h")
+      .groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val dupPos = pos.join(dupClean, "h").select("doc_id", "pos")
+      .union(pos.join(bad, "h").join(dupExact, "g").select("doc_id", "pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(lag("pos", 1).over(w).isNull ||
+          col("pos") > lag("pos", 1).over(w) + 7, 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"), max("pos").as("mx"))
+      .selectExpr("doc_id", "span_id", "span_start", "mx + 7 AS span_end",
+        "mx + 7 - span_start + 1 AS span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dupSubstringSpansSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |p AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)-6),
+      |          i -> {'pos': i, 'g': array_to_string(toks[i:(i+7)], ' ')}),
+      |          recursive := true)
+      |      FROM t WHERE len(toks) >= 8),
+      |d AS (SELECT g FROM p GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM p JOIN d USING (g)),
+      |isl AS (SELECT doc_id, pos,
+      |          CASE WHEN lag(pos) OVER w IS NULL
+      |                 OR pos > lag(pos) OVER w + 7 THEN 1 ELSE 0 END AS brk
+      |        FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sp AS (SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS UNBOUNDED PRECEDING) AS span_id
+      |       FROM isl)
+      |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+      |  min(pos) AS span_start, max(pos) + 7 AS span_end,
+      |  max(pos) + 7 - min(pos) + 1 AS span_tokens
+      |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- d47
+
+  /** Token-budget mixture fill — the curation step that turns quality
+    * ranking into an actual dataset: within each source, docs rank by
+    * lexical diversity (d03's uniq_ratio; ties on doc_id) and are
+    * greedily kept while the source's cumulative token count stays
+    * within a per-source budget (600 tokens ≈ half of each source's
+    * mass on this corpus). The report is the per-source fill — docs
+    * kept, tokens kept, budget utilisation — d43's mixture WEIGHTS
+    * made concrete as an exact doc selection under a token cap.
+    *
+    * Determinism: uniq_ratio is an exact small-integer ratio in double
+    * (bit-equal across engines), ties settle on doc_id, and the kept
+    * set is a prefix of that total order, so both engines select
+    * identical docs. All windows are SOURCE-partitioned — a source's
+    * ranking never leaves its partition, so the plan holds at any
+    * source count; a single pathological source is bounded by that
+    * source's own size, not the corpus.
+    */
+  def tokenBudgetFill(s: SparkSession, dir: String): DataFrame = {
+    val budget = 600L
+    val ranked = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        "size(split(text,' ')) AS n_tokens",
+        """size(array_distinct(split(text,' '))) * 1.0D
+          |  / size(split(text,' ')) AS uniq_ratio""".stripMargin)
+    val w = Window.partitionBy("source")
+      .orderBy(col("uniq_ratio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.withColumn("cum", sum("n_tokens").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= budget, col("n_tokens").cast("long"))
+          .otherwise(0L)).as("tokens_kept"))
+      .selectExpr("source", "n_docs", "n_kept", "tokens_kept",
+        s"round(tokens_kept * 1.0D / $budget, 6) AS budget_frac")
+      .orderBy("source")
+  }
+
+  private val tokenBudgetFillSql =
+    """WITH r AS (SELECT doc_id, source,
+      |             len(string_split(text,' ')) AS n_tokens,
+      |             len(list_distinct(string_split(text,' '))) * 1.0 /
+      |               len(string_split(text,' ')) AS uniq_ratio
+      |           FROM documents),
+      |c AS (SELECT source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source
+      |          ORDER BY uniq_ratio DESC, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM r)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN cum <= 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN cum <= 600 THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept,
+      |  round(sum(CASE WHEN cum <= 600 THEN n_tokens ELSE 0 END) * 1.0 / 600, 6)
+      |    AS budget_frac
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2254,5 +2398,9 @@ object TextOps {
     QueryDef("d43_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("d44_cms_token_frequency", cmsTokenFrequency, Some(cmsTokenFrequencySql)),
     QueryDef("d45_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("d46_dup_substring_spans", dupSubstringSpans,
+      Some(dupSubstringSpansSql)),
+    QueryDef("d47_token_budget_fill", tokenBudgetFill,
+      Some(tokenBudgetFillSql)),
   )
 }

@@ -537,4 +537,86 @@ class DedupSpec extends SparkSpec {
         s"doc $doc: ${got(doc)._2} vs $expected")
     }
   }
+
+  test("d46 dup-substring spans merge overlapping windows into maximal spans") {
+    def run(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val s12 = run("s", 12) // 12-token run shared by docs 0 and 1
+    val z8 = run("z", 8)   // disjoint 8-token shared run
+    // unique ≥8-token fillers so no boundary-straddling window duplicates
+    val docA = s"$s12 ${run("a", 9)} $z8"
+    val docB = s"$z8 ${run("b", 9)} $s12"
+    val dir = writeDocsFixture(Seq(0L -> docA, 1L -> docB, 2L -> run("u", 20)))
+    val spans = TextOps.dupSubstringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // docA: s-run windows start at 1..5 → span [1,12]; z-run window at 22
+    //   → span [22,29]. docB mirrored: z at [1,8], s at [18,29]. doc 2: none.
+    assert(spans == Set(
+      (0L, 1L, 12L, 12L), (0L, 22L, 29L, 8L),
+      (1L, 1L, 8L, 8L), (1L, 18L, 29L, 12L)))
+  }
+
+  test("d47 token-budget fill equals the driver-recomputed greedy prefix") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ")
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          toks.distinct.length.toDouble / toks.length)
+      }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val ordered = ds.sortBy { case (id, _, _, ur) => (-ur, id) }
+      var cum = 0L; var kept = 0L; var toksKept = 0L
+      ordered.foreach { case (_, _, nt, _) =>
+        cum += nt
+        if (cum <= 600L) { kept += 1; toksKept += nt }
+      }
+      src -> ((ds.length.toLong, kept, toksKept))
+    }
+    val got = TextOps.tokenBudgetFill(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // the fill is a strict prefix: kept tokens never exceed the budget
+    assert(got.values.forall(_._3 <= 600L))
+  }
+
+  test("e24 IVF-PQ: probed-cell membership + driver-recomputed ADC distances") {
+    val res = VectorOps.ivfPqKnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length == 5)
+    assert(res.map(t => (t._3, t._1)).sameElements(
+      res.map(t => (t._3, t._1)).sortBy(identity)), "ADC order")
+    val em = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror the native expression's fused loop exactly (index order)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = em(0L)
+    val probed = (0L until 16L).map(c => (c, cos(em(c), q)))
+      .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+    def sub(v: Array[Double], j: Int) = v.slice(8 * j, 8 * (j + 1))
+    def l2r(a: Array[Double], b: Array[Double]) =
+      r6(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val qd2 = Array.tabulate(8, 16)((j, c) => l2r(sub(q, j), sub(em(c.toLong), j)))
+    res.foreach { case (id, cell, adc) =>
+      val myCell = (0L until 16L).map(c => (c, cos(em(c), em(id))))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+      assert(cell == myCell, s"vec $id assigned cell")
+      assert(probed.contains(cell), s"vec $id outside probed cells")
+      val walk = r6((0 until 8).map { j =>
+        val code = (0 until 16)
+          .map(c => (l2r(sub(em(id), j), sub(em(c.toLong), j)), c)).min._2
+        qd2(j)(code)
+      }.sum)
+      assert(adc == walk, s"vec $id ADC $adc vs driver walk $walk")
+    }
+  }
 }
