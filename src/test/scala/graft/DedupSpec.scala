@@ -619,4 +619,51 @@ class DedupSpec extends SparkSpec {
       assert(adc == walk, s"vec $id ADC $adc vs driver walk $walk")
     }
   }
+
+  test("e25 k-means codebook equals a driver-recomputed two-round Lloyd loop") {
+    val em = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def assign(cb: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      em.map { case (id, v) =>
+        id -> cb.map { case (c, cv) => (c, cos(v, cv)) }
+          .sortBy { case (c, s) => (-s, c) }.head._1
+      }.toMap
+    def centroids(a: Map[Long, Long]): Seq[(Long, Array[Double])] =
+      em.groupBy { case (id, _) => a(id) }.toSeq.sortBy(_._1)
+        .map { case (cell, members) =>
+          val dim = members.head._2.length
+          cell -> Array.tabulate(dim)(i =>
+            r6(members.map(_._2(i)).sum) / members.length)
+        }
+    val cb0 = em.filter(_._1 < 16).toSeq
+    val a2 = assign(centroids(assign(cb0)))
+    val cb2 = centroids(a2).toMap
+    val expected = a2.groupBy(_._2).map { case (cell, ms) =>
+      val cohesion = r6(
+        r6(ms.keys.toSeq.sorted.map(id => cos(em.toMap.apply(id), cb2(cell))).sum)
+          / ms.size)
+      cell -> ((ms.size.toLong, cohesion))
+    }
+    val got = VectorOps.kmeansCodebook(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet, "surviving cells")
+    got.foreach { case (cell, (n, coh)) =>
+      assert(n == expected(cell)._1, s"cell $cell member count")
+      // sums run in a different order driver-side; the 6-dp rounding is
+      // the cross-engine agreement layer, so tolerate one last-digit ulp
+      assert(math.abs(coh - expected(cell)._2) < 2e-6,
+        s"cell $cell cohesion $coh vs ${expected(cell)._2}")
+    }
+  }
 }
