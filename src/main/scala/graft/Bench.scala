@@ -86,7 +86,8 @@ object Bench {
       "d18_contamination", "d20_crossdoc_ngram_dup",
       "d26_cross_split_leakage", "d29_apply_near_dup_removal",
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
-      "d39_capped_jaccard_pairs", "d45_ngram_novelty")
+      "d39_capped_jaccard_pairs", "d45_ngram_novelty",
+      "d46_dup_substring_spans")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the
@@ -110,10 +111,14 @@ object Bench {
     } else ""
     // Vector-serving segment, same methodology: e20 re-encodes the PQ
     // index e19 built, e13 re-buckets what e03/e05 bucketed, e21 rebuilds
-    // its code table — VectorOps.enableSharedFrames materializes the
-    // vector/bucket/PQ/BQ index frames once, how a serving pipeline runs.
-    val vfamily = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e13_lsh_recall",
-      "e19_pq_knn", "e20_pq_rerank_top5", "e21_bq_knn")
+    // its code table, and the IVF family (e07/e18/e22/e23/e24/e25) each
+    // re-assigns the corpus to the coarse codebook —
+    // VectorOps.enableSharedFrames materializes the vector/bucket/PQ/BQ/
+    // IVF-assignment index frames once, how a serving pipeline runs.
+    val vfamily = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e07_ann_ivf_top5",
+      "e13_lsh_recall", "e18_ann_ivf_multiprobe", "e19_pq_knn",
+      "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
+      "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook")
       .filter(n => only.forall(_.contains(n)))
     val vpipe = if (vfamily.nonEmpty &&
         vfamily.forall(n => resultMap.get(n).exists(_ >= 0))) {

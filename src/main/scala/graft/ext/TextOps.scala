@@ -2210,12 +2210,14 @@ object TextOps {
     * global sequential structure, positional n-gram postings shuffle on
     * a hash key.
     *
-    * Plan shape: POSITIONAL 8-grams (explode, NOT distinct — d20/d45's
-    * [[gram8]] drops positions, so this op carries its own exploded
-    * frame, persisted across its two consumers under the registry
-    * contract), a posting agg keyed by the 8-byte gram hash with d20's
-    * h2 collision detector (clean buckets answer from the hash; a
-    * colliding bucket — never observed — regroups by raw gram), then a
+    * Plan shape: the duplicated-gram DECISION runs over [[gram8]] (the
+    * distinct per-doc frame d20/d45 share, so in pipeline mode the
+    * posting input is already built), keyed by the 8-byte gram hash
+    * with d20's h2 collision detector (clean buckets answer from the
+    * hash; a colliding bucket — never observed — regroups by raw
+    * gram); a separate POSITIONAL 8-gram explode (positions matter,
+    * persisted across its two join consumers) attributes the
+    * duplicated windows, then a
     * per-doc gaps-and-islands merge: fixed-width windows sorted by
     * position make the running-max-end reduce to lag(pos) + 7, so a
     * span breaks exactly when the gap to the previous window start
@@ -2224,6 +2226,24 @@ object TextOps {
     * shuffle carries 8-byte hashes, never gram strings.
     */
   def dupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    // dup decision runs over the DISTINCT per-doc gram frame ([[gram8]] —
+    // shared with d20/d45 in pipeline mode, persisted either way):
+    // "appears in ≥2 docs" needs no positions, so the posting agg
+    // shuffles the smaller distinct frame and the positional explode
+    // below stays a pure scan-side producer
+    val grams = gram8(s, dir)
+    val aggH = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min("h2").as("h2lo"), max("h2").as("h2hi"))
+    val dupClean = aggH
+      .filter(col("h2lo") === col("h2hi") && col("nd") >= 2).select("h")
+    // collision fallback: regroup ONLY colliding buckets by the raw gram
+    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
+    val dupExact = grams.join(bad, "h")
+      .groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    // POSITIONAL 8-grams (positions matter here; two join consumers →
+    // persisted under the registry contract, runner clears)
     val pos = Tables.documents(s, dir)
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 8")
@@ -2232,20 +2252,10 @@ object TextOps {
           |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
           |  AS w""".stripMargin)
       .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
-        "xxhash64(w.g) AS h", "xxhash64(w.g, 42) AS h2")
+        "xxhash64(w.g) AS h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggH = pos.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"),
-        min("h2").as("h2lo"), max("h2").as("h2hi"))
-    val dupClean = aggH
-      .filter(col("h2lo") === col("h2hi") && col("nd") >= 2).select("h")
-    // collision fallback: regroup ONLY colliding buckets by the raw gram
-    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
-    val dupExact = pos.join(bad, "h")
-      .groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("g")
     val dupPos = pos.join(dupClean, "h").select("doc_id", "pos")
-      .union(pos.join(bad, "h").join(dupExact, "g").select("doc_id", "pos"))
+      .union(pos.join(dupExact, "g").select("doc_id", "pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos
       .withColumn("brk",
