@@ -244,7 +244,7 @@ object TextOps {
     val c = dupClusters(s, dir).persist(lvl)
     c.count()
     shared.put(s"clusters:$dir", c)
-    // the 8-gram subtree d20/d45 share (gram8 persists its own build)
+    // the 8-gram subtree d20/d45/d46 share (gram8 persists its own build)
     val g = gram8(s, dir)
     g.count()
     shared.put(s"grams8:$dir", g)
@@ -1114,8 +1114,8 @@ object TextOps {
     * unbounded set AND, past the cap, is dup evidence of no further
     * discriminative value).
     */
-  /** Per-doc distinct sliding 8-grams — the exploded subtree d20 and d45
-    * both consume (twice each: posting aggregation + attribution
+  /** Per-doc distinct sliding 8-grams — the exploded subtree d20, d45
+    * and d46 consume (d20/d45 twice each: posting aggregation + attribution
     * rejoin). Consults the shared-frames registry first; self-contained
     * runs persist under the registry contract (runner clearCache()
     * between queries — q31's documented ownership model), so the

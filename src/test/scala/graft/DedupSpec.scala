@@ -620,6 +620,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("e26 IVF recall ladder: driver-recomputed hits, monotone in nprobe") {
+    val em = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = em.map { case (id, v) =>
+      id -> (0L until 16L).map(c => (c, cos(em(c), v)))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }
+    val got = VectorOps.ivfRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got.map(_._1) == (0L until 10L).toSeq, "one row per query, in order")
+    got.foreach { case (qid, h1, h2) =>
+      val qv = em(qid)
+      val probes = (0L until 16L).map(c => (c, cos(em(c), qv)))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1)
+      def top5(ids: Iterable[Long]) = ids.toSeq
+        .map(id => (r6(cos(em(id), qv)), id))
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+      val exact = top5(em.keys.filter(_ != qid))
+      val e1 = top5(em.keys.filter(id => id != qid && cells(id) == probes.head))
+      val e2 = top5(em.keys.filter(id => id != qid && probes.contains(cells(id))))
+      assert(h1 == (exact & e1).size.toLong, s"q$qid nprobe=1 hits")
+      assert(h2 == (exact & e2).size.toLong, s"q$qid nprobe=2 hits")
+      assert(h2 >= h1, s"q$qid recall must be monotone in nprobe")
+    }
+  }
+
   test("e25 k-means codebook equals a driver-recomputed two-round Lloyd loop") {
     val em = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
