@@ -53,19 +53,23 @@ object TextOps {
       .where("size(shs) > 0")
   }
 
-  /** All ordered (x, y) pairs, x < y, from a sorted posting list `ds` of
-    * structs — the pair-generation kernel of the posting-list near-dup
+  /** All ordered (x, y) pairs, x < y, from a sorted posting list `ds` —
+    * the pair-generation kernel of the posting-list near-dup
     * formulation: the inverted index is built ONCE, grouped on the
     * key, and pairs are emitted per group. The self-join alternative
     * computes the whole index subtree twice (once per side) and was
     * measured ~2× slower end-to-end; at cluster scale the posting-list
     * form also shuffles each index row once instead of twice. Callers
     * must bound the list size (frequency cap) — emission is O(|ds|²).
+    *
+    * Backed by the native `pair_explode` Generator
+    * (graft.functions.PairExplode): a lazy two-index cursor over the
+    * array buffer, replacing the transform/flatten/explode lambda chain
+    * that MATERIALIZED the full C(n,2) struct array per list before
+    * exploding — same pairs, same order, O(1) peak memory beyond the
+    * list itself (equivalence pinned in PairExplodeSpec).
     */
-  private[ext] val pairExplode =
-    """explode(flatten(transform(sequence(1, size(ds) - 1),
-      |  i -> transform(slice(ds, i + 1, size(ds) - i),
-      |       d -> struct(element_at(ds, i) AS x, d AS y))))) AS p""".stripMargin
+  private[ext] val pairExplode = "pair_explode(ds) AS (x, y)"
 
   private[ext] val shingleSqlCte =
     """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -269,8 +273,8 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .where(size(col("ds")) > 1)
     val pairs = posts.selectExpr(pairExplode)
-      .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
-        "p.x.n_sh AS na", "p.y.n_sh AS nb")
+      .selectExpr("x.doc_id AS doc_id_1", "y.doc_id AS doc_id_2",
+        "x.n_sh AS na", "y.n_sh AS nb")
       .groupBy("doc_id_1", "doc_id_2", "na", "nb")
       .agg(count(lit(1)).as("common"))
     pairs
@@ -329,7 +333,7 @@ object TextOps {
       .groupBy("h").agg(sort_array(collect_list("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
       .selectExpr(pairExplode)
-      .selectExpr("p.x AS doc_id_1", "p.y AS doc_id_2")
+      .selectExpr("x AS doc_id_1", "y AS doc_id_2")
       .distinct()
     cand
       .join(sh.selectExpr("doc_id AS doc_id_1", "shs AS sh1"), Seq("doc_id_1"))
@@ -517,7 +521,7 @@ object TextOps {
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)
       .selectExpr(pairExplode)
-      .selectExpr("p.x AS doc_id_1", "p.y AS doc_id_2")
+      .selectExpr("x AS doc_id_1", "y AS doc_id_2")
       .distinct()
     val withSets = cand
       .join(sh.selectExpr("doc_id AS doc_id_1", "shs AS sh1"), Seq("doc_id_1"))
@@ -629,8 +633,8 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
       .where(size(col("ds")) > 1)
       .selectExpr(pairExplode)
-      .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
-        "p.x.simhash AS sh1", "p.y.simhash AS sh2")
+      .selectExpr("x.doc_id AS doc_id_1", "y.doc_id AS doc_id_2",
+        "x.simhash AS sh1", "y.simhash AS sh2")
       .distinct()
       .selectExpr("doc_id_1", "doc_id_2", "bit_count(sh1 ^ sh2) AS hamming")
       .filter(col("hamming") <= 7)
@@ -1819,8 +1823,8 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .where(size(col("ds")) > 1)
     posts.selectExpr(pairExplode)
-      .selectExpr("p.x.doc_id AS doc_id_1", "p.y.doc_id AS doc_id_2",
-        "p.x.n_sh AS na", "p.y.n_sh AS nb")
+      .selectExpr("x.doc_id AS doc_id_1", "y.doc_id AS doc_id_2",
+        "x.n_sh AS na", "y.n_sh AS nb")
       .groupBy("doc_id_1", "doc_id_2", "na", "nb")
       .agg(count(lit(1)).as("common"))
       .withColumn("cont_1in2", col("common") * lit(1.0) / col("na"))

@@ -122,6 +122,12 @@ object GraftFunctions {
     Md5Long60(exprs.head)
   }
 
+  private[functions] def buildPairExplode(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"pair_explode requires exactly 1 argument, got ${exprs.length}")
+    PairExplode(exprs.head)
+  }
+
   /** Idempotent session-level registration so `selectExpr`/SQL can call
     * the graft functions without configuring extensions.
     */
@@ -132,6 +138,8 @@ object GraftFunctions {
       "word_trigram_hashes", buildTrigram, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long60", buildMd5Long, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_explode", buildPairExplode, "built-in")
   }
 }
 
@@ -154,5 +162,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
       GraftFunctions.buildMd5Long _))
+    ext.injectFunction((
+      FunctionIdentifier("pair_explode"),
+      new ExpressionInfo(classOf[PairExplode].getName, "pair_explode"),
+      GraftFunctions.buildPairExplode _))
   }
 }
