@@ -2296,6 +2296,117 @@ object TextOps {
       |  max(pos) + 7 - min(pos) + 1 AS span_tokens
       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- d48
+
+  /** APPLIED substring dedup — d46's detection turned into the text
+    * rewrite ExactSubstr prescribes (arXiv:2107.06499 removes one
+    * occurrence and keeps the other): a token is cut when it lies in an
+    * 8-gram window whose corpus-FIRST occurrence (min doc_id, d45's
+    * first-doc discipline) is an EARLIER doc — so the first holder
+    * keeps its text verbatim, later docs lose exactly the restated
+    * spans, and within-doc repetition (first_doc == this doc) is
+    * untouched. The d29 "detection → applied removal" pattern at
+    * substring granularity.
+    *
+    * Plan shape: gram-hash posting agg for first-docs over [[gram8]]
+    * (h2 collision confirm as everywhere), positional windows join the
+    * first-doc table, NOT-owned window starts merge into DISJOINT
+    * spans (d46's doc-partitioned islands — disjointness is what makes
+    * the token join below at-most-one-match), then tokens left-join
+    * the spans per doc on an index-range predicate: per-doc cost is
+    * O(tokens × spans-per-doc), both bounded by the doc length — a
+    * document is a bounded unit at any corpus size, and every window/
+    * join key is doc-partitioned. kept_text reassembles with an
+    * index-sorted collect, so the rewrite is deterministic.
+    */
+  def applySubstringRemoval(s: SparkSession, dir: String): DataFrame = {
+    val grams = gram8(s, dir)
+    val aggH = grams.groupBy("h")
+      .agg(min("doc_id").as("first_doc"),
+        min("h2").as("h2lo"), max("h2").as("h2hi"))
+    val clean = aggH.filter(col("h2lo") === col("h2hi"))
+      .select("h", "first_doc")
+    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
+    val exact = grams.join(bad, "h")
+      .groupBy("h", "g").agg(min("doc_id").as("first_doc"))
+    val pos = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks)-7),
+          |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
+          |  AS w""".stripMargin)
+      .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
+        "xxhash64(w.g) AS h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val attributed = pos.join(clean, "h").select("doc_id", "pos", "first_doc")
+      .union(pos.join(exact.select("h", "g", "first_doc"), Seq("h", "g"))
+        .select("doc_id", "pos", "first_doc"))
+    val removedWin = attributed.filter(col("first_doc") < col("doc_id"))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = removedWin
+      .withColumn("brk",
+        when(lag("pos", 1).over(w).isNull ||
+          col("pos") > lag("pos", 1).over(w) + 7, 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("sstart"), (max("pos") + 7).as("send"))
+      .select(col("doc_id").as("sdoc"), col("sstart"), col("send"))
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "posexplode(split(text,' ')) AS (i, tok)")
+      .selectExpr("doc_id", "CAST(i + 1 AS BIGINT) AS idx", "tok")
+    toks.join(spans,
+        toks("doc_id") === spans("sdoc") &&
+          col("idx") >= col("sstart") && col("idx") <= col("send"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("sdoc").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", expr(
+          """transform(
+            |  sort_array(collect_list(CASE WHEN sdoc IS NULL
+            |    THEN struct(idx, tok) END)),
+            |  p -> p.tok)""".stripMargin)).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  private val applySubstringRemovalSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |p AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)-6),
+      |          i -> {'pos': i, 'g': array_to_string(toks[i:(i+7)], ' ')}),
+      |          recursive := true)
+      |      FROM t WHERE len(toks) >= 8),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM p GROUP BY g),
+      |rw AS (SELECT doc_id, pos FROM p JOIN f USING (g)
+      |       WHERE f.first_doc < p.doc_id),
+      |isl AS (SELECT doc_id, pos,
+      |          CASE WHEN lag(pos) OVER w IS NULL
+      |                 OR pos > lag(pos) OVER w + 7 THEN 1 ELSE 0 END AS brk
+      |        FROM rw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sp AS (SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS UNBOUNDED PRECEDING) AS span_id
+      |       FROM isl),
+      |spans AS (SELECT doc_id AS sdoc, span_id,
+      |            min(pos) AS sstart, max(pos) + 7 AS send
+      |          FROM sp GROUP BY doc_id, span_id),
+      |tok AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks)+1),
+      |            i -> {'idx': i, 'tok': toks[i]}), recursive := true)
+      |        FROM t)
+      |SELECT tok.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN spans.sdoc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  coalesce(string_agg(CASE WHEN spans.sdoc IS NULL THEN tok.tok END, ' '
+      |    ORDER BY tok.idx), '') AS kept_text
+      |FROM tok LEFT JOIN spans
+      |  ON tok.doc_id = spans.sdoc
+      | AND tok.idx >= spans.sstart AND tok.idx <= spans.send
+      |GROUP BY tok.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d47
 
   /** Token-budget mixture fill — the curation step that turns quality
@@ -2416,5 +2527,7 @@ object TextOps {
       Some(dupSubstringSpansSql)),
     QueryDef("d47_token_budget_fill", tokenBudgetFill,
       Some(tokenBudgetFillSql)),
+    QueryDef("d48_apply_substring_removal", applySubstringRemoval,
+      Some(applySubstringRemovalSql)),
   )
 }

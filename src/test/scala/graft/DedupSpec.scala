@@ -555,6 +555,45 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 8L, 8L), (1L, 18L, 29L, 12L)))
   }
 
+  test("d48 substring removal cuts exactly the restated spans, keeps first holders") {
+    def run(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val s12 = run("s", 12)
+    val docA = s"$s12 ${run("a", 9)}"       // first holder: untouched
+    val docB = s"${run("b", 9)} $s12"       // restates s12 → loses it
+    val docC = run("u", 20)                  // unique: untouched
+    val dir = writeDocsFixture(Seq(0L -> docA, 1L -> docB, 2L -> docC))
+    val got = TextOps.applySubstringRemoval(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) == ((21L, 0L, docA)), "first holder keeps its text verbatim")
+    assert(got(1L) == ((21L, 12L, run("b", 9))), "later doc loses the restated span")
+    assert(got(2L) == ((20L, 0L, docC)), "unique doc untouched")
+  }
+
+  test("d48 is consistent with d45 novelty and is an in-order subsequence") {
+    val novelty = TextOps.ngramNovelty(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val orig = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextOps.applySubstringRemoval(spark, sf0001).collect().foreach { r =>
+      val (id, n, rem, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val toks = orig(id).split(" ")
+      assert(n == toks.length.toLong, s"doc $id token count")
+      val keptToks = if (kept.isEmpty) Array.empty[String] else kept.split(" ")
+      assert(keptToks.length.toLong == n - rem, s"doc $id kept count")
+      // kept tokens are an in-order subsequence of the original
+      var i = 0
+      keptToks.foreach { t =>
+        while (i < toks.length && toks(i) != t) i += 1
+        assert(i < toks.length, s"doc $id: '$t' out of order in kept_text")
+        i += 1
+      }
+      // a fully-novel doc (every gram first occurs here) loses nothing
+      if (novelty.get(id).contains(1.0)) assert(rem == 0L, s"doc $id novel but cut")
+    }
+  }
+
   test("d47 token-budget fill equals the driver-recomputed greedy prefix") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "source", "text").collect()
