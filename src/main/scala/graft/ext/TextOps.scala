@@ -1132,6 +1132,22 @@ object TextOps {
     * through the exact raw-gram path by the consumers. Exact semantics
     * at hash-key shuffle cost.
     */
+  /** Gram posting-hash width in bits (64 = production). Test hook
+    * (DedupSpec): narrowing it (e.g. to 8) forces bucket collisions so
+    * the h2-confirm exact fallback branches in d20/d45/d46/d48 actually
+    * EXECUTE — under honest 64-bit hashing those paths are unreachable
+    * in practice, and an untested exactness guarantee is no guarantee.
+    */
+  private[graft] var gramHashBits: Int = 64
+
+  /** The (possibly narrowed) posting-hash expression — every frame that
+    * joins against gram8-derived tables must hash through this so the
+    * keys stay consistent under the test hook.
+    */
+  private[ext] def gramHashExpr(c: String): String =
+    if (gramHashBits >= 64) s"xxhash64($c)"
+    else s"pmod(xxhash64($c), ${1L << gramHashBits}L)"
+
   private[graft] def gram8(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"grams8:$dir")
     if (pre != null) return pre
@@ -1141,7 +1157,8 @@ object TextOps {
       .selectExpr("doc_id",
         """explode(array_distinct(transform(sequence(1, size(toks)-7),
           |  i -> concat_ws(' ', slice(toks, i, 8))))) AS g""".stripMargin)
-      .selectExpr("doc_id", "g", "xxhash64(g) AS h", "xxhash64(g, 42) AS h2")
+      .selectExpr("doc_id", "g", s"${gramHashExpr("g")} AS h",
+        "xxhash64(g, 42) AS h2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -2256,7 +2273,7 @@ object TextOps {
           |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
           |  AS w""".stripMargin)
       .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
-        "xxhash64(w.g) AS h")
+        s"${gramHashExpr("w.g")} AS h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupPos = pos.join(dupClean, "h").select("doc_id", "pos")
       .union(pos.join(dupExact, "g").select("doc_id", "pos"))
@@ -2337,7 +2354,7 @@ object TextOps {
           |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
           |  AS w""".stripMargin)
       .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
-        "xxhash64(w.g) AS h")
+        s"${gramHashExpr("w.g")} AS h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val attributed = pos.join(clean, "h").select("doc_id", "pos", "first_doc")
       .union(pos.join(exact.select("h", "g", "first_doc"), Seq("h", "g"))

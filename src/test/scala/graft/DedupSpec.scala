@@ -594,6 +594,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("gram-hash collision fallback: 8-bit buckets force the h2 exact path, results unchanged") {
+    // Under honest 64-bit hashing the h2-confirm branches in
+    // d20/d45/d46/d48 never fire; narrowing the posting hash to 8 bits
+    // (≈2.5k distinct grams into 256 buckets on sf0.001) makes nearly
+    // every bucket collide, so the exact raw-gram regroup carries the
+    // whole query — and must reproduce the collision-free results bit
+    // for bit, which is the entire exactness claim of the fallback.
+    val names = Seq("d20_crossdoc_ngram_dup", "d45_ngram_novelty",
+      "d46_dup_substring_spans", "d48_apply_substring_removal")
+    def snap() = names.map { n =>
+      val rows = SparkEntry.queries(n)(spark, sf0001).collect().toSeq
+      spark.sharedState.cacheManager.clearCache()
+      n -> rows
+    }.toMap
+    val base = snap()
+    TextOps.gramHashBits = 8
+    try {
+      val collided = snap()
+      names.foreach { n =>
+        assert(collided(n) == base(n), s"$n drifts under forced collisions")
+      }
+    } finally TextOps.gramHashBits = 64
+  }
+
   test("d47 token-budget fill equals the driver-recomputed greedy prefix") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "source", "text").collect()
