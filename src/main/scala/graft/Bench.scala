@@ -87,7 +87,7 @@ object Bench {
       "d26_cross_split_leakage", "d29_apply_near_dup_removal",
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
       "d39_capped_jaccard_pairs", "d45_ngram_novelty",
-      "d46_dup_substring_spans")
+      "d46_dup_substring_spans", "d48_apply_substring_removal")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the
@@ -111,14 +111,15 @@ object Bench {
     } else ""
     // Vector-serving segment, same methodology: e20 re-encodes the PQ
     // index e19 built, e13 re-buckets what e03/e05 bucketed, e21 rebuilds
-    // its code table, and the IVF family (e07/e18/e22/e23/e24/e25) each
+    // its code table, and the IVF family (e07/e18/e22-e26) each
     // re-assigns the corpus to the coarse codebook —
     // VectorOps.enableSharedFrames materializes the vector/bucket/PQ/BQ/
     // IVF-assignment index frames once, how a serving pipeline runs.
     val vfamily = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e07_ann_ivf_top5",
       "e13_lsh_recall", "e18_ann_ivf_multiprobe", "e19_pq_knn",
       "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
-      "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook")
+      "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook",
+      "e26_ivf_recall")
       .filter(n => only.forall(_.contains(n)))
     val vpipe = if (vfamily.nonEmpty &&
         vfamily.forall(n => resultMap.get(n).exists(_ >= 0))) {
@@ -159,7 +160,7 @@ object Bench {
     // guard AFTER all benchmarking work completed.
     def mkMinimal: String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson$floor,"sf":"$sfDir"}"""
-    // Rung raised 1750 → 1880 at 157 queries: the JSON line is the LAST
+    // Rung raised 1750 → 1880 at 157+ queries (160 now): the JSON line is the LAST
     // stdout print (spark.stop logs to stderr), so the harness's ~2000-char
     // stdout tail captures it whole at ≤1950 — the old margin assumed
     // trailing output that doesn't exist, and cost both pipeline segments.

@@ -248,10 +248,14 @@ object TextOps {
     val c = dupClusters(s, dir).persist(lvl)
     c.count()
     shared.put(s"clusters:$dir", c)
-    // the 8-gram subtree d20/d45/d46 share (gram8 persists its own build)
+    // the 8-gram subtree d20/d45/d46/d48 share (gram8 persists its own
+    // build), and the positional frame d46/d48 share
     val g = gram8(s, dir)
     g.count()
     shared.put(s"grams8:$dir", g)
+    val gp = gramPos8(s, dir)
+    gp.count()
+    shared.put(s"gramPos8:$dir", gp)
   }
 
   def clearSharedFrames(): Unit = {
@@ -2186,14 +2190,7 @@ object TextOps {
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     val grams = gram8(s, dir)
-    val aggH = grams.groupBy("h")
-      .agg(min("doc_id").as("first_doc"),
-        min("h2").as("h2lo"), max("h2").as("h2hi"))
-    val clean = aggH.filter(col("h2lo") === col("h2hi"))
-      .select("h", "first_doc")
-    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
-    val exact = grams.join(bad, "h")
-      .groupBy("h", "g").agg(min("doc_id").as("first_doc"))
+    val (clean, exact) = gramFirstDoc(grams)
     val attributed = grams.join(clean, "h").select("doc_id", "first_doc")
       .union(grams.join(exact, Seq("h", "g")).select("doc_id", "first_doc"))
     attributed
@@ -2263,31 +2260,12 @@ object TextOps {
     val dupExact = grams.join(bad, "h")
       .groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("g")
-    // POSITIONAL 8-grams (positions matter here; two join consumers →
-    // persisted under the registry contract, runner clears)
-    val pos = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text,' ') AS toks")
-      .where("size(toks) >= 8")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(toks)-7),
-          |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
-          |  AS w""".stripMargin)
-      .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
-        s"${gramHashExpr("w.g")} AS h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = gramPos8(s, dir)
     val dupPos = pos.join(dupClean, "h").select("doc_id", "pos")
       .union(pos.join(dupExact, "g").select("doc_id", "pos"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    dupPos
-      .withColumn("brk",
-        when(lag("pos", 1).over(w).isNull ||
-          col("pos") > lag("pos", 1).over(w) + 7, 1L).otherwise(0L))
-      .withColumn("span_id", sum("brk").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "span_id")
-      .agg(min("pos").as("span_start"), max("pos").as("mx"))
-      .selectExpr("doc_id", "span_id", "span_start", "mx + 7 AS span_end",
-        "mx + 7 - span_start + 1 AS span_tokens")
+    mergeWindowIslands(dupPos)
+      .selectExpr("doc_id", "span_id", "span_start", "span_end",
+        "span_end - span_start + 1 AS span_tokens")
       .orderBy("doc_id", "span_start")
   }
 
@@ -2313,6 +2291,70 @@ object TextOps {
       |  max(pos) + 7 - min(pos) + 1 AS span_tokens
       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
 
+  /** Positional (non-distinct) 8-grams — (doc_id, pos, g, h): the
+    * attribution side of the substring family (d46 detection, d48
+    * rewrite). Registry-aware; self-contained runs persist across the
+    * consumers' joins under the runner-owned cleanup contract. Hash via
+    * [[gramHashExpr]] so keys stay consistent with gram8-derived tables
+    * under the collision test hook.
+    */
+  private[graft] def gramPos8(s: SparkSession, dir: String): DataFrame = {
+    val pre = shared.get(s"gramPos8:$dir")
+    if (pre != null) return pre
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks)-7),
+          |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
+          |  AS w""".stripMargin)
+      .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
+        s"${gramHashExpr("w.g")} AS h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** First-occurrence tables over [[gram8]] under the h2 collision
+    * discipline: `clean` answers collision-free buckets (h → first_doc),
+    * `exact` regroups the (never-observed) colliding buckets by raw gram
+    * ((h, g) → first_doc). Attribution for any frame carrying (h, g) is
+    * `frame ⋈ clean on h  ∪  frame ⋈ exact on (h, g)` — the two sides
+    * are disjoint by construction. Shared by d45 (novelty) and d48
+    * (applied removal).
+    */
+  private def gramFirstDoc(grams: DataFrame): (DataFrame, DataFrame) = {
+    val aggH = grams.groupBy("h")
+      .agg(min("doc_id").as("first_doc"),
+        min("h2").as("h2lo"), max("h2").as("h2hi"))
+    val clean = aggH.filter(col("h2lo") === col("h2hi"))
+      .select("h", "first_doc")
+    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
+    val exact = grams.join(bad, "h")
+      .groupBy("h", "g").agg(min("doc_id").as("first_doc"))
+    (clean, exact)
+  }
+
+  /** Gaps-and-islands merge of fixed-width (8-token) window STARTS into
+    * maximal spans, per doc: sorted by position, the running max end of
+    * width-8 intervals reduces to lag(pos) + 7, so a span breaks exactly
+    * when the gap to the previous start exceeds the window width. Every
+    * window is doc-partitioned — the merge is partition-local at any
+    * corpus size. Returns (doc_id, span_id, span_start, span_end);
+    * spans are DISJOINT (a break means next start > previous end), the
+    * property d48's at-most-one-match token join depends on. Shared by
+    * d46 and d48.
+    */
+  private def mergeWindowIslands(winStarts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    winStarts
+      .withColumn("brk",
+        when(lag("pos", 1).over(w).isNull ||
+          col("pos") > lag("pos", 1).over(w) + 7, 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"), (max("pos") + 7).as("span_end"))
+  }
+
   // ---------------------------------------------------------------- d48
 
   /** APPLIED substring dedup — d46's detection turned into the text
@@ -2337,40 +2379,16 @@ object TextOps {
     * index-sorted collect, so the rewrite is deterministic.
     */
   def applySubstringRemoval(s: SparkSession, dir: String): DataFrame = {
-    val grams = gram8(s, dir)
-    val aggH = grams.groupBy("h")
-      .agg(min("doc_id").as("first_doc"),
-        min("h2").as("h2lo"), max("h2").as("h2hi"))
-    val clean = aggH.filter(col("h2lo") === col("h2hi"))
-      .select("h", "first_doc")
-    val bad = aggH.filter(col("h2lo") =!= col("h2hi")).select("h")
-    val exact = grams.join(bad, "h")
-      .groupBy("h", "g").agg(min("doc_id").as("first_doc"))
-    val pos = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text,' ') AS toks")
-      .where("size(toks) >= 8")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(toks)-7),
-          |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 8)) AS g)))
-          |  AS w""".stripMargin)
-      .selectExpr("doc_id", "CAST(w.pos AS BIGINT) AS pos", "w.g AS g",
-        s"${gramHashExpr("w.g")} AS h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (clean, exact) = gramFirstDoc(gram8(s, dir))
+    val pos = gramPos8(s, dir)
     val attributed = pos.join(clean, "h").select("doc_id", "pos", "first_doc")
       .union(pos.join(exact.select("h", "g", "first_doc"), Seq("h", "g"))
         .select("doc_id", "pos", "first_doc"))
     val removedWin = attributed.filter(col("first_doc") < col("doc_id"))
       .select("doc_id", "pos")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = removedWin
-      .withColumn("brk",
-        when(lag("pos", 1).over(w).isNull ||
-          col("pos") > lag("pos", 1).over(w) + 7, 1L).otherwise(0L))
-      .withColumn("span_id", sum("brk").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "span_id")
-      .agg(min("pos").as("sstart"), (max("pos") + 7).as("send"))
-      .select(col("doc_id").as("sdoc"), col("sstart"), col("send"))
+    val spans = mergeWindowIslands(removedWin)
+      .select(col("doc_id").as("sdoc"), col("span_start").as("sstart"),
+        col("span_end").as("send"))
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "posexplode(split(text,' ')) AS (i, tok)")
       .selectExpr("doc_id", "CAST(i + 1 AS BIGINT) AS idx", "tok")

@@ -489,6 +489,9 @@ class PlanSpec extends SparkSpec {
     // serving family must return IDENTICAL rows whether each query is
     // self-contained or reads the persisted vector/bucket/PQ/BQ frames,
     // and clearSharedFrames must release every byte of storage.
+    // e26 is absent here ON PURPOSE: it persists its scoring pass under
+    // the runner-owned contract, which would trip the strict
+    // cache-release assert below — it gets its own check next test
     val names = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e07_ann_ivf_top5",
       "e13_lsh_recall", "e18_ann_ivf_multiprobe", "e19_pq_knn",
       "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
@@ -503,6 +506,21 @@ class PlanSpec extends SparkSpec {
     names.foreach(n => assert(iso(n) == sh(n), s"shared-frame drift in $n"))
     assert(spark.sharedState.cacheManager.isEmpty,
       "clearSharedFrames must unpersist every registered frame")
+  }
+
+  test("e26 shared-frame equality (internally-persisting, runner-owned cleanup)") {
+    // e26 persists its broadcast-query scoring pass (three aggregation
+    // consumers — the q31 ownership model), so the runner's clearCache
+    // is part of its contract; equality across modes still must hold
+    spark.sharedState.cacheManager.clearCache()
+    val iso = SparkEntry.queries("e26_ivf_recall")(spark, sf0001).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    graft.ext.VectorOps.enableSharedFrames(spark, sf0001)
+    val sh = SparkEntry.queries("e26_ivf_recall")(spark, sf0001).collect().toSeq
+    graft.ext.VectorOps.clearSharedFrames()
+    spark.sharedState.cacheManager.clearCache()
+    assert(iso == sh, "e26 drifts between shared and self-contained modes")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("q32: probe side of the argmin join-back never shuffles (min frame broadcasts)") {
