@@ -871,9 +871,11 @@ object TextOps {
     labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
   }
 
-  // Oracle: reachability min via recursive CTE (UNION dedups → terminates).
-  private val dupClustersSql =
-    s"""WITH RECURSIVE $shingleSqlCte,
+  // Reachability-min CTE chain (shared by the d13 and d49 oracles):
+  // shingles → ≥0.5-jaccard pairs → symmetric edges → transitive reach
+  // (UNION dedups → terminates).
+  private val ccReachCte =
+    s"""$shingleSqlCte,
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -883,7 +885,10 @@ object TextOps {
        |reach(doc_id, lbl) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)""".stripMargin
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE $ccReachCte
        |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
@@ -2501,6 +2506,164 @@ object TextOps {
       |    AS budget_frac
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d49
+
+  /** Cluster-safe train/val/test split — d14's reproducible hash split
+    * made LEAKAGE-FREE. d14 hashes the DOC id, so two near-identical
+    * docs routinely land on opposite sides of the train/test cut (the
+    * contamination d26 then has to measure). Here the split key is the
+    * near-dup CLUSTER root instead: d13's connected-component label
+    * (the min doc id reachable through ≥0.5-jaccard edges), a doc's own
+    * id when unclustered. Every member of a cluster hashes identically,
+    * so a near-dup pair can never straddle splits BY CONSTRUCTION —
+    * eval leakage through duplication is structurally zero, rather than
+    * something audited after the fact.
+    *
+    * Scale: labels come from d13's iterative hash-min label propagation
+    * (one shuffle join + partial agg per round, diameter-bounded; the
+    * pipeline-shared frame when enabled), and the only other exchange
+    * is the doc_id-keyed left join of the corpus against the label table
+    * — no window, no broadcast of anything data-scaled. The md5-60
+    * bucket is the same engine-portable hash d14/d16/d17 use, so the
+    * 80/10/10 cut points are the single [[TrainCut]]/[[ValCut]] source
+    * of truth.
+    */
+  def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val labels = dupClusters(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS root_id")
+      .selectExpr("doc_id", "root_id",
+        s"pmod(${md5h60("CAST(root_id AS STRING)")}, 100) AS bucket")
+      .selectExpr("doc_id", "root_id", "bucket", splitCase)
+      .orderBy("doc_id")
+  }
+
+  private val clusterSafeSplitSql =
+    s"""WITH RECURSIVE $ccReachCte,
+       |lbls AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |r AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS root_id
+       |      FROM documents d LEFT JOIN lbls l USING (doc_id)),
+       |b AS (SELECT doc_id, root_id,
+       |        ${md5h60Sql("CAST(root_id AS VARCHAR)")} % 100 AS bucket FROM r)
+       |SELECT doc_id, root_id, bucket, $splitCase
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d50
+
+  /** BPE merge training, distributed: learn the first k=3 merge rules of
+    * a byte-pair-encoding tokenizer from the corpus — the tokenizer-
+    * TRAINING step of an LLM data pipeline (d10 merely counts with a
+    * fixed pretokenizer; this derives the vocabulary itself).
+    *
+    * Classic Sennrich BPE, in its scale-correct formulation: the trainer
+    * never iterates the corpus — it iterates the WORD-FREQUENCY table
+    * (one explode + count agg off the corpus, map-side combinable;
+    * corpus size only affects that first pass). Each round is then
+    *   1. adjacent-symbol pair counts weighted by word frequency (one
+    *      explode + sum agg over the vocab table);
+    *   2. a global argmax with a total tie order (count DESC, then
+    *      lexicographic pair) — TakeOrdered(1), a scalar to the driver,
+    *      the same per-round scalar-decision pattern as d13's
+    *      convergence count;
+    *   3. the merge applied to every word's symbol array via a greedy
+    *      left-to-right `aggregate` fold (a merged symbol never
+    *      re-pairs as the LEFT side within the same pass — concat
+    *      strictly lengthens, so `last == lhs` cannot match it; this is
+    *      exactly the textbook scan order).
+    * Rounds localCheckpoint like d13 so k rounds don't stack lineage.
+    *
+    * Output: the merge table (round, lhs, rhs, merged, pair_count) — k
+    * scalar rows assembled on the driver, the distributed computation's
+    * whole result. The oracle replays the identical rounds: the fold is
+    * a per-word recursive CTE with the same two-symbol skip, and the
+    * tie order is identical, so the merge tables match exactly. (Early
+    * exhaustion — a vocab with no adjacent pairs left — cannot occur at
+    * k=3 on any corpus with a ≥4-char word; the loop still guards it.)
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    var vocab = Tables.documents(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("w <> ''")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .selectExpr("cnt", "split(w, '') AS syms")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = vocab.where("size(syms) >= 2")
+        .selectExpr("cnt",
+          """explode(transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))) AS p""".stripMargin)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, w))
+        def q(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        vocab = vocab.selectExpr("cnt",
+          s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+             |  (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '${q(a)}'
+             |                 AND x = '${q(b)}',
+             |    concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')),
+             |    concat(acc, array(x)))) AS syms""".stripMargin)
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  private val bpeMergesSql = {
+    // One CTE block per round: pair counts over s{r-1} → argmax m{r} →
+    // per-word greedy fold f{r} (recursive, two-symbol skip on a hit) →
+    // next vocab s{r}. Identical tie order to the Spark side.
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT e.a AS a, e.b AS b, sum(cnt) AS w FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'a': syms[i], 'b': syms[i + 1]})) AS e
+         |    FROM $prev WHERE len(syms) >= 2)
+         |  GROUP BY e.a, e.b),
+         |m$r AS (SELECT a, b, a || b AS ab, CAST(w AS BIGINT) AS w
+         |        FROM p$r ORDER BY w DESC, a, b LIMIT 1),
+         |f$r(syms, cnt, i, acc) AS (
+         |  SELECT syms, cnt, 1, CAST([] AS VARCHAR[]) FROM $prev
+         |  UNION ALL
+         |  SELECT f.syms, f.cnt,
+         |    f.i + CASE WHEN f.i < len(f.syms) AND f.syms[f.i] = m.a
+         |                AND f.syms[f.i + 1] = m.b THEN 2 ELSE 1 END,
+         |    list_append(f.acc,
+         |      CASE WHEN f.i < len(f.syms) AND f.syms[f.i] = m.a
+         |            AND f.syms[f.i + 1] = m.b THEN m.ab ELSE f.syms[f.i] END)
+         |  FROM f$r f, m$r m WHERE f.i <= len(f.syms)),
+         |s$r AS (SELECT cnt, acc AS syms FROM f$r WHERE i > len(syms))""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |v AS (SELECT w, count(*) AS cnt
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |      WHERE w <> '' GROUP BY w),
+       |s0 AS (SELECT cnt, string_split(w, '') AS syms FROM v),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs, ab AS merged,
+       |       w AS pair_count FROM m1
+       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, ab, w FROM m2
+       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, ab, w FROM m3
+       |ORDER BY round""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2564,5 +2727,8 @@ object TextOps {
       Some(tokenBudgetFillSql)),
     QueryDef("d48_apply_substring_removal", applySubstringRemoval,
       Some(applySubstringRemovalSql)),
+    QueryDef("d49_cluster_safe_split", clusterSafeSplit,
+      Some(clusterSafeSplitSql)),
+    QueryDef("d50_bpe_merges", bpeMerges, Some(bpeMergesSql)),
   )
 }

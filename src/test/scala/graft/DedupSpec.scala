@@ -766,4 +766,69 @@ class DedupSpec extends SparkSpec {
         s"cell $cell cohesion $coh vs ${expected(cell)._2}")
     }
   }
+
+  test("d49 cluster-safe split: near-dups never straddle splits; roots and buckets check out") {
+    val labels = TextOps.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = TextOps.clusterSafeSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    assert(labels.values.toSet.size > 1, "corpus should contain real clusters")
+    // root = d13 cluster label for clustered docs, own id for singletons
+    out.foreach { case (id, root, _, _) =>
+      assert(root == labels.getOrElse(id, id), s"doc $id root") }
+    // THE contract: every cluster lands entirely in one split, so no
+    // near-dup pair can straddle train/test — checked both ways
+    out.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.map(_._4).toSet.size == 1, s"cluster $root straddles") }
+    val splitOf = out.map(t => t._1 -> t._4).toMap
+    val pairs = TextOps.jaccardDupPairs(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(splitOf(r.getLong(0)) == splitOf(r.getLong(1)),
+        s"pair ${r.getLong(0)}~${r.getLong(1)} split leak") }
+    // bucket is md5-60 of the ROOT id (not the doc id) — recomputed here
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(x: Long): Long = {
+      val hex = md.digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    out.foreach { case (_, root, bucket, split) =>
+      assert(bucket == b(root), s"root $root bucket")
+      val want = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split == want)
+    }
+  }
+
+  test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
+    val got = TextOps.bpeMerges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.length == 3)
+    // independent reference: word-frequency BPE, same tie order (count
+    // DESC, then lexicographic pair), textbook greedy left-to-right merge
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    Tables.documents(spark, sf0001).select("text").collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L) }
+    var syms: Map[String, Vector[String]] =
+      words.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    (1 to 3).foreach { round =>
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        val s = syms(w)
+        (0 until s.length - 1).foreach { i =>
+          pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + c } }
+      val ((a, bb), cnt) = pc.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+      assert(got(round - 1) == ((round.toLong, a, bb, a + bb, cnt)),
+        s"round $round merge diverges from reference")
+      syms = syms.map { case (w, s) =>
+        val nb = Vector.newBuilder[String]; var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == bb) { nb += (a + bb); i += 2 }
+          else { nb += s(i); i += 1 }
+        }
+        w -> nb.result() }
+    }
+  }
 }
