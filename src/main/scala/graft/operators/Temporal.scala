@@ -446,6 +446,44 @@ object Temporal {
       | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
       |ORDER BY error_id, purchase_id""".stripMargin
 
+  /** LEFT OUTER variant of t16 — the oracle-checked batch twin of
+    * `streaming.StreamOps.purchasesNearErrorsOuter`: EVERY error appears,
+    * null-padded when no purchase preceded it within the hour. The
+    * interval predicate must live IN the join condition (as a post-filter
+    * it would delete the null-padded rows the outer join exists to keep).
+    * Sort determinism with NULLs: within one error_id the sort never
+    * compares NULL against a real purchase_id — an error either matches
+    * ≥1 purchases or contributes exactly ONE null row — so the engines'
+    * opposite NULL-ordering defaults cannot diverge. Same single
+    * user_id-keyed shuffle as t16; unmatched errors add no extra pass.
+    */
+  def purchasesNearErrorsOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("ets"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"), col("value").as("purchase_value"))
+    err.join(pur,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("ets") - expr("INTERVAL 1 HOUR") && col("pts") <= col("ets"),
+        "left")
+      .select(col("error_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("ets")).as("error_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
+      .orderBy("error_id", "purchase_id")
+  }
+
+  private val purchasesNearErrorsOuterSql =
+    """SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+      | epoch_us(e.ts) AS error_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+      | p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+      |ORDER BY error_id, purchase_id""".stripMargin
+
   /** RANGE-frame window (every other frame in the inventory is ROWS-based):
     * per event, the running sum of the same user's values in the trailing
     * hour — the frame is defined by the ORDER-BY VALUE (event time), so
@@ -1871,5 +1909,7 @@ object Temporal {
     QueryDef("t43_burstiest_users", burstiestUsers, Some(burstiestUsersSql)),
     QueryDef("t44_last_touch_attribution", lastTouchAttribution, Some(lastTouchAttributionSql)),
     QueryDef("t45_incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
+    QueryDef("t46_purchases_near_errors_outer", purchasesNearErrorsOuter,
+      Some(purchasesNearErrorsOuterSql)),
   )
 }

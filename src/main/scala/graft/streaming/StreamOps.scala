@@ -559,7 +559,26 @@ object StreamOps {
     * on BOTH ends, which is what lets Spark expire buffered state: a
     * purchase older than (watermark − 1h) can never match a future error.
     */
-  def purchasesNearErrors(errors: DataFrame, purchases: DataFrame): DataFrame = {
+  def purchasesNearErrors(errors: DataFrame, purchases: DataFrame): DataFrame =
+    ssjProject(ssjJoin(errors, purchases, "inner"))
+
+  /** LEFT OUTER variant of [[purchasesNearErrors]]: EVERY error is emitted
+    * exactly once per qualifying purchase — or once, null-padded, when the
+    * watermark proves no qualifying purchase can still arrive (a purchase
+    * for error time T must carry pts ≥ T − 1h, so once the purchase-side
+    * watermark passes T the error's fate is sealed and the engine emits
+    * the null row and evicts the state). Same state bound as the inner
+    * form; the only new mechanics is the watermark-gated null emission,
+    * which is why the stream only converges to the batch left join after
+    * the watermark passes every error — StreamingSpec drives a flush
+    * batch through to pin exactly that. Batch twin under the oracle gate:
+    * Temporal t46.
+    */
+  def purchasesNearErrorsOuter(errors: DataFrame, purchases: DataFrame): DataFrame =
+    ssjProject(ssjJoin(errors, purchases, "leftOuter"))
+
+  private def ssjJoin(errors: DataFrame, purchases: DataFrame,
+                      joinType: String): DataFrame = {
     val err = errors
       .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("ets"))
       .withWatermark("ets", "2 hours")
@@ -568,12 +587,15 @@ object StreamOps {
         col("ts").as("pts"), col("value").as("purchase_value"))
       .withWatermark("pts", "2 hours")
     err.join(pur,
-        col("e_user") === col("p_user") &&
-          col("pts") >= col("ets") - expr("INTERVAL 1 HOUR") && col("pts") <= col("ets"))
-      .select(col("error_id"), col("purchase_id"), col("e_user").as("user_id"),
-        unix_micros(col("ets")).as("error_ts_us"),
-        unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
+      col("e_user") === col("p_user") &&
+        col("pts") >= col("ets") - expr("INTERVAL 1 HOUR") && col("pts") <= col("ets"),
+      joinType)
   }
+
+  private def ssjProject(joined: DataFrame): DataFrame =
+    joined.select(col("error_id"), col("purchase_id"), col("e_user").as("user_id"),
+      unix_micros(col("ets")).as("error_ts_us"),
+      unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
 
   case class Doc(doc_id: Long, text: String)
 

@@ -238,6 +238,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows emit at the watermark, result equals the t46 batch twin") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(500)
+    val maxMs = data.map(_.ts.getTime).max
+    val errs = MemoryStream[Event]; val purs = MemoryStream[Event]
+    val q = StreamOps.purchasesNearErrorsOuter(errs.toDF(), purs.toDF())
+      .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+    try {
+      errs.addData(data.filter(_.event_type == "error"))
+      purs.addData(data.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      // Outer null rows only emit once the watermark seals an error's
+      // fate; a far-future flush event on BOTH sides (distinct users, so
+      // it matches nothing real) pushes the watermark past every error.
+      val flushTs = new java.sql.Timestamp(maxMs + 10L * 3600 * 1000)
+      errs.addData(Event(999999L, flushTs, 999999L, "error", 0.0))
+      purs.addData(Event(999998L, flushTs, 999998L, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj_outer").filter(col("error_id") < 999999L)
+      .orderBy("error_id", "purchase_id").collect()
+    val batchInput = data.toDF()
+    val batch = StreamOps.purchasesNearErrorsOuter(
+        batchInput.filter(col("event_type") === "error"),
+        batchInput.filter(col("event_type") === "purchase"))
+      .orderBy("error_id", "purchase_id").collect()
+    assert(streamed.nonEmpty)
+    // the outer join must add genuinely unmatched errors as null rows
+    assert(streamed.exists(_.isNullAt(1)), "expected null-padded errors")
+    assert(streamed.count(!_.isNullAt(1)) > 0, "expected matched errors too")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermark drops events later than the 2h bound (append mode)") {
     implicit val ctx = spark.sqlContext
     def ev(id: Long, hourOffsetMin: Long): Event =
