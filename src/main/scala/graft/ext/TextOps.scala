@@ -871,17 +871,20 @@ object TextOps {
     labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
   }
 
-  // Reachability-min CTE chain (shared by the d13 and d49 oracles):
-  // shingles → ≥0.5-jaccard pairs → symmetric edges → transitive reach
-  // (UNION dedups → terminates).
-  private val ccReachCte =
+  // Symmetric near-dup edge CTE chain (shared by the d13/d49/d51
+  // oracles): shingles → ≥0.5-jaccard pairs → symmetric edges.
+  private val ccEdgesCte =
     s"""$shingleSqlCte,
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+
+  // ...plus transitive reachability (UNION dedups → terminates).
+  private val ccReachCte =
+    s"""$ccEdgesCte,
        |reach(doc_id, lbl) AS (
        |  SELECT src, src FROM edges
        |  UNION
@@ -2664,6 +2667,64 @@ object TextOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d51
+
+  /** PageRank over the near-dup graph — centrality as an alternative
+    * canonical-doc signal (d37 picks the best cluster member by QUALITY;
+    * within-cluster centrality picks the member most near-dup-connected,
+    * the "template" the others vary from). Three damped power-iteration
+    * rounds over d05's symmetric pair graph, the Pregel shape on plain
+    * DataFrames: each round is ONE join (edges ⋈ current ranks on src)
+    * plus ONE dst-keyed sum agg — contributions shuffle on the edge key,
+    * nothing data-scaled ever broadcasts, and rounds localCheckpoint so
+    * the iteration never stacks lineage (d13's discipline). Every node
+    * of the symmetric graph has degree ≥ 1, so the contribution join is
+    * total — no dangling-mass correction term needed.
+    *
+    * Float posture: per-round ranks are round(0.15 + 0.85·Σ pr/deg, 6)
+    * — neighbor sums are tiny (≤ cluster size), so cross-engine
+    * addition-order noise is ~1e-14 against the 6-dp pin, the same
+    * accepted posture as d23/e16 (QueryDef policy item 6).
+    */
+  def dupGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardDupPairs(s, dir)
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var pr = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = edges
+        .join(deg, "src")
+        .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(round(lit(0.15) + lit(0.85) * sum(col("pr") / col("deg")), 6).as("pr"))
+        .localCheckpoint()
+    }
+    deg.select(col("src").as("doc_id"), col("deg"))
+      .join(pr, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val dupGraphPagerankSql = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT e.dst AS doc_id,
+         |  round(0.15 + 0.85 * sum(p.pr / d.deg), 6) AS pr
+         |FROM edges e JOIN deg d ON e.src = d.src
+         |  JOIN p${r - 1} p ON p.doc_id = e.src
+         |GROUP BY e.dst)""".stripMargin
+    s"""WITH $ccEdgesCte,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |p0 AS (SELECT src AS doc_id, 1.0 AS pr FROM deg),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT g.src AS doc_id, g.deg, p.pr
+       |FROM deg g JOIN p3 p ON p.doc_id = g.src
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2730,5 +2791,7 @@ object TextOps {
     QueryDef("d49_cluster_safe_split", clusterSafeSplit,
       Some(clusterSafeSplitSql)),
     QueryDef("d50_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    QueryDef("d51_dup_graph_pagerank", dupGraphPagerank,
+      Some(dupGraphPagerankSql)),
   )
 }

@@ -801,6 +801,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d51 PageRank equals a driver-recomputed 3-round power iteration") {
+    val pairs = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = deg.keys.map(_ -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      val sums = scala.collection.mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
+      edges.foreach { case (s, d) => sums(d) += pr(s) / deg(s) }
+      // HALF_UP vs rint differ only ON a boundary; tolerance covers it
+      pr = deg.keys.map(k => k -> math.rint((0.15 + 0.85 * sums(k)) * 1e6) / 1e6).toMap
+    }
+    val got = TextOps.dupGraphPagerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == deg.keySet, "node cover")
+    got.foreach { case (id, dg, p) =>
+      assert(dg == deg(id), s"doc $id degree")
+      assert(math.abs(p - pr(id)) < 2e-6, s"doc $id pr $p vs ${pr(id)}")
+    }
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
