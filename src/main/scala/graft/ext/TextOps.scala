@@ -2725,6 +2725,126 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d52
+
+  /** Distributed quality-classifier training: full-batch logistic
+    * regression distilling d31/d03's hard heuristic into a smooth
+    * quality score — the fastText-classifier step of a curation
+    * pipeline (label = d03's rule verdict; features = stop ratio,
+    * uniqueness ratio, ln token count, z-scored). Eight deterministic
+    * gradient-descent rounds, each ONE map-side-combinable aggregate
+    * over the feature frame (4 running sums — the entire cross-node
+    * traffic is a 4-double partial per partition, the exact cost shape
+    * of distributed full-batch GD at any corpus size); the 1-row weight
+    * state broadcast-crossJoins back, e25's Lloyd-round pattern with
+    * weights in place of centroids. No driver loop over data — the
+    * driver holds only the 1-row weight frame between rounds
+    * (localCheckpoint, so rounds don't stack lineage).
+    *
+    * Determinism discipline (e25's, applied to GD): feature means/stds
+    * and each round's weights are 6-dp pinned, so both engines enter
+    * every round with identical doubles; within-round sums differ only
+    * by addition order (~1e-13 against the pin — QueryDef policy
+    * item 6). Output: final weights + training accuracy + mean
+    * predicted probability per class, one (term, value) row each.
+    */
+  def qualityLogreg(s: SparkSession, dir: String): DataFrame = {
+    val lr = "5.0D"
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+    val raw = Tables.documents(s, dir)
+      .selectExpr(
+        "size(split(text,' ')) AS n_tokens",
+        s"size(filter(split(text,' '), t -> array_contains($stopArr, t))) AS n_stop",
+        "size(array_distinct(split(text,' '))) AS n_uniq")
+      .selectExpr(
+        "CAST(n_tokens >= 20 AND n_tokens <= 400 AND n_stop * 1.0D / n_tokens >= 0.05D AS INT) AS y",
+        "n_stop * 1.0D / n_tokens AS r1",
+        "n_uniq * 1.0D / n_tokens AS r2",
+        "log(n_tokens) AS r3")
+    val z = raw.agg(
+      expr("round(avg(r1), 6) AS m1"), expr("round(stddev_pop(r1), 6) AS s1"),
+      expr("round(avg(r2), 6) AS m2"), expr("round(stddev_pop(r2), 6) AS s2"),
+      expr("round(avg(r3), 6) AS m3"), expr("round(stddev_pop(r3), 6) AS s3"))
+    val feats = raw.crossJoin(broadcast(z))
+      .selectExpr("y", "(r1 - m1) / s1 AS x1", "(r2 - m2) / s2 AS x2",
+        "(r3 - m3) / s3 AS x3")
+      .localCheckpoint()
+    var w = s.range(1)
+      .selectExpr("0.0D AS wb", "0.0D AS w1", "0.0D AS w2", "0.0D AS w3")
+    for (_ <- 1 to 8) {
+      w = feats.crossJoin(broadcast(w))
+        .selectExpr("wb", "w1", "w2", "w3",
+          "1.0D / (1.0D + exp(-(wb + w1*x1 + w2*x2 + w3*x3))) - y AS e",
+          "x1", "x2", "x3")
+        .agg(
+          expr(s"round(first(wb) - $lr * avg(e), 6) AS wb"),
+          expr(s"round(first(w1) - $lr * avg(e * x1), 6) AS w1"),
+          expr(s"round(first(w2) - $lr * avg(e * x2), 6) AS w2"),
+          expr(s"round(first(w3) - $lr * avg(e * x3), 6) AS w3"))
+        .localCheckpoint()
+    }
+    feats.crossJoin(broadcast(w))
+      .selectExpr("y",
+        "1.0D / (1.0D + exp(-(wb + w1*x1 + w2*x2 + w3*x3))) AS p",
+        "wb", "w1", "w2", "w3")
+      .agg(
+        expr("round(avg(CAST((p >= 0.5D) = (y = 1) AS INT)), 6) AS accuracy"),
+        expr("round(avg(CASE WHEN y = 0 THEN p END), 6) AS mean_p_neg"),
+        expr("round(avg(CASE WHEN y = 1 THEN p END), 6) AS mean_p_pos"),
+        expr("first(wb) AS w_bias"), expr("first(w3) AS w_ln_tokens"),
+        expr("first(w1) AS w_stop_ratio"), expr("first(w2) AS w_uniq_ratio"))
+      .selectExpr(
+        """stack(7,
+          |  'accuracy', accuracy, 'mean_p_neg', mean_p_neg,
+          |  'mean_p_pos', mean_p_pos, 'w_bias', w_bias,
+          |  'w_ln_tokens', w_ln_tokens, 'w_stop_ratio', w_stop_ratio,
+          |  'w_uniq_ratio', w_uniq_ratio) AS (term, value)""".stripMargin)
+      .orderBy("term")
+  }
+
+  private val qualityLogregSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    def step(r: Int): String =
+      s"""s$r AS (SELECT wb, w1, w2, w3,
+         |  1.0/(1.0+exp(-(wb + w1*x1 + w2*x2 + w3*x3))) - y AS e, x1, x2, x3
+         |  FROM f, t${r - 1}),
+         |t$r AS (SELECT round(any_value(wb) - 5.0*avg(e), 6) AS wb,
+         |  round(any_value(w1) - 5.0*avg(e*x1), 6) AS w1,
+         |  round(any_value(w2) - 5.0*avg(e*x2), 6) AS w2,
+         |  round(any_value(w3) - 5.0*avg(e*x3), 6) AS w3 FROM s$r)""".stripMargin
+    val steps = (1 to 8).map(step).mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT CAST(n_tokens >= 20 AND n_tokens <= 400 AND n_stop * 1.0 / n_tokens >= 0.05 AS INT) AS y,
+       |         n_stop * 1.0 / n_tokens AS r1,
+       |         n_uniq * 1.0 / n_tokens AS r2,
+       |         ln(n_tokens) AS r3
+       |  FROM (SELECT len(string_split(text,' ')) AS n_tokens,
+       |          len(list_filter(string_split(text,' '), t -> list_contains($stopList, t))) AS n_stop,
+       |          len(list_distinct(string_split(text,' '))) AS n_uniq
+       |        FROM documents)),
+       |z AS (SELECT round(avg(r1),6) AS m1, round(stddev_pop(r1),6) AS s1,
+       |             round(avg(r2),6) AS m2, round(stddev_pop(r2),6) AS s2,
+       |             round(avg(r3),6) AS m3, round(stddev_pop(r3),6) AS s3 FROM m),
+       |f AS (SELECT y, (r1-m1)/s1 AS x1, (r2-m2)/s2 AS x2, (r3-m3)/s3 AS x3 FROM m, z),
+       |t0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$steps,
+       |sc AS (SELECT y, 1.0/(1.0+exp(-(wb + w1*x1 + w2*x2 + w3*x3))) AS p,
+       |              wb, w1, w2, w3 FROM f, t8),
+       |a AS (SELECT round(avg(CAST((p >= 0.5) = (y = 1) AS INT)), 6) AS accuracy,
+       |  round(avg(CASE WHEN y = 0 THEN p END), 6) AS mean_p_neg,
+       |  round(avg(CASE WHEN y = 1 THEN p END), 6) AS mean_p_pos,
+       |  any_value(wb) AS w_bias, any_value(w3) AS w_ln_tokens,
+       |  any_value(w1) AS w_stop_ratio, any_value(w2) AS w_uniq_ratio FROM sc)
+       |SELECT 'accuracy' AS term, accuracy AS value FROM a
+       |UNION ALL SELECT 'mean_p_neg', mean_p_neg FROM a
+       |UNION ALL SELECT 'mean_p_pos', mean_p_pos FROM a
+       |UNION ALL SELECT 'w_bias', w_bias FROM a
+       |UNION ALL SELECT 'w_ln_tokens', w_ln_tokens FROM a
+       |UNION ALL SELECT 'w_stop_ratio', w_stop_ratio FROM a
+       |UNION ALL SELECT 'w_uniq_ratio', w_uniq_ratio FROM a
+       |ORDER BY term""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2793,5 +2913,6 @@ object TextOps {
     QueryDef("d50_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     QueryDef("d51_dup_graph_pagerank", dupGraphPagerank,
       Some(dupGraphPagerankSql)),
+    QueryDef("d52_quality_logreg", qualityLogreg, Some(qualityLogregSql)),
   )
 }

@@ -823,6 +823,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d52 logreg equals a driver-side reference GD loop and beats the base rate") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val docs = Tables.documents(spark, sf0001).select("text").collect().map(_.getString(0))
+    val rows = docs.map { t =>
+      val toks = t.split(" ")
+      val nStop = toks.count(stop)
+      val y = if (toks.length >= 20 && toks.length <= 400 &&
+        nStop * 1.0 / toks.length >= 0.05) 1.0 else 0.0
+      (y, Array(nStop * 1.0 / toks.length,
+        toks.distinct.length * 1.0 / toks.length, math.log(toks.length)))
+    }
+    val n = rows.length.toDouble
+    val ms = (0 to 2).map(j => rnd6(rows.map(_._2(j)).sum / n))
+    val ss = (0 to 2).map(j =>
+      rnd6(math.sqrt(rows.map(r => math.pow(r._2(j) - rows.map(_._2(j)).sum / n, 2)).sum / n)))
+    val xs = rows.map { case (y, f) =>
+      (y, (0 to 2).map(j => (f(j) - ms(j)) / ss(j)).toArray) }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    (1 to 8).foreach { _ =>
+      val g = Array(0.0, 0.0, 0.0, 0.0)
+      xs.foreach { case (y, x) =>
+        val e = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x(0) + w(2) * x(1) + w(3) * x(2)))) - y
+        g(0) += e; g(1) += e * x(0); g(2) += e * x(1); g(3) += e * x(2) }
+      w = w.zipWithIndex.map { case (wj, j) => rnd6(wj - 5.0 * g(j) / n) }
+    }
+    val ps = xs.map { case (y, x) =>
+      (y, 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x(0) + w(2) * x(1) + w(3) * x(2))))) }
+    val acc = ps.count { case (y, p) => (p >= 0.5) == (y == 1.0) } / n
+    val base = math.max(xs.count(_._1 == 1.0), xs.count(_._1 == 0.0)) / n
+    val got = TextOps.qualityLogreg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("accuracy", "mean_p_neg", "mean_p_pos",
+      "w_bias", "w_ln_tokens", "w_stop_ratio", "w_uniq_ratio"))
+    // the model must actually learn, not parrot the majority class
+    assert(got("accuracy") > base + 0.05, s"acc ${got("accuracy")} vs base $base")
+    assert(got("mean_p_pos") > got("mean_p_neg") + 0.2, "class separation")
+    assert(math.abs(got("accuracy") - acc) < 2e-6)
+    assert(math.abs(got("w_bias") - w(0)) < 2e-6, s"bias ${got("w_bias")} vs ${w(0)}")
+    assert(math.abs(got("w_stop_ratio") - w(1)) < 2e-6)
+    assert(math.abs(got("w_uniq_ratio") - w(2)) < 2e-6)
+    assert(math.abs(got("w_ln_tokens") - w(3)) < 2e-6)
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
