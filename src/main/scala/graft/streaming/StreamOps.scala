@@ -552,6 +552,74 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class RunStats(user_id: Long, event_id: Long, ts_us: Long, value: Double,
+                      n_before: Long, mean_before: Double)
+
+  /** Per-user running statistics on the Spark 4 `transformWithState`
+    * arbitrary-state API (the successor to `flatMapGroupsWithState`,
+    * RocksDB-backed): every event emits the count and mean of the SAME
+    * user's PRIOR values — the online-baseline shape behind anomaly
+    * flags ("this purchase is 4× this user's running mean"). State is a
+    * single typed `ValueState[(count, sum)]` per user — O(1), the whole
+    * point over buffering a window — and the handle API (value/list/map
+    * state + timers + TTL) is what `GroupState` could not express.
+    *
+    * Ordering contract: rows WITHIN a micro-batch are folded in
+    * (ts, event_id) order (the iterator order Spark hands over is
+    * unspecified, so the handler sorts its batch — bounded by the
+    * micro-batch's per-key row count, not by history); ACROSS batches
+    * the fold follows arrival order, as any online algorithm must. A
+    * stream whose batches arrive time-ordered therefore folds in exactly
+    * (ts, event_id) order, and equals the batch twin's
+    * unbounded-preceding window bit-for-bit — running-window evaluation
+    * adds values in the same ascending order, so even the float sums
+    * agree (StreamingSpec pins this).
+    */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RunStats] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    // exact µs epoch (getTime is ms; sub-ms lives in getNanos) — the sort
+    // key must match the batch twin's unix_micros tie order exactly
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RunStats] = {
+      var (n, sum) = if (st.exists()) st.get() else (0L, 0.0)
+      val out = rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+        val r = RunStats(key, e.event_id, us(e.ts), e.value, n,
+          if (n == 0) 0.0 else sum / n)
+        n += 1; sum += e.value
+        r
+      }
+      st.update((n, sum))
+      out.iterator
+    }
+  }
+
+  def runningStatsStream(events: Dataset[Event]): Dataset[RunStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[runningStatsStream]]: the unbounded-preceding user
+    * window, exclusive of the current row. */
+  def runningStatsBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Long.MinValue, -1)
+    events
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "value")
+      .withColumn("n_before", count(lit(1)).over(w))
+      .withColumn("mean_before", coalesce(avg(col("value")).over(w), lit(0.0)))
+  }
+
   /** Stream-stream interval join: (error, purchase) pairs per user with
     * the purchase in the hour preceding the error — the streaming form of
     * Temporal.purchasesNearErrors (its oracle-checked batch twin, t16).

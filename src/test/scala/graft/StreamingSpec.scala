@@ -271,6 +271,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("transformWithState running stats (RocksDB store) equal the batch window twin") {
+    implicit val ctx = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // time-sorted batches: the cross-batch fold order then matches the
+    // batch twin's (ts, event_id) window order exactly
+    val data = sampleEvents(500).sortBy(e => (us(e.ts), e.event_id))
+    val (b1, b2) = data.splitAt(250)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.runningStatsStream(ms.toDS()).writeStream
+        .format("memory").queryName("tws_stats").outputMode("append").start()
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val streamed = spark.table("tws_stats").orderBy("event_id").collect()
+    val batch = StreamOps.runningStatsBatch(data.toDF())
+      .select("user_id", "event_id", "ts_us", "value", "n_before", "mean_before")
+      .orderBy("event_id").collect()
+    assert(streamed.length == data.size)
+    assert(streamed.exists(_.getLong(4) > 0), "some events must carry history")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermark drops events later than the 2h bound (append mode)") {
     implicit val ctx = spark.sqlContext
     def ev(id: Long, hourOffsetMin: Long): Event =
