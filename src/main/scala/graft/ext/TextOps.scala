@@ -2845,6 +2845,45 @@ object TextOps {
        |ORDER BY term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d53
+
+  /** Applied decontamination — d18's detection as the corpus edit it
+    * exists for (the detect→apply convention of d29/d48): the train cut
+    * drops every doc sharing ≥5 trigram shingles with ANY eval doc, and
+    * what remains is the train corpus a leakage-audited run would
+    * actually ship. One anti join of the train split against d18's
+    * flagged ids — the eval side stays broadcast-sized inside d18 (eval
+    * cuts are small by construction), the train side never reshuffles,
+    * and at corpus scale the anti join is the same doc_id-keyed exchange
+    * d29 pays.
+    */
+  def applyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val flagged = contamination(s, dir).select(col("train_id").as("doc_id")).distinct()
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", docBucket)
+      .filter(col("bucket") < 95)
+      .select("doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  private val applyDecontaminationSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks, $docBucketSql
+       |      FROM documents),
+       |s AS (SELECT doc_id, bucket,
+       |        list_distinct(list_transform(range(1, len(toks)-1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |      FROM t WHERE len(toks) >= 3)
+       |SELECT d.doc_id
+       |FROM (SELECT doc_id, $docBucketSql FROM documents) d
+       |WHERE d.bucket < 95
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM s a JOIN s b ON a.bucket < 95 AND b.bucket >= 95
+       |    WHERE a.doc_id = d.doc_id
+       |      AND len(list_intersect(a.sh, b.sh)) >= 5)
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2914,5 +2953,7 @@ object TextOps {
     QueryDef("d51_dup_graph_pagerank", dupGraphPagerank,
       Some(dupGraphPagerankSql)),
     QueryDef("d52_quality_logreg", qualityLogreg, Some(qualityLogregSql)),
+    QueryDef("d53_apply_decontamination", applyDecontamination,
+      Some(applyDecontaminationSql)),
   )
 }

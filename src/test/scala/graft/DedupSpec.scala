@@ -867,6 +867,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got("w_ln_tokens") - w(3)) < 2e-6)
   }
 
+  test("d53 decontamination removes exactly d18's flagged train docs") {
+    graft.functions.GraftFunctions.register(spark)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val all = Tables.documents(spark, sf0001).select("doc_id").collect().map(_.getLong(0))
+    val train = all.filter(bucket(_) < 95).toSet
+    val flagged = TextOps.contamination(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "fixture should contain planted contamination")
+    assert(flagged.subsetOf(train), "flagged ids must be train-side")
+    val kept = TextOps.applyDecontamination(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(kept == train -- flagged)
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
