@@ -608,6 +608,84 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Event-time-TIMER sessionization on `transformWithState` — the half
+    * of the new API [[RunningStatsProcessor]] doesn't exercise: an open
+    * session lives in a `ValueState[(start, last, n, sum)]`, gap-splits
+    * emit inline as rows fold through, and the FINAL flush is an
+    * event-time timer at (last + gap) — `handleExpiredTimer` emits the
+    * session and clears state when the watermark proves no extension can
+    * still arrive. Each extension re-arms the timer (delete + register),
+    * so a session spanning micro-batches closes exactly once.
+    *
+    * Semantics match `session_window(ts, "30 minutes")` exactly: an
+    * event extends the session while it lands strictly before the
+    * current window end (= last + gap), the emitted window is
+    * [first, last + gap), and the sum carries the batch twin's 2-dp
+    * round (java BigDecimal HALF_UP on the shortest decimal repr — the
+    * same algorithm Spark's `round` lowers to, so boundary behavior
+    * cannot diverge). StreamingSpec pins stream ≡ [[userSessionWindows]]
+    * on identical input after a watermark-advancing flush.
+    */
+  class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    private val GapUs = 30L * 60 * 1000000L
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Double)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    private def close(key: Long, s: (Long, Long, Long, Double)): SessionOut =
+      SessionOut(key, s._1, s._2 + GapUs, s._3,
+        new java.math.BigDecimal(java.lang.Double.toString(s._4))
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      var open = if (st.exists()) Option(st.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val t = us(e.ts)
+        open = open match {
+          case Some(s) if t < s._2 + GapUs =>
+            Some((s._1, t, s._3 + 1, s._4 + e.value))
+          case other =>
+            other.foreach(s => out += close(key, s))
+            Some((t, t, 1L, e.value))
+        }
+      }
+      open.foreach { s =>
+        st.update(s)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer((s._2 + GapUs) / 1000L) // µs → ms expiry
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val s = st.get()
+        if ((s._2 + GapUs) / 1000L <= info.getExpiryTimeInMs()) {
+          st.clear()
+          Iterator.single(close(key, s))
+        } else Iterator.empty // re-armed since this timer was set
+      } else Iterator.empty
+  }
+
+  def sessionTimerStream(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Batch twin of [[runningStatsStream]]: the unbounded-preceding user
     * window, exclusive of the current row. */
   def runningStatsBatch(events: DataFrame): DataFrame = {

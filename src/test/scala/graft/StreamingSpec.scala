@@ -304,6 +304,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("transformWithState event-time-timer sessionizer equals the session_window batch twin") {
+    implicit val ctx = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val data = sampleEvents(500).sortBy(e => (us(e.ts), e.event_id))
+    val (b1, b2) = data.splitAt(250)
+    val maxMs = data.map(_.ts.getTime).max
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.sessionTimerStream(ms.toDS()).writeStream
+        .format("memory").queryName("tws_sessions").outputMode("append").start()
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        // flush: the watermark must pass every open session's end so the
+        // timers fire; the flush user's own session is excluded below
+        ms.addData(Event(999999L,
+          new java.sql.Timestamp(maxMs + 10L * 3600 * 1000), 999999L, "flush", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val streamed = spark.table("tws_sessions")
+      .filter(col("user_id") =!= 999999L)
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val batch = StreamOps.userSessionWindows(data.toDF())
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(streamed.nonEmpty, "sessionizer emitted nothing")
+    assert(streamed.length > data.map(_.user_id).distinct.size,
+      "fixture should contain gap-split sessions, not one per user")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermark drops events later than the 2h bound (append mode)") {
     implicit val ctx = spark.sqlContext
     def ev(id: Long, hourOffsetMin: Long): Event =
