@@ -87,7 +87,9 @@ object Bench {
       "d26_cross_split_leakage", "d29_apply_near_dup_removal",
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
       "d39_capped_jaccard_pairs", "d45_ngram_novelty",
-      "d46_dup_substring_spans", "d48_apply_substring_removal")
+      "d46_dup_substring_spans", "d48_apply_substring_removal",
+      "d49_cluster_safe_split", "d51_dup_graph_pagerank",
+      "d53_apply_decontamination")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the
