@@ -1413,6 +1413,41 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Large-volume orders (TPC-H Q18 shape): orders whose line quantities
+    * total > 250, resolved to their customer. The HAVING probe is a
+    * pre-reduced fact aggregate: ONE lineitem orderkey agg (map-side
+    * combinable; quantities are integral-valued doubles so the sum is
+    * exact, no rounding layer), whose survivors join orders ON THE SAME
+    * KEY — co-partitioned behind the agg's exchange, so the only
+    * fact-fact shuffle is the aggregation itself. Customer resolves via
+    * the q03/q40 broadcast-hint convention (swap to a keyed join when
+    * the customer dim outgrows broadcast). Top-100 rides
+    * TakeOrderedAndProject with full tie-break.
+    */
+  def bigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val bigOrdersSql =
+    """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  o_totalprice, total_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) t
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** Model scoring under the oracle hash gate — the native
     * [[graft.functions.XgbScore]] expression (the engine's rebuild of
     * the reference's booster scoring, streamlit_app.py:717-725) walking
@@ -1509,5 +1544,6 @@ object Relational {
     QueryDef("q39_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q40_returned_revenue", returnedRevenue, Some(returnedRevenueSql)),
     QueryDef("q41_xgb_score", xgbScoreQuery, Some(xgbScoreQuerySql)),
+    QueryDef("q42_big_orders", bigOrders, Some(bigOrdersSql)),
   )
 }

@@ -432,6 +432,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
   }
 
+  test("q42: HAVING probe pre-reduces the fact; customer broadcasts; top-100 heap") {
+    val df = Relational.bigOrders(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p) // customer side
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the quantity agg must run partial+final (map-side combine), and the
+    // orders join happens AFTER the reduction — never lineitem⋈orders raw
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("d24: Bloom probe is the native might_contain expression, not a UDF") {
     // the probe filter must ride whole-stage codegen: BloomFilterMightContain
     // has doGenCode; the old Scala-UDF probe broke the generated stage
