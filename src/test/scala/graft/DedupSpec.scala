@@ -884,6 +884,36 @@ class DedupSpec extends SparkSpec {
     assert(kept == train -- flagged)
   }
 
+  test("e27 kNN graph: ranks monotone, neighbors distinct, candidate symmetry holds") {
+    val rows = VectorOps.knnGraph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_._1)
+    byVec.foreach { case (v, ns) =>
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"vec $v ranks")
+      assert(sorted.map(_._3).distinct.length == sorted.length, s"vec $v dup neighbor")
+      // heap order: cos non-increasing, ties ascending by neighbor id
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x._4 > y._4 || (x._4 == y._4 && x._3 < y._3), s"vec $v order")
+        case _ =>
+      }
+      assert(!sorted.exists(_._3 == v), s"vec $v self-edge")
+    }
+    // candidate symmetry: an edge a→b means b also scored a; so either a
+    // is in b's list, or b's list is full and its worst entry outranks a
+    rows.foreach { case (a, _, b, c) =>
+      val bl = byVec(b).sortBy(_._2)
+      val ok = bl.exists(_._3 == a) ||
+        (bl.length == 3 && {
+          val w = bl.last
+          w._4 > c || (w._4 == c && w._3 < a)
+        })
+      assert(ok, s"edge $a->$b (c=$c) not reflected in $b's candidates")
+    }
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
