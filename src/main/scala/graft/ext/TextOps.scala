@@ -2884,6 +2884,59 @@ object TextOps {
        |      AND len(list_intersect(a.sh, b.sh)) >= 5)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d54
+
+  /** Held-out LM scoring — d23's CCNet-style cross-entropy done PROPERLY
+    * (the deferral in d23's own scaladoc): the unigram model trains on
+    * the TRAIN split's counts only and scores the TEST split, with
+    * add-one smoothing so unseen words carry finite mass:
+    * p(w) = (c_train(w)+1) / (N + V + 1), the +1 class being UNK. Per
+    * eval doc: token count, OOV count/rate (the domain-shift signal a
+    * curator reads next to the xent), and xent = ln(N+V+1) − avg ln(c+1)
+    * — all counts exact integers, the d23 float posture (ln under 6-dp).
+    *
+    * Scale shape = d23's with the split twist: counts aggregate the
+    * train cut once (map-side combinable), N and V derive from the
+    * |vocab|-sized count table — never a second corpus scan — and eval
+    * tokens LEFT-join the counts by key, co-partitioned behind the count
+    * agg's exchange (left join: OOV rows must survive with c=0).
+    */
+  def heldoutPerplexity(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir).selectExpr("doc_id", "text", docBucket)
+    val cnt = docs.filter(col("bucket") < TrainCut)
+      .selectExpr("explode(split(text,' ')) AS tok")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val stats = cnt.agg((sum("c") + count(lit(1)) + lit(1L)).as("denom")) // N + V + 1
+    docs.filter(col("bucket") >= ValCut)
+      .selectExpr("doc_id", "explode(split(text,' ')) AS tok")
+      .join(cnt, Seq("tok"), "left")
+      .selectExpr("doc_id", "coalesce(c, 0L) AS c")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_oov"),
+        round(log(first("denom")) - avg(log(col("c") + 1)), 6).as("xent"))
+      .selectExpr("doc_id", "n_tokens", "n_oov",
+        "n_oov * 1.0D / n_tokens AS oov_rate", "xent")
+      .orderBy("doc_id")
+  }
+
+  private val heldoutPerplexitySql =
+    s"""WITH d AS (SELECT doc_id, text, $docBucketSql FROM documents),
+       |cnt AS (SELECT tok, count(*) AS c
+       |        FROM (SELECT unnest(string_split(text,' ')) AS tok
+       |              FROM d WHERE bucket < $TrainCut) GROUP BY tok),
+       |st AS (SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS denom FROM cnt),
+       |et AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+       |       FROM d WHERE bucket >= $ValCut),
+       |j AS (SELECT doc_id, coalesce(c, 0) AS c FROM et LEFT JOIN cnt USING (tok))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS oov_rate,
+       |  round(ln(max(denom)) - avg(ln(c + 1)), 6) AS xent
+       |FROM j, st GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -2955,5 +3008,7 @@ object TextOps {
     QueryDef("d52_quality_logreg", qualityLogreg, Some(qualityLogregSql)),
     QueryDef("d53_apply_decontamination", applyDecontamination,
       Some(applyDecontaminationSql)),
+    QueryDef("d54_heldout_perplexity", heldoutPerplexity,
+      Some(heldoutPerplexitySql)),
   )
 }

@@ -914,6 +914,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d54 held-out xent matches a driver recomputation; OOV carries the UNK mass") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.filter(d => bucket(d._1) < 80).foreach(_._2.split(" ", -1)
+      .foreach(t => cnt(t) = cnt.getOrElse(t, 0L) + 1L))
+    val denom = (cnt.values.sum + cnt.size + 1).toDouble
+    val got = TextOps.heldoutPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val evalDocs = docs.filter(d => bucket(d._1) >= 90)
+    assert(evalDocs.nonEmpty && got.keySet == evalDocs.map(_._1).toSet)
+    evalDocs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val oov = toks.count(t => !cnt.contains(t))
+      val xent = math.log(denom) - toks.map(t => math.log(cnt.getOrElse(t, 0L) + 1.0)).sum / toks.length
+      val (n, nOov, rate, x) = got(id)
+      assert(n == toks.length && nOov == oov, s"doc $id counts")
+      assert(rate == oov.toDouble / toks.length, s"doc $id oov rate")
+      assert(math.abs(x - xent) < 2e-6, s"doc $id xent $x vs $xent")
+    }
+    // the shared-vocab fixture has no OOV eval tokens, so the UNK path is
+    // exercised on a crafted corpus: doc 1 buckets train (48), doc 0
+    // buckets test (98); "zzz" never occurs in train
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d54oov").toString
+    Seq((1L, "alpha beta alpha", "en", "web", 16L),
+        (0L, "alpha zzz", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val crafted = TextOps.heldoutPerplexity(spark, tmp).collect()
+    assert(crafted.length == 1 && crafted(0).getLong(0) == 0L)
+    // train: N=3 tokens, V=2 types → denom 6; eval "alpha zzz": c = (2, 0)
+    assert(crafted(0).getLong(2) == 1L, "zzz must count as OOV")
+    val want = math.log(6.0) - (math.log(3.0) + math.log(1.0)) / 2
+    assert(math.abs(crafted(0).getDouble(4) - want) < 2e-6, "UNK mass xent")
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
