@@ -835,14 +835,21 @@ object TextOps {
     * (chains of near-identical docs), so rounds ≈ 3-5 in practice; the
     * iteration cap is a safety rail.
     */
+  /** Symmetric near-dup edge list (both directions of every d05 pair),
+    * lineage-truncated — the one derivation d13's label propagation and
+    * d51's power iteration both start from.
+    */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardDupPairs(s, dir)
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+  }
+
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"clusters:$dir")
     if (pre != null) return pre
-    val pairs = jaccardDupPairs(s, dir)
-      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val edges = dupEdges(s, dir)
     // Initialization folds the first propagation round in: every node
     // starts at min(own id, smallest neighbor) straight off the edge
     // aggregation, saving one join+count round trip.
@@ -2687,11 +2694,7 @@ object TextOps {
     * accepted posture as d23/e16 (QueryDef policy item 6).
     */
   def dupGraphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardDupPairs(s, dir)
-      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val edges = dupEdges(s, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var pr = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
     for (_ <- 1 to 3) {

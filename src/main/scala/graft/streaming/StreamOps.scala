@@ -620,14 +620,26 @@ object StreamOps {
     * still arrive. Each extension re-arms the timer (delete + register),
     * so a session spanning micro-batches closes exactly once.
     *
-    * Semantics match `session_window(ts, "30 minutes")` exactly: an
-    * event extends the session while it lands strictly before the
-    * current window end (= last + gap), the emitted window is
-    * [first, last + gap), and the sum carries the batch twin's 2-dp
-    * round (java BigDecimal HALF_UP on the shortest decimal repr — the
-    * same algorithm Spark's `round` lowers to, so boundary behavior
-    * cannot diverge). StreamingSpec pins stream ≡ [[userSessionWindows]]
-    * on identical input after a watermark-advancing flush.
+    * Semantics match `session_window(ts, "30 minutes")`: an event
+    * merges into the open session while it lands inside
+    * [start − gap, last + gap) — BOTH directions, so a cross-batch
+    * out-of-order arrival that is still watermark-admissible extends
+    * the window backward (or sits inside it) without ever regressing
+    * the end; the emitted window is [first, last + gap), and the sum
+    * carries the batch twin's 2-dp round (java BigDecimal HALF_UP on
+    * the shortest decimal repr — the same algorithm Spark's `round`
+    * lowers to, so boundary behavior cannot diverge).
+    *
+    * Ordering contract (the honest limit of one-ValueState-per-key,
+    * same spirit as [[RunningStatsProcessor]]'s): an admissible event
+    * EARLIER than (open start − gap) belongs to a session this
+    * processor no longer holds — it is emitted as its own single-event
+    * session rather than merged backward across sessions (full
+    * backward merging needs a list of recent sessions; the engine's
+    * windowed [[userSessionWindows]] handles that case). Streams whose
+    * batches arrive time-ordered — or out of order by less than the
+    * gap — reproduce the batch twin exactly; StreamingSpec pins both
+    * the sorted two-batch run and a backward-merge arrival.
     */
   class SessionTimerProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
@@ -652,8 +664,15 @@ object StreamOps {
       rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
         val t = us(e.ts)
         open = open match {
-          case Some(s) if t < s._2 + GapUs =>
-            Some((s._1, t, s._3 + 1, s._4 + e.value))
+          case Some(s) if t >= s._1 - GapUs && t < s._2 + GapUs =>
+            // in-window or backward within the gap: merge, never
+            // regressing either boundary
+            Some((math.min(s._1, t), math.max(s._2, t), s._3 + 1, s._4 + e.value))
+          case Some(s) if t < s._1 - GapUs =>
+            // out-of-contract early arrival (see scaladoc): its own
+            // immediately-closed single-event session; the open one stays
+            out += close(key, (t, t, 1L, e.value))
+            Some(s)
           case other =>
             other.foreach(s => out += close(key, s))
             Some((t, t, 1L, e.value))
@@ -662,7 +681,9 @@ object StreamOps {
       open.foreach { s =>
         st.update(s)
         getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
-        getHandle.registerTimer((s._2 + GapUs) / 1000L) // µs → ms expiry
+        // ceil µs → ms: firing at floor() would close up to 999 µs before
+        // the true end, splitting a session a sub-ms event could extend
+        getHandle.registerTimer((s._2 + GapUs + 999L) / 1000L)
       }
       out.iterator
     }
@@ -671,7 +692,7 @@ object StreamOps {
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
       if (st.exists()) {
         val s = st.get()
-        if ((s._2 + GapUs) / 1000L <= info.getExpiryTimeInMs()) {
+        if ((s._2 + GapUs + 999L) / 1000L <= info.getExpiryTimeInMs()) {
           st.clear()
           Iterator.single(close(key, s))
         } else Iterator.empty // re-armed since this timer was set

@@ -433,14 +433,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q42: HAVING probe pre-reduces the fact; customer broadcasts; top-100 heap") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     val df = Relational.bigOrders(spark, sf0001)
     df.collect()
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p) // customer side
     assert(p.contains("TakeOrderedAndProject"), p)
-    // the quantity agg must run partial+final (map-side combine), and the
-    // orders join happens AFTER the reduction — never lineitem⋈orders raw
-    assert(p.contains("HashAggregate"), p)
+    // the orders join must consume the REDUCED side: walking the final
+    // adaptive plan, the non-broadcast join's subtree has to contain the
+    // quantity HashAggregate — lineitem⋈orders raw would fail this
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    // every join whose subtree reads lineitem must carry the quantity
+    // aggregate BELOW it — a raw lineitem⋈orders join would scan
+    // lineitem with no aggregate in its subtree (at fixture scale AQE
+    // may broadcast the reduced side, so the join TYPE is not pinned)
+    val joins = all.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, p)
+    val liJoins = joins.filter(j => walk(j).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+        n.toString.contains("lineitem")))
+    assert(liJoins.nonEmpty, s"no join consumes lineitem:\n$p")
+    liJoins.foreach { j =>
+      assert(walk(j).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"a join consumes raw lineitem without the quantity reduction:\n$p")
+    }
   }
 
   test("d24: Bloom probe is the native might_contain expression, not a UDF") {

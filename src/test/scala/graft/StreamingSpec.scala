@@ -345,6 +345,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sessionizer merges a watermark-admissible out-of-order arrival backward") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, min: Long): Event = Event(id, java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2025, 1, 1, 0, 0).plusMinutes(min)), 1L, "x", 1.0)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.sessionTimerStream(ms.toDS()).writeStream
+        .format("memory").queryName("tws_ooo").outputMode("append").start()
+      try {
+        ms.addData(ev(1, 60)); q.processAllAvailable()   // open [60, 90)
+        // batch 2 arrives out of order but inside the 2h watermark: 45 sits
+        // within the gap BEFORE the open start (backward merge), 80 inside
+        // the window — neither may regress the end or split the session
+        ms.addData(ev(2, 45), ev(3, 80)); q.processAllAvailable()
+        ms.addData(ev(4, 60 * 24)); q.processAllAvailable() // flush timer
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val out = spark.table("tws_ooo").filter(col("n_events") < 4)
+      .orderBy("start_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    def us(min: Long) = ev(0, min).ts.getTime * 1000L
+    // one merged session [45, 80+30) with all three events — exactly what
+    // session_window(ts, 30 min) produces on the same rows
+    assert(out.toSeq == Seq((us(45), us(110), 3L, 3.0)), out.mkString(","))
+  }
+
   test("watermark drops events later than the 2h bound (append mode)") {
     implicit val ctx = spark.sqlContext
     def ev(id: Long, hourOffsetMin: Long): Event =
