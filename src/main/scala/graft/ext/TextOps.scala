@@ -2940,6 +2940,56 @@ object TextOps {
        |  round(ln(max(denom)) - avg(ln(c + 1)), 6) AS xent
        |FROM j, st GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d55
+
+  /** Temperature-scaled mixture weights — the multilingual-pretraining
+    * resampling rule (mT5/XLM-R style): sampling mass w_s ∝ p_s^α with
+    * α < 1 flattening the source distribution, where p_s is the
+    * source's TOKEN share (tokens, not docs — the quantity a trainer
+    * actually draws). d43 answers "equalize"; this answers "flatten by
+    * temperature", with the boost factor w/p a curator reads to see how
+    * much each tail source is oversampled at α = 0.7 and 0.5.
+    *
+    * Shape: one corpus pass (source-keyed token agg, map-side
+    * combinable), then everything runs on the |sources|-sized frame —
+    * the α-denominators are a 1-row agg of that frame broadcast back,
+    * never a window. Floats: p is one exact-integer division
+    * (bit-identical); pow/÷ are irrational-valued and carry the 6-dp
+    * display pin (QueryDef policy item 6).
+    */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("size(split(text, ' '))")).as("tokens"))
+    val tot = src.agg(sum("tokens").as("tt"))
+    val p = src.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs", "tokens", "tokens * 1.0D / tt AS p")
+    val denom = p.agg(sum(expr("pow(p, 0.7D)")).as("d7"),
+      sum(expr("pow(p, 0.5D)")).as("d5"))
+    p.crossJoin(broadcast(denom))
+      .selectExpr("source", "n_docs", "tokens", "p",
+        "round(pow(p, 0.7D) / d7, 6) AS w_t07",
+        "round(pow(p, 0.5D) / d5, 6) AS w_t05",
+        "round(pow(p, 0.7D) / d7 / p, 6) AS boost_t07",
+        "round(pow(p, 0.5D) / d5 / p, 6) AS boost_t05")
+      .orderBy("source")
+  }
+
+  private val temperatureMixtureSql =
+    """WITH c AS (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM c),
+      |p AS (SELECT source, n_docs, tokens, tokens * 1.0 / tt AS p FROM c, t),
+      |d AS (SELECT sum(pow(p, 0.7)) AS d7, sum(pow(p, 0.5)) AS d5 FROM p)
+      |SELECT source, n_docs, tokens, p,
+      |  round(pow(p, 0.7) / d7, 6) AS w_t07,
+      |  round(pow(p, 0.5) / d5, 6) AS w_t05,
+      |  round(pow(p, 0.7) / d7 / p, 6) AS boost_t07,
+      |  round(pow(p, 0.5) / d5 / p, 6) AS boost_t05
+      |FROM p, d ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3013,5 +3063,7 @@ object TextOps {
       Some(applyDecontaminationSql)),
     QueryDef("d54_heldout_perplexity", heldoutPerplexity,
       Some(heldoutPerplexitySql)),
+    QueryDef("d55_temperature_mixture", temperatureMixture,
+      Some(temperatureMixtureSql)),
   )
 }

@@ -957,6 +957,40 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(crafted(0).getDouble(4) - want) < 2e-6, "UNK mass xent")
   }
 
+  test("d55 temperature weights match a driver recompute; boost is monotone in share") {
+    val rows = TextOps.temperatureMixture(spark, sf0001).collect()
+    assert(rows.length > 1)
+    val toks = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tt = toks.values.sum.toDouble
+    val ps = toks.view.mapValues(_ / tt).toMap
+    def wAt(alpha: Double): Map[String, Double] = {
+      val d = ps.values.map(math.pow(_, alpha)).sum
+      ps.view.mapValues(math.pow(_, alpha) / d).toMap
+    }
+    val (w7, w5) = (wAt(0.7), wAt(0.5))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getDouble(3) == ps(src), s"$src p must be the exact division")
+      assert(math.abs(r.getDouble(4) - w7(src)) < 2e-6, s"$src w_t07")
+      assert(math.abs(r.getDouble(5) - w5(src)) < 2e-6, s"$src w_t05")
+      assert(math.abs(r.getDouble(6) - w7(src) / ps(src)) < 2e-6, s"$src boost_t07")
+      assert(math.abs(r.getDouble(7) - w5(src) / ps(src)) < 2e-6, s"$src boost_t05")
+    }
+    // each α's weights are a distribution, and the boost p^(α-1)/Σp^α is
+    // strictly decreasing in share — smaller sources always oversample
+    // the emitted weights carry the 6-dp display pin, so the sum is 1
+    // only to within n · 5e-7 rounding slack
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < rows.length * 5e-7)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < rows.length * 5e-7)
+    val byShare = rows.sortBy(_.getDouble(3))
+    byShare.sliding(2).foreach {
+      case Array(lo, hi) if lo.getDouble(3) < hi.getDouble(3) =>
+        assert(lo.getDouble(6) > hi.getDouble(6), "boost_t07 monotone")
+        assert(lo.getDouble(7) > hi.getDouble(7), "boost_t05 monotone")
+      case _ =>
+    }
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
