@@ -2592,14 +2592,15 @@ object TextOps {
     * exhaustion — a vocab with no adjacent pairs left — cannot occur at
     * k=3 on any corpus with a ≥4-char word; the loop still guards it.)
     */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val k = 3
+  /** Shared trainer core for d50/d56: the learned merge table AND the
+    * final (w, cnt, syms) vocab after all k merges are applied. */
+  private def bpeTrain(s: SparkSession, dir: String, k: Int = 3)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var vocab = Tables.documents(s, dir)
       .selectExpr("explode(split(text, ' ')) AS w")
       .where("w <> ''")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .selectExpr("cnt", "split(w, '') AS syms")
+      .selectExpr("w", "cnt", "split(w, '') AS syms")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
@@ -2619,7 +2620,7 @@ object TextOps {
         val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, a + b, w))
         def q(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-        vocab = vocab.selectExpr("cnt",
+        vocab = vocab.selectExpr("w", "cnt",
           s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
              |  (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '${q(a)}'
              |                 AND x = '${q(b)}',
@@ -2629,14 +2630,21 @@ object TextOps {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+    (merges.toSeq, vocab)
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, dir)._1.toDF("round", "lhs", "rhs", "merged", "pair_count")
       .orderBy("round")
   }
 
-  private val bpeMergesSql = {
-    // One CTE block per round: pair counts over s{r-1} → argmax m{r} →
-    // per-word greedy fold f{r} (recursive, two-symbol skip on a hit) →
-    // next vocab s{r}. Identical tie order to the Spark side.
+  // One CTE block per round: pair counts over s{r-1} → argmax m{r} →
+  // per-word greedy fold f{r} (recursive, two-symbol skip on a hit) →
+  // next vocab s{r}. Identical tie order to the Spark side. The chain
+  // (v, s0, rounds 1-3) is shared by d50 (emits the merge table) and
+  // d56 (consumes s3, the post-merge symbolization, keyed by word).
+  private val bpeRoundsCte = {
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""p$r AS (
@@ -2647,32 +2655,35 @@ object TextOps {
          |  GROUP BY e.a, e.b),
          |m$r AS (SELECT a, b, a || b AS ab, CAST(w AS BIGINT) AS w
          |        FROM p$r ORDER BY w DESC, a, b LIMIT 1),
-         |f$r(syms, cnt, i, acc) AS (
-         |  SELECT syms, cnt, 1, CAST([] AS VARCHAR[]) FROM $prev
+         |f$r(w, syms, cnt, i, acc) AS (
+         |  SELECT w, syms, cnt, 1, CAST([] AS VARCHAR[]) FROM $prev
          |  UNION ALL
-         |  SELECT f.syms, f.cnt,
+         |  SELECT f.w, f.syms, f.cnt,
          |    f.i + CASE WHEN f.i < len(f.syms) AND f.syms[f.i] = m.a
          |                AND f.syms[f.i + 1] = m.b THEN 2 ELSE 1 END,
          |    list_append(f.acc,
          |      CASE WHEN f.i < len(f.syms) AND f.syms[f.i] = m.a
          |            AND f.syms[f.i + 1] = m.b THEN m.ab ELSE f.syms[f.i] END)
          |  FROM f$r f, m$r m WHERE f.i <= len(f.syms)),
-         |s$r AS (SELECT cnt, acc AS syms FROM f$r WHERE i > len(syms))""".stripMargin
+         |s$r AS (SELECT w, cnt, acc AS syms FROM f$r WHERE i > len(syms))""".stripMargin
     }
-    s"""WITH RECURSIVE
-       |v AS (SELECT w, count(*) AS cnt
+    s"""v AS (SELECT w, count(*) AS cnt
        |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |      WHERE w <> '' GROUP BY w),
-       |s0 AS (SELECT cnt, string_split(w, '') AS syms FROM v),
+       |s0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM v),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
+       |${round(3)}""".stripMargin
+  }
+
+  private val bpeMergesSql =
+    s"""WITH RECURSIVE
+       |$bpeRoundsCte
        |SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs, ab AS merged,
        |       w AS pair_count FROM m1
        |UNION ALL SELECT CAST(2 AS BIGINT), a, b, ab, w FROM m2
        |UNION ALL SELECT CAST(3 AS BIGINT), a, b, ab, w FROM m3
        |ORDER BY round""".stripMargin
-  }
 
   // ---------------------------------------------------------------- d51
 
@@ -2990,6 +3001,49 @@ object TextOps {
       |  round(pow(p, 0.5) / d5 / p, 6) AS boost_t05
       |FROM p, d ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d56
+
+  /** BPE ENCODING report — d50's train→apply other half: the corpus
+    * re-tokenized under the three learned merges, reported per source as
+    * words / chars / BPE tokens / chars-per-token (the fertility number
+    * a tokenizer team actually tracks — higher = better compression).
+    *
+    * The scale property BPE trainers rely on, made explicit: encoding
+    * never re-folds the corpus — the fold already happened ONCE per
+    * VOCAB WORD inside the trainer, and the corpus pass is one explode
+    * joined to the (word → symbol count) table BY KEY (the d23
+    * discipline: the vocab is Zipf-tailed and unbounded, so it joins
+    * co-partitioned rather than broadcast). All outputs are exact
+    * integers plus one exact integer division.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val lens = bpeTrain(s, dir)._2.selectExpr("w", "size(syms) AS n_syms")
+    Tables.documents(s, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS w")
+      .where("w <> ''")
+      .join(lens, "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum("n_syms").as("n_bpe_tokens"))
+      .selectExpr("source", "n_words", "n_chars", "n_bpe_tokens",
+        "n_chars * 1.0D / n_bpe_tokens AS chars_per_token")
+      .orderBy("source")
+  }
+
+  private val bpeEncodeSql =
+    s"""WITH RECURSIVE
+       |$bpeRoundsCte,
+       |lens AS (SELECT w, len(syms) AS n_syms FROM s3),
+       |t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS (SELECT source, t.w AS w, n_syms
+       |      FROM t JOIN lens ON t.w = lens.w WHERE t.w <> '')
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  sum(length(w)) * 1.0 / sum(n_syms) AS chars_per_token
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3065,5 +3119,6 @@ object TextOps {
       Some(heldoutPerplexitySql)),
     QueryDef("d55_temperature_mixture", temperatureMixture,
       Some(temperatureMixtureSql)),
+    QueryDef("d56_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
   )
 }

@@ -991,6 +991,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d56 BPE encoding equals the reference symbolization summed per source") {
+    // reference trainer (same as the d50 test), then APPLY per source
+    val docs = Tables.documents(spark, sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach(_._2.split(" ").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    var syms: Map[String, Vector[String]] =
+      words.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    (1 to 3).foreach { _ =>
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        val sq = syms(w)
+        (0 until sq.length - 1).foreach { i =>
+          pc((sq(i), sq(i + 1))) = pc.getOrElse((sq(i), sq(i + 1)), 0L) + c } }
+      val ((a, b), _) = pc.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+      syms = syms.map { case (w, sq) =>
+        val nb = Vector.newBuilder[String]; var i = 0
+        while (i < sq.length) {
+          if (i < sq.length - 1 && sq(i) == a && sq(i + 1) == b) { nb += (a + b); i += 2 }
+          else { nb += sq(i); i += 1 }
+        }
+        w -> nb.result() }
+    }
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      val ws = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      (ws.length.toLong, ws.map(_.length.toLong).sum, ws.map(w => syms(w).length.toLong).sum)
+    }.toMap
+    val got = TextOps.bpeEncode(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (src, (nw, nc, nb, cpt)) =>
+      val (ew, ec, eb) = expect(src)
+      assert((nw, nc, nb) == ((ew, ec, eb)), s"source $src counts")
+      assert(cpt == ec.toDouble / eb, s"source $src fertility")
+      assert(nb <= ec && nb >= 1, s"source $src: merges can only shorten")
+    }
+  }
+
   test("d50 BPE merges equal a driver-side reference trainer (greedy scan semantics)") {
     val got = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
