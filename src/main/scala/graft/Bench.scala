@@ -162,12 +162,13 @@ object Bench {
     // guard AFTER all benchmarking work completed.
     def mkMinimal: String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson$floor,"sf":"$sfDir"}"""
-    // Rung raised 1750 → 1880 at 157+ queries (160 now): the JSON line is the LAST
+    // Rung raised 1880 → 1948 at 171 queries: the JSON line is the LAST
     // stdout print (spark.stop logs to stderr), so the harness's ~2000-char
-    // stdout tail captures it whole at ≤1950 — the old margin assumed
-    // trailing output that doesn't exist, and cost both pipeline segments.
+    // stdout tail captures it whole at ≤1950. At 171 queries the 1-decimal
+    // map alone is ~1850 chars; the old 1880 rung silently shed BOTH
+    // pipeline segments (~57 chars) that still fit under the true bound.
     val line = Seq(mkLine(2), mkLine(1), mkBare(1), mkMinimal)
-      .find(_.length < 1880).getOrElse(mkMinimal)
+      .find(_.length < 1948).getOrElse(mkMinimal)
     require(line.length < 1950, s"bench JSON line ${line.length} chars risks tail truncation")
     println(line)
     spark.stop()
