@@ -88,8 +88,9 @@ object Bench {
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
       "d39_capped_jaccard_pairs", "d45_ngram_novelty",
       "d46_dup_substring_spans", "d48_apply_substring_removal",
-      "d49_cluster_safe_split", "d51_dup_graph_pagerank",
-      "d53_apply_decontamination")
+      "d49_cluster_safe_split", "d50_bpe_merges",
+      "d51_dup_graph_pagerank", "d53_apply_decontamination",
+      "d56_bpe_encode")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the
@@ -121,7 +122,7 @@ object Bench {
       "e13_lsh_recall", "e18_ann_ivf_multiprobe", "e19_pq_knn",
       "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
       "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook",
-      "e26_ivf_recall")
+      "e26_ivf_recall", "e27_knn_graph")
       .filter(n => only.forall(_.contains(n)))
     val vpipe = if (vfamily.nonEmpty &&
         vfamily.forall(n => resultMap.get(n).exists(_ >= 0))) {

@@ -234,7 +234,15 @@ object TextOps {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Pipeline-shared BPE trainer result (merge table + final vocab):
+    * d50 emits the merges, d56 consumes the vocab — self-contained runs
+    * each execute the three driver-argmax rounds, the most round-trip-
+    * heavy subtree in this file; pipeline mode trains once. */
+  private val sharedBpe = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, String, String, String, Long)], DataFrame)]()
+
   def enableSharedFrames(s: SparkSession, dir: String): Unit = {
+    sharedBpe.put(dir, bpeTrainImpl(s, dir, 3))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // shingles first: every downstream frame (pairs, clusters, d18's
     // split streams, d39's verify sides) builds through this cache
@@ -261,6 +269,7 @@ object TextOps {
   def clearSharedFrames(): Unit = {
     shared.values.forEach(df => { df.unpersist(); () })
     shared.clear()
+    sharedBpe.clear() // vocab frames are localCheckpoints; GC releases them
   }
 
   def jaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -2593,8 +2602,19 @@ object TextOps {
     * k=3 on any corpus with a ≥4-char word; the loop still guards it.)
     */
   /** Shared trainer core for d50/d56: the learned merge table AND the
-    * final (w, cnt, syms) vocab after all k merges are applied. */
+    * final (w, cnt, syms) vocab after all k merges are applied.
+    * Registry-aware at k=3 (the registered configuration): pipeline
+    * mode trains once for both consumers. */
   private def bpeTrain(s: SparkSession, dir: String, k: Int = 3)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    if (k == 3) {
+      val pre = sharedBpe.get(dir)
+      if (pre != null) return pre
+    }
+    bpeTrainImpl(s, dir, k)
+  }
+
+  private def bpeTrainImpl(s: SparkSession, dir: String, k: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var vocab = Tables.documents(s, dir)
       .selectExpr("explode(split(text, ' ')) AS w")
@@ -2664,7 +2684,7 @@ object TextOps {
          |    list_append(f.acc,
          |      CASE WHEN f.i < len(f.syms) AND f.syms[f.i] = m.a
          |            AND f.syms[f.i + 1] = m.b THEN m.ab ELSE f.syms[f.i] END)
-         |  FROM f$r f, m$r m WHERE f.i <= len(f.syms)),
+         |  FROM f$r f LEFT JOIN m$r m ON true WHERE f.i <= len(f.syms)),
          |s$r AS (SELECT w, cnt, acc AS syms FROM f$r WHERE i > len(syms))""".stripMargin
     }
     s"""v AS (SELECT w, count(*) AS cnt

@@ -620,26 +620,29 @@ object StreamOps {
     * still arrive. Each extension re-arms the timer (delete + register),
     * so a session spanning micro-batches closes exactly once.
     *
-    * Semantics match `session_window(ts, "30 minutes")`: an event
-    * merges into the open session while it lands inside
-    * [start − gap, last + gap) — BOTH directions, so a cross-batch
-    * out-of-order arrival that is still watermark-admissible extends
-    * the window backward (or sits inside it) without ever regressing
-    * the end; the emitted window is [first, last + gap), and the sum
-    * carries the batch twin's 2-dp round (java BigDecimal HALF_UP on
-    * the shortest decimal repr — the same algorithm Spark's `round`
-    * lowers to, so boundary behavior cannot diverge).
+    * Semantics match `session_window(ts, "30 minutes")` via the same
+    * merge rule Spark's own MergingSessionsIterator applies: two
+    * windows merge when the later one's start lies at or before the
+    * earlier one's end — merge-on-TOUCH, inclusive, so two events
+    * exactly one gap apart form ONE session in both engines. Each
+    * micro-batch folds its (sorted) rows into sessions among
+    * themselves, then merges the stored open session into that
+    * sequence (it can land anywhere and bridge several of them); the
+    * emitted window is [first, last + gap), and the sum carries the
+    * batch twin's 2-dp round (java BigDecimal HALF_UP on the shortest
+    * decimal repr — the same algorithm Spark's `round` lowers to).
     *
     * Ordering contract (the honest limit of one-ValueState-per-key,
-    * same spirit as [[RunningStatsProcessor]]'s): an admissible event
-    * EARLIER than (open start − gap) belongs to a session this
-    * processor no longer holds — it is emitted as its own single-event
-    * session rather than merged backward across sessions (full
-    * backward merging needs a list of recent sessions; the engine's
-    * windowed [[userSessionWindows]] handles that case). Streams whose
-    * batches arrive time-ordered — or out of order by less than the
-    * gap — reproduce the batch twin exactly; StreamingSpec pins both
-    * the sorted two-batch run and a backward-merge arrival.
+    * same spirit as [[RunningStatsProcessor]]'s): after each batch,
+    * every merged session except the LATEST closes — an admissible
+    * out-of-order arrival in a LATER batch can extend only the open
+    * (latest) session; anything earlier starts its own session in its
+    * own batch (full reopening needs a list of recent sessions — the
+    * engine's windowed [[userSessionWindows]] handles that case).
+    * Streams whose batches arrive time-ordered — or out of order
+    * within one gap of the open window — reproduce the batch twin
+    * exactly; StreamingSpec pins the sorted two-batch run, a
+    * backward-merge arrival, and the exact-gap touch boundary.
     */
   class SessionTimerProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
@@ -659,32 +662,42 @@ object StreamOps {
           .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
     override def handleInputRows(key: Long, rows: Iterator[Event],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      var open = if (st.exists()) Option(st.get()) else None
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      // 1. fold the batch's (sorted) rows into sessions among themselves
+      //    — ascending, so only the last can extend; merge-on-TOUCH
+      //    (t ≤ last + gap), matching MergingSessionsIterator's
+      //    newStart <= currentEnd rule
+      val batchSessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
       rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
         val t = us(e.ts)
-        open = open match {
-          case Some(s) if t >= s._1 - GapUs && t < s._2 + GapUs =>
-            // in-window or backward within the gap: merge, never
-            // regressing either boundary
-            Some((math.min(s._1, t), math.max(s._2, t), s._3 + 1, s._4 + e.value))
-          case Some(s) if t < s._1 - GapUs =>
-            // out-of-contract early arrival (see scaladoc): its own
-            // immediately-closed single-event session; the open one stays
-            out += close(key, (t, t, 1L, e.value))
-            Some(s)
-          case other =>
-            other.foreach(s => out += close(key, s))
-            Some((t, t, 1L, e.value))
+        batchSessions.lastOption match {
+          case Some(s) if t <= s._2 + GapUs =>
+            batchSessions(batchSessions.length - 1) = (s._1, t, s._3 + 1, s._4 + e.value)
+          case _ => batchSessions += ((t, t, 1L, e.value))
         }
       }
-      open.foreach { s =>
-        st.update(s)
-        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
-        // ceil µs → ms: firing at floor() would close up to 999 µs before
-        // the true end, splitting a session a sub-ms event could extend
-        getHandle.registerTimer((s._2 + GapUs + 999L) / 1000L)
+      // 2. merge the stored open session into that sequence — it may sit
+      //    anywhere and can bridge several batch sessions
+      val all = ((if (st.exists()) Seq(st.get()) else Nil) ++ batchSessions)
+        .sortBy(s => (s._1, s._2))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      all.foreach { s =>
+        merged.lastOption match {
+          case Some(p) if s._1 <= p._2 + GapUs =>
+            merged(merged.length - 1) =
+              (p._1, math.max(p._2, s._2), p._3 + s._3, p._4 + s._4)
+          case _ => merged += s
+        }
       }
+      // 3. everything but the latest closes now (an out-of-order future
+      //    arrival can no longer reach it under the one-open contract);
+      //    the latest stays open behind its re-armed timer
+      val out = merged.init.map(s => close(key, s))
+      val open = merged.last
+      st.update(open)
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      // ceil µs → ms: firing at floor() would close up to 999 µs before
+      // the true end, splitting a session a sub-ms event could extend
+      getHandle.registerTimer((open._2 + GapUs + 999L) / 1000L)
       out.iterator
     }
     override def handleExpiredTimer(key: Long,

@@ -378,6 +378,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((us(45), us(110), 3L, 3.0)), out.mkString(","))
   }
 
+  test("sessionizer merges exact-gap touching events like session_window does") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, min: Long): Event = Event(id, java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2025, 1, 1, 0, 0).plusMinutes(min)), 1L, "x", 1.0)
+    // events exactly 30 min apart: Spark's MergingSessionsIterator merges
+    // touching windows (newStart <= currentEnd) — the stream must agree
+    val data = Seq(ev(1, 0), ev(2, 30), ev(3, 60))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.sessionTimerStream(ms.toDS()).writeStream
+        .format("memory").queryName("tws_touch").outputMode("append").start()
+      try {
+        ms.addData(data.take(2)); q.processAllAvailable()
+        ms.addData(data.drop(2)); q.processAllAvailable() // cross-batch touch
+        ms.addData(ev(4, 60 * 24)); q.processAllAvailable()
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val streamed = spark.table("tws_touch").filter(col("n_events") < 4)
+      .orderBy("start_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val batch = StreamOps.userSessionWindows(data.toDF())
+      .orderBy("start_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(batch.length == 1, s"batch twin should merge touches: ${batch.toSeq}")
+    assert(streamed.toSeq == batch.toSeq, s"${streamed.toSeq} vs ${batch.toSeq}")
+  }
+
   test("watermark drops events later than the 2h bound (append mode)") {
     implicit val ctx = spark.sqlContext
     def ev(id: Long, hourOffsetMin: Long): Event =
