@@ -3064,6 +3064,186 @@ object TextOps {
        |  sum(length(w)) * 1.0 / sum(n_syms) AS chars_per_token
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d57
+
+  /** Triangle counting + local clustering coefficient over the near-dup
+    * graph — the third graph primitive beside d13's connected components
+    * and d51's PageRank. Where components say "these docs are transitively
+    * related" and PageRank says "this doc is the template", the clustering
+    * coefficient says HOW a cluster is related: cc ≈ 1 means every member
+    * pairs with every other (one source document copied n ways — safe to
+    * keep one), cc ≈ 0 on a high-degree node means a star/chain (A≈B≈C
+    * but A≉C — template drift, where keep-one-per-component destroys
+    * genuinely distinct docs). That keep-policy signal is why triangle
+    * structure matters to a dedup pipeline, not just to graph analytics.
+    *
+    * Scale shape (the standard degree-ordered edge-iterator,
+    * O(m^{3/2}) total work):
+    *  1. orient each undirected edge from its (degree, id)-smaller
+    *     endpoint to the larger — an acyclic total order, so every
+    *     triangle has EXACTLY one vertex with two out-edges in it
+    *     (counted once, no /3 correction), and out-degree is bounded by
+    *     O(√m) regardless of skew: a hub of degree d keeps out-edges
+    *     only to same-or-higher-degree nodes, of which there are ≤ 2m/d;
+    *  2. wedges = oriented ⋈ oriented on the center vertex (fan-out
+    *     bounded by that √m out-degree, the step a naive undirected
+    *     wedge join would blow up on a hub);
+    *  3. close each wedge against the symmetric edge set on the (b, c)
+    *     pair key — joins and aggs only: no window, no driver loop, and
+    *     the per-node count is a map-side-combinable explode+sum.
+    *
+    * Float posture: clustering = 2·tri / (deg·(deg−1)) is ONE double
+    * division of exact integers — bit-identical cross-engine, emitted
+    * unrounded (QueryDef policy item 4).
+    */
+  def dupGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val oriented = edges
+      .join(deg.select(col("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select("src", "dst")
+      .localCheckpoint()
+    val out1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val out2 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val wedges = out1.join(out2, Seq("a")).filter(col("b") < col("c"))
+    val tris = wedges.join(
+      edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("src").as("doc_id"), col("deg"))
+      .join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          lit(2.0) * col("triangles") / (col("deg") * (col("deg") - lit(1L))))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  // Oracle: pairs already carry d1 < d2, so a triangle {a<b<c} appears as
+  // exactly one (p1=(a,b), p2=(b,c), p3=(a,c)) row — same count-once
+  // property the Spark side gets from the degree orientation.
+  private val dupGraphTrianglesSql =
+    s"""WITH $ccEdgesCte,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |tri AS (SELECT p1.d1 AS a, p1.d2 AS b, p2.d2 AS c
+       |        FROM pairs p1
+       |        JOIN pairs p2 ON p2.d1 = p1.d2
+       |        JOIN pairs p3 ON p3.d1 = p1.d1 AND p3.d2 = p2.d2),
+       |pern AS (SELECT doc_id, count(*) AS triangles FROM (
+       |           SELECT a AS doc_id FROM tri
+       |           UNION ALL SELECT b FROM tri
+       |           UNION ALL SELECT c FROM tri)
+       |         GROUP BY doc_id)
+       |SELECT g.src AS doc_id, g.deg,
+       |  coalesce(p.triangles, 0) AS triangles,
+       |  CASE WHEN g.deg >= 2
+       |       THEN 2.0 * coalesce(p.triangles, 0) / (g.deg * (g.deg - 1))
+       |       ELSE 0.0 END AS clustering
+       |FROM deg g LEFT JOIN pern p ON p.doc_id = g.src
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d58
+
+  /** Zipf-law fit per source: OLS of ln(frequency) on ln(rank) over each
+    * source's top-K tokens (K = 20 here so the cut BINDS on the test
+    * corpus's ~31-word vocab; a production corpus would use 100+ — the
+    * plan shape is K-independent) — the corpus-health diagnostic behind d43/
+    * d55's mixture decisions (natural text slopes ≈ −1; a much flatter
+    * or steeper slope flags synthetic/boilerplate-heavy sources whose
+    * token-share weights mean something different than they do for prose).
+    *
+    * Scale shape — the top-100-by-frequency cut WITHOUT sorting the
+    * vocabulary: the vocab is Zipf-tailed and unbounded (d23's
+    * discipline), so ranking it per source with one window would sort
+    * ~|vocab| rows per source in one task. Instead:
+    *  1. token counts: one map-side-combinable agg;
+    *  2. counts-of-counts histogram per source — and a corpus with N
+    *     tokens has at most √(2N) DISTINCT frequencies (ranks k have
+    *     freq ≥ their own index at most that far), so this frame is
+    *     tiny at ANY corpus size;
+    *  3. running-total window over that bounded histogram finds the
+    *     frequency threshold admitting ≥ K tokens;
+    *  4. only threshold survivors (≈ top-K plus the boundary tie
+    *     layer) reach the row_number window — survivor-sized, never
+    *     vocab-sized. Top-K ⊆ survivors because every excluded token
+    *     has a strictly smaller count than K admitted ones.
+    *
+    * Float posture: ln() sums over ≤ K terms differ cross-engine only
+    * by addition order (~1e-14 relative); slope/intercept/r² are
+    * irrational-valued ratios of those sums, 6-dp display-rounded
+    * (QueryDef policy item 6).
+    */
+  /** d58's rank cut — public so the spec pins the same K. */
+  val ZipfTopK = 20
+
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS tok")
+      .where("tok <> ''")
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds histogram, vocab count, and survivors
+    val vocab = counts.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val wCum = Window.partitionBy("source").orderBy(col("cnt").desc)
+    val thr = counts.groupBy("source", "cnt").agg(count(lit(1)).as("nt"))
+      .withColumn("cum", sum("nt").over(wCum))
+      .groupBy("source")
+      .agg(coalesce(max(when(col("cum") >= ZipfTopK, col("cnt"))), min("cnt"))
+        .as("thr"))
+    val ranked = counts.join(thr, "source")
+      .filter(col("cnt") >= col("thr"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rank") <= ZipfTopK)
+      .select(col("source"), log(col("rank")).as("x"), log(col("cnt")).as("y"))
+    val fit = ranked.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    fit.join(vocab, "source")
+      .selectExpr("source", "n_vocab", "n AS n_ranks",
+        "round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope",
+        "round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept",
+        """round(CASE WHEN n*syy - sy*sy = 0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE (n*sxy - sx*sy) * (n*sxy - sx*sy)
+          |     / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2""".stripMargin)
+      .orderBy("source")
+  }
+
+  // Oracle ranks the full per-source vocab directly (tiny at oracle SF);
+  // the Spark side's threshold cut provably admits the same top-K.
+  private val zipfFitSql =
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |c AS (SELECT source, tok, count(*) AS cnt FROM tk
+      |      WHERE tok <> '' GROUP BY source, tok),
+      |v AS (SELECT source, count(*) AS n_vocab FROM c GROUP BY source),
+      |r AS (SELECT source, cnt,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY cnt DESC, tok) AS rank
+      |      FROM c),
+      |t AS (SELECT source, ln(rank) AS x, ln(cnt) AS y FROM r
+      |      WHERE rank <= 20),
+      |f AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      |      FROM t GROUP BY source)
+      |SELECT f.source, v.n_vocab, f.n AS n_ranks,
+      |  round((f.n*sxy - sx*sy) / (f.n*sxx - sx*sx), 6) AS slope,
+      |  round((sy - (f.n*sxy - sx*sy) / (f.n*sxx - sx*sx) * sx) / f.n, 6)
+      |    AS intercept,
+      |  round(CASE WHEN f.n*syy - sy*sy = 0 THEN NULL
+      |    ELSE (f.n*sxy - sx*sy) * (f.n*sxy - sx*sy)
+      |       / ((f.n*sxx - sx*sx) * (f.n*syy - sy*sy)) END, 6) AS r2
+      |FROM f JOIN v ON v.source = f.source
+      |ORDER BY f.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3140,5 +3320,8 @@ object TextOps {
     QueryDef("d55_temperature_mixture", temperatureMixture,
       Some(temperatureMixtureSql)),
     QueryDef("d56_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("d57_dup_graph_triangles", dupGraphTriangles,
+      Some(dupGraphTrianglesSql)),
+    QueryDef("d58_zipf_fit", zipfFit, Some(zipfFitSql)),
   )
 }

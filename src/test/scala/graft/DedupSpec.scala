@@ -1061,4 +1061,73 @@ class DedupSpec extends SparkSpec {
         w -> nb.result() }
     }
   }
+
+  test("d57 triangles equal a driver-recomputed brute-force count; cc in [0,1]") {
+    val pairs = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // brute force: count unordered vertex triples whose 3 edges all exist
+    val tri = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    pairs.foreach { case (a, b) => // a < b by construction
+      adj(a).filter(c => c > b && pairs((b, c))).foreach { c =>
+        tri(a) += 1; tri(b) += 1; tri(c) += 1
+      }
+    }
+    val got = TextOps.dupGraphTriangles(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == deg.keySet, "node cover")
+    got.foreach { case (id, dg, t, cc) =>
+      assert(dg == deg(id), s"doc $id degree")
+      assert(t == tri(id), s"doc $id triangles $t vs ${tri(id)}")
+      assert(cc >= 0.0 && cc <= 1.0, s"doc $id clustering $cc out of range")
+      val expectCc = if (dg >= 2) 2.0 * t / (dg * (dg - 1)) else 0.0
+      assert(cc == expectCc, s"doc $id clustering $cc vs $expectCc")
+    }
+    // at least one fully-connected cluster exists in the planted corpus:
+    // some node must close a triangle (or the assertion set is vacuous)
+    assert(got.exists(_._3 > 0), "planted dup clusters of size >= 3 should triangle")
+  }
+
+  test("d58 zipf fit equals a driver-side OLS over the true top-K per source") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    val docs = Tables.documents(spark, sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    val expect = bySource.map { case (src, rows) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach(_._2.split(" ").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+      val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(TextOps.ZipfTopK)
+      val xy = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = xy.length.toDouble
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      src -> ((counts.size.toLong, xy.length.toLong, slope, intercept, r2))
+    }
+    val got = TextOps.zipfFit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expect.keySet, "source cover")
+    expect.foreach { case (src, (nv, nr, sl, ic, r2)) =>
+      val (gnv, gnr, gsl, gic, gr2) = got(src)
+      assert(gnv == nv, s"$src vocab")
+      assert(gnr == nr, s"$src ranks")
+      assert(math.abs(gsl - rnd6(sl)) < 2e-6, s"$src slope $gsl vs $sl")
+      assert(math.abs(gic - rnd6(ic)) < 2e-6, s"$src intercept $gic vs $ic")
+      assert(math.abs(gr2 - rnd6(r2)) < 2e-6, s"$src r2 $gr2 vs $r2")
+      // a Zipf-tailed corpus decays: slope strictly negative, fit meaningful
+      assert(gsl < 0.0, s"$src slope should be negative, got $gsl")
+      assert(gr2 > 0.0 && gr2 <= 1.0, s"$src r2 $gr2 out of range")
+    }
+  }
 }
