@@ -122,7 +122,7 @@ object Bench {
       "e13_lsh_recall", "e18_ann_ivf_multiprobe", "e19_pq_knn",
       "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
       "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook",
-      "e26_ivf_recall", "e27_knn_graph")
+      "e26_ivf_recall", "e27_knn_graph", "e28_pca_power_iteration")
       .filter(n => only.forall(_.contains(n)))
     val vpipe = if (vfamily.nonEmpty &&
         vfamily.forall(n => resultMap.get(n).exists(_ >= 0))) {
@@ -141,13 +141,18 @@ object Bench {
     // reported by name so a nonzero failure list is unmissable.
     val (failed, ok) = results.partition(_._2 < 0)
     val total = f"${ok.map(_._2).sum}%.3f"
+    // sf as the directory basename ("sf0.1"): the full path spent 15 chars
+    // of the ~2000-char stdout-tail budget repeating a constant prefix —
+    // at 175 queries those chars are what keep the pipeline segments on
+    // the 1-decimal line
+    val sfName = new java.io.File(sfDir).getName
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     results.foreach { case (k, v) => println(f"# $k%-40s $v%8.3f s") }
     // compact [pre, post] array (same shape trade as pipeline/vpipe): the
     // object form's field names cost 13 chars the 157-query line needs
     val floor = f""","floor":[$floorPre%.3f,$floorPost%.3f]"""
     def mkLine(dec: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$vpipe$floor,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$pipeline$vpipe$floor,"sf":"$sfName"}"""
     // degradation ladder as the registry grows: 2-decimal timings →
     // 1-decimal → (last resort) drop the pipeline enrichment but keep
     // the per-query map — the driver contract needs total+queries; the
@@ -157,12 +162,12 @@ object Bench {
     // and dropping it would be the inconsistency of shedding the
     // smallest field before the biggest.
     def mkBare(dec: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$floor,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(dec)}$floor,"sf":"$sfName"}"""
     // absolute floor: total + failures only — the driver contract fields.
     // Losing per-query detail beats losing the whole line to the length
     // guard AFTER all benchmarking work completed.
     def mkMinimal: String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson$floor,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson$floor,"sf":"$sfName"}"""
     // Rung raised 1880 → 1948 at 171 queries: the JSON line is the LAST
     // stdout print (spark.stop logs to stderr), so the harness's ~2000-char
     // stdout tail captures it whole at ≤1950. At 171 queries the 1-decimal

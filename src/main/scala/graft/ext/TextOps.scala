@@ -3244,6 +3244,97 @@ object TextOps {
       |FROM f JOIN v ON v.source = f.source
       |ORDER BY f.source""".stripMargin
 
+  // ---------------------------------------------------------------- d59
+
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions — the distance matrix behind d43/d55's mixture
+    * decisions and d58's per-source health fit: two sources with
+    * jsd_norm ≈ 0 are redundant (their mixture weights compete for the
+    * same distribution), jsd_norm ≈ 1 marks disjoint vocabularies
+    * (domain coverage, not redundancy). JSD is the symmetric, bounded
+    * ([0, ln 2]) alternative to raw KL, whose infinities on
+    * non-overlapping support make it useless across heterogeneous
+    * sources.
+    *
+    * Scale shape — no per-pair vocabulary union is ever materialized:
+    * tokens present in only one side contribute exactly p·ln 2 to their
+    * side's KL term, so JSD decomposes into a CO-OCCURRING-token part
+    * (one tok-keyed self-join + agg — the join key is the token,
+    * shuffle ∝ vocab, never vocab × pairs) and a closed-form remainder
+    * ln 2 · (1 − Σ_co p). A full-outer join per source pair — the naive
+    * formulation — would shuffle the union |pairs| times.
+    *
+    * Float posture: p = cnt/tot is one exact integer division
+    * (bit-identical); the ln-term sums differ cross-engine by addition
+    * order only; jsd/jsd_norm are irrational, 6-dp display-rounded
+    * (QueryDef policy item 6).
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS tok")
+      .where("tok <> ''")
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum("cnt").as("tot"))
+      .localCheckpoint() // tiny; feeds p and the pair enumeration
+    val p = counts.join(totals, "source")
+      .selectExpr("source", "tok", "cnt * 1.0D / tot AS p")
+      .localCheckpoint() // both sides of the tok self-join
+    val pairsBase = totals.select(col("source").as("source_1"))
+      .crossJoin(totals.select(col("source").as("source_2")))
+      .filter(col("source_1") < col("source_2"))
+    val co = p.select(col("source").as("source_1"), col("tok"), col("p").as("p1"))
+      .join(p.select(col("source").as("source_2"), col("tok"),
+        col("p").as("p2")), "tok")
+      .filter(col("source_1") < col("source_2"))
+      .groupBy("source_1", "source_2")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("p1 * ln(2.0D * p1 / (p1 + p2))")).as("s1"),
+        sum(expr("p2 * ln(2.0D * p2 / (p1 + p2))")).as("s2"),
+        sum("p1").as("sp1"), sum("p2").as("sp2"))
+    pairsBase.join(co, Seq("source_1", "source_2"), "left")
+      .selectExpr("source_1", "source_2",
+        "coalesce(n_common, 0L) AS n_common",
+        """0.5D * (coalesce(s1, 0D) + ln(2.0D) * (1.0D - coalesce(sp1, 0D)))
+          |  + 0.5D * (coalesce(s2, 0D) + ln(2.0D) * (1.0D - coalesce(sp2, 0D)))
+          |  AS jsd_raw""".stripMargin)
+      .selectExpr("source_1", "source_2", "n_common",
+        "round(jsd_raw, 6) AS jsd",
+        "round(jsd_raw / ln(2.0D), 6) AS jsd_norm")
+      .orderBy("source_1", "source_2")
+  }
+
+  // Oracle materializes the per-pair vocabulary union directly (fine at
+  // oracle SF) — the Spark decomposition computes the same real number.
+  private val sourceDivergenceSql =
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |c AS (SELECT source, tok, count(*) AS cnt FROM tk
+      |      WHERE tok <> '' GROUP BY source, tok),
+      |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM c
+      |      GROUP BY source),
+      |p AS (SELECT c.source, c.tok, c.cnt * 1.0 / t.tot AS p
+      |      FROM c JOIN t ON c.source = t.source),
+      |pr AS (SELECT a.source AS source_1, b.source AS source_2
+      |       FROM t a JOIN t b ON a.source < b.source),
+      |u AS (SELECT pr.source_1, pr.source_2, v.tok,
+      |        coalesce(p1.p, 0) AS p1, coalesce(p2.p, 0) AS p2
+      |      FROM pr
+      |      CROSS JOIN (SELECT DISTINCT tok FROM c) v
+      |      LEFT JOIN p p1 ON p1.source = pr.source_1 AND p1.tok = v.tok
+      |      LEFT JOIN p p2 ON p2.source = pr.source_2 AND p2.tok = v.tok
+      |      WHERE coalesce(p1.p, 0) > 0 OR coalesce(p2.p, 0) > 0),
+      |j AS (SELECT source_1, source_2,
+      |        count(*) FILTER (WHERE p1 > 0 AND p2 > 0) AS n_common,
+      |        sum(CASE WHEN p1 > 0
+      |              THEN p1 * ln(2.0 * p1 / (p1 + p2)) ELSE 0 END)
+      |      + sum(CASE WHEN p2 > 0
+      |              THEN p2 * ln(2.0 * p2 / (p1 + p2)) ELSE 0 END) AS skl
+      |      FROM u GROUP BY source_1, source_2)
+      |SELECT source_1, source_2, n_common,
+      |  round(0.5 * skl, 6) AS jsd,
+      |  round(0.5 * skl / ln(2.0), 6) AS jsd_norm
+      |FROM j ORDER BY source_1, source_2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3323,5 +3414,7 @@ object TextOps {
     QueryDef("d57_dup_graph_triangles", dupGraphTriangles,
       Some(dupGraphTrianglesSql)),
     QueryDef("d58_zipf_fit", zipfFit, Some(zipfFitSql)),
+    QueryDef("d59_source_divergence", sourceDivergence,
+      Some(sourceDivergenceSql)),
   )
 }

@@ -1130,4 +1130,79 @@ class DedupSpec extends SparkSpec {
       assert(gr2 > 0.0 && gr2 <= 1.0, s"$src r2 $gr2 out of range")
     }
   }
+
+  test("d59 JSD matches a driver-side union recompute; bounded and symmetric-safe") {
+    val docs = Tables.documents(spark, sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dist = docs.groupBy(_._1).map { case (src, rows) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach(_._2.split(" ").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+      val tot = counts.values.sum.toDouble
+      src -> counts.view.mapValues(_ / tot).toMap
+    }
+    val ln2 = math.log(2.0)
+    def jsd(p: Map[String, Double], q: Map[String, Double]): Double = {
+      val toks = p.keySet ++ q.keySet
+      toks.toSeq.map { t =>
+        val (a, b) = (p.getOrElse(t, 0.0), q.getOrElse(t, 0.0))
+        val s1 = if (a > 0) a * math.log(2.0 * a / (a + b)) else 0.0
+        val s2 = if (b > 0) b * math.log(2.0 * b / (a + b)) else 0.0
+        0.5 * (s1 + s2)
+      }.sum
+    }
+    val got = TextOps.sourceDivergence(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val srcs = dist.keys.toSeq.sorted
+    val expectPairs = (for {
+      i <- srcs.indices; k <- (i + 1) until srcs.length
+    } yield (srcs(i), srcs(k))).toSet
+    assert(got.keySet == expectPairs, "pair cover")
+    expectPairs.foreach { case (a, b) =>
+      val (nc, j, jn) = got((a, b))
+      val ej = jsd(dist(a), dist(b))
+      assert(math.abs(j - ej) < 2e-6, s"($a,$b) jsd $j vs $ej")
+      assert(math.abs(jn - ej / ln2) < 2e-6, s"($a,$b) jsd_norm")
+      assert(j >= 0.0 && j <= ln2 + 1e-9, s"($a,$b) jsd $j out of [0, ln2]")
+      assert(nc == (dist(a).keySet & dist(b).keySet).size.toLong,
+        s"($a,$b) n_common")
+    }
+    assert(got.values.exists(_._1 > 0), "some pair should share vocabulary")
+  }
+
+  test("e28 first PC equals a driver-side pinned power iteration; ratio in (0,1]") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    val vecsArr = Tables.embeddings(spark, sf0001)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecsArr.length.toDouble
+    val dim = vecsArr.head.length
+    val mu = (0 until dim).map(i => rnd6(vecsArr.map(_(i)).sum) / n).toArray
+    val cen = vecsArr.map(v => v.indices.map(i => v(i) - mu(i)).toArray)
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      rnd6(cen.map(v => v(i) * v(j)).sum) / n)
+    var u = Array.fill(dim)(0.125)
+    (1 to 3).foreach { _ =>
+      val w = (0 until dim).map(i =>
+        rnd6((0 until dim).map(j => c(i)(j) * u(j)).sum)).toArray
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(x => rnd6(x / nrm))
+    }
+    val lam = rnd6((for (i <- 0 until dim; j <- 0 until dim)
+      yield c(i)(j) * u(i) * u(j)).sum)
+    val trace = rnd6((0 until dim).map(i => c(i)(i)).sum)
+    val rows = VectorOps.pcaPowerIteration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == dim)
+    rows.foreach { case (d, loading, eig, ratio) =>
+      assert(math.abs(loading - u(d.toInt)) < 2e-6, s"dim $d loading")
+      assert(math.abs(eig - lam) < 2e-6, s"eigenvalue $eig vs $lam")
+      assert(math.abs(ratio - rnd6(lam / trace)) < 2e-6, "explained ratio")
+      assert(ratio > 0.0 && ratio <= 1.0, s"ratio $ratio out of (0,1]")
+    }
+    // the final iterate is unit-length up to the coordinate pin
+    val norm = math.sqrt(rows.map(r => r._2 * r._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"PC norm $norm")
+  }
 }
