@@ -1205,4 +1205,41 @@ class DedupSpec extends SparkSpec {
     val norm = math.sqrt(rows.map(r => r._2 * r._2).sum)
     assert(math.abs(norm - 1.0) < 1e-4, s"PC norm $norm")
   }
+
+  test("e29 JL audit equals a driver recompute; ratios concentrate near 1") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var acc = 0L
+      (0 until 8).foreach(k => acc = (acc << 8) | (d(k) & 0xffL))
+      acc >>> 4
+    }
+    val sgn = Array.tabulate(16, 64)((j, i) =>
+      if (md5_60(s"jl-$j-$i") % 2 == 0) 1.0 else -1.0)
+    val vecsById = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(16)(j => rnd6(0.25 *
+        v.indices.foldLeft(0.0)((a, i) => a + v(i) * sgn(j)(i))))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      rnd6(a.indices.foldLeft(0.0)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i))))
+    val got = VectorOps.jlProjectionAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == vecsById.size / 2, "one pair per consecutive even id")
+    got.foreach { case (a, b, dOrig, dProj, ratio) =>
+      assert(b == a + 1 && a % 2 == 0, s"pair ($a,$b) shape")
+      val (va, vb) = (vecsById(a), vecsById(b))
+      assert(math.abs(dOrig - d2(va, vb)) < 2e-6, s"($a,$b) d2_orig")
+      assert(math.abs(dProj - d2(proj(va), proj(vb))) < 2e-6, s"($a,$b) d2_proj")
+      assert(math.abs(ratio - rnd6(dProj / dOrig)) < 2e-6, s"($a,$b) ratio")
+    }
+    // JL lemma: E[ratio] = 1 for +-1/sqrt(k) projections; the sample mean
+    // over 250 pairs concentrates well inside this loose band
+    val mean = got.map(_._5).sum / got.length
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean not near 1")
+  }
 }
