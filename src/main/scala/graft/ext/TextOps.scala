@@ -3335,6 +3335,104 @@ object TextOps {
       |  round(0.5 * skl / ln(2.0), 6) AS jsd_norm
       |FROM j ORDER BY source_1, source_2""".stripMargin
 
+  // ---------------------------------------------------------------- d60
+
+  /** Heaps'-law fit over the trigram-SHINGLE vocabulary: cumulative
+    * distinct shingles V against cumulative shingle occurrences N across
+    * corpus deciles, with the OLS fit of ln V on ln N (V ≈ k·N^β). This
+    * is the LSH-INDEX-GROWTH forecast a dedup deployment sizes against:
+    * d06/d24's posting lists and Bloom capacity grow like the shingle
+    * vocabulary, and β tells you whether doubling the corpus doubles the
+    * index (β ≈ 1, pathologically novel text) or grows it sublinearly
+    * (β ≈ 0.5-0.9, natural text). Token-level Heaps is degenerate on
+    * this corpus (the ~31-word vocab saturates in decile 1); the shingle
+    * vocabulary grows through every decile at every SF.
+    *
+    * Scale shape — the cumulative-distinct-over-prefixes query WITHOUT
+    * re-scanning per prefix: distinct-at-prefix-k is fully determined by
+    * each shingle's FIRST-occurrence doc (one min-agg over the exploded
+    * shingle table, map-side combinable), bucketed into deciles; the
+    * cumulative sums then run on the 10-row decile frame via a
+    * triangular self-join (10×10 — no window, nothing data-scaled).
+    * doc_ids are dense 0..n−1 (the corpus contract), so decile =
+    * doc_id·10 div n is a pure projection — no rank, no sort.
+    *
+    * Float posture: N/V are exact integers; ln sums over 10 points and
+    * the β/ln k/r² ratios carry d58's 6-dp pin.
+    */
+  def shingleHeaps(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .selectExpr("doc_id", "greatest(size(split(text, ' ')) - 2, 0) AS ns")
+    val nRow = base.agg(count(lit(1)).as("n")).localCheckpoint()
+    val perB = base.crossJoin(broadcast(nRow))
+      .selectExpr("CAST(doc_id * 10 DIV n AS INT) AS b", "ns")
+      .groupBy("b")
+      .agg(count(lit(1)).as("docs_b"), sum("ns").as("sh_b"))
+    val vocabB = shingleHashed(s, dir)
+      .selectExpr("doc_id", "explode(shs) AS h")
+      .groupBy("h").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(nRow))
+      .selectExpr("CAST(fd * 10 DIV n AS INT) AS b")
+      .groupBy("b").agg(count(lit(1)).as("vocab_b"))
+    val per = perB.join(vocabB, Seq("b"), "left")
+      .selectExpr("b", "docs_b", "sh_b", "coalesce(vocab_b, 0L) AS vocab_b")
+      .localCheckpoint() // 10 rows; both sides of the triangular join
+    val cum = per.select(col("b"))
+      .join(per.select(col("b").as("b0"), col("docs_b"), col("sh_b"),
+        col("vocab_b")), col("b0") <= col("b"))
+      .groupBy("b")
+      .agg(sum("docs_b").as("n_docs"), sum("sh_b").as("n_shingles"),
+        sum("vocab_b").as("vocab"))
+      .localCheckpoint() // feeds the fit agg AND the output join
+    val fit = cum
+      .selectExpr("ln(CAST(n_shingles AS DOUBLE)) AS x",
+        "ln(CAST(vocab AS DOUBLE)) AS y")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .selectExpr(
+        "round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS beta",
+        "round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6) AS lnk",
+        """round(CASE WHEN m*syy - sy*sy = 0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE (m*sxy - sx*sy) * (m*sxy - sx*sy)
+          |     / ((m*sxx - sx*sx) * (m*syy - sy*sy)) END, 6) AS r2""".stripMargin)
+    cum.crossJoin(broadcast(fit))
+      .selectExpr("CAST(b + 1 AS INT) AS decile", "n_docs", "n_shingles",
+        "vocab", "beta", "lnk", "r2")
+      .orderBy("decile")
+  }
+
+  private val shingleHeapsSql =
+    s"""WITH $shingleSqlCte,
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |pb AS (SELECT CAST((doc_id * 10) // n AS INT) AS b,
+       |         count(*) AS docs_b,
+       |         CAST(sum(greatest(len(string_split(text, ' ')) - 2, 0))
+       |              AS BIGINT) AS sh_b
+       |       FROM documents, nn GROUP BY 1),
+       |fo0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |fo AS (SELECT g, min(doc_id) AS fd FROM fo0 GROUP BY g),
+       |vb AS (SELECT CAST((fd * 10) // n AS INT) AS b, count(*) AS vocab_b
+       |       FROM fo, nn GROUP BY 1),
+       |per AS (SELECT pb.b, pb.docs_b, pb.sh_b,
+       |          coalesce(vb.vocab_b, 0) AS vocab_b
+       |        FROM pb LEFT JOIN vb ON vb.b = pb.b),
+       |cum AS (SELECT a.b, CAST(sum(c.docs_b) AS BIGINT) AS n_docs,
+       |          CAST(sum(c.sh_b) AS BIGINT) AS n_shingles,
+       |          CAST(sum(c.vocab_b) AS BIGINT) AS vocab
+       |        FROM per a JOIN per c ON c.b <= a.b GROUP BY a.b),
+       |pts AS (SELECT ln(CAST(n_shingles AS DOUBLE)) AS x,
+       |          ln(CAST(vocab AS DOUBLE)) AS y FROM cum),
+       |f AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM pts)
+       |SELECT CAST(cum.b + 1 AS INT) AS decile, n_docs, n_shingles, vocab,
+       |  round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS beta,
+       |  round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6) AS lnk,
+       |  round(CASE WHEN m*syy - sy*sy = 0 THEN NULL
+       |    ELSE (m*sxy - sx*sy) * (m*sxy - sx*sy)
+       |       / ((m*sxx - sx*sx) * (m*syy - sy*sy)) END, 6) AS r2
+       |FROM cum, f ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3416,5 +3514,6 @@ object TextOps {
     QueryDef("d58_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("d59_source_divergence", sourceDivergence,
       Some(sourceDivergenceSql)),
+    QueryDef("d60_shingle_heaps", shingleHeaps, Some(shingleHeapsSql)),
   )
 }

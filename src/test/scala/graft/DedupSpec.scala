@@ -1242,4 +1242,49 @@ class DedupSpec extends SparkSpec {
     val mean = got.map(_._5).sum / got.length
     assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean not near 1")
   }
+
+  test("d60 shingle Heaps curve equals a driver recompute; vocab strictly grows") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length
+    def shingles(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Seq.empty
+      else (0 until toks.length - 2).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+    }
+    val first = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      shingles(t).foreach(g => if (!first.contains(g)) first(g) = id) }
+    val docsB = Array.fill(10)(0L); val shB = Array.fill(10)(0L)
+    docs.foreach { case (id, t) =>
+      val b = (id * 10 / n).toInt
+      docsB(b) += 1; shB(b) += math.max(t.split(" ", -1).length - 2, 0) }
+    val vocB = Array.fill(10)(0L)
+    first.values.foreach(fd => vocB((fd * 10 / n).toInt) += 1)
+    val exp = (0 until 10).map { d =>
+      (d + 1, docsB.take(d + 1).sum, shB.take(d + 1).sum, vocB.take(d + 1).sum) }
+    val xy = exp.map(e => (math.log(e._3.toDouble), math.log(e._4.toDouble)))
+    val m = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val lnk = (sy - beta * sx) / m
+    val got = TextOps.shingleHeaps(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 10)
+    got.zip(exp).foreach { case ((gd, gn, gs, gv, gb, gk), (ed, en, es, ev)) =>
+      assert(gd == ed && gn == en && gs == es, s"decile $ed prefix counts")
+      assert(gv == ev, s"decile $ed vocab $gv vs $ev")
+      assert(math.abs(gb - rnd6(beta)) < 2e-6, s"beta $gb vs $beta")
+      assert(math.abs(gk - rnd6(lnk)) < 2e-6, s"lnk $gk vs $lnk")
+    }
+    // the shingle vocabulary must actually GROW through the deciles (the
+    // property that makes this fit non-degenerate, unlike token-level Heaps)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 > a._4, s"vocab stalled between deciles ${a._1} and ${b._1}") }
+    assert(got.head._5 > 0.0 && got.head._5 < 1.0, s"beta ${got.head._5} out of (0,1)")
+  }
 }
