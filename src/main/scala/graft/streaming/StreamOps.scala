@@ -861,6 +861,45 @@ object StreamOps {
     events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Stream-static enrichment against a LIVE [[cdcApplyParquetSink]]
+    * table, re-resolving the newest committed version at every
+    * micro-batch — the slowly-changing-dimension join done right on a
+    * streaming pipeline. A plain `stream.join(readCdcTable(...))` would
+    * freeze the dimension at the version resolved when the query was
+    * PLANNED: `readCdcTable` pins a concrete `v<n>/` path, so dimension
+    * updates committed while the stream runs are silently ignored — the
+    * classic stale-dimension bug. Resolving inside `foreachBatch` makes
+    * each batch read the version current at ITS start, so an upsert
+    * committed between batches is visible to the next batch (eventual
+    * per-batch freshness — the same contract Delta/Iceberg stream-static
+    * joins give when the static side is a table, not a path).
+    *
+    * Join posture: the CDC table is dimension-sized (one row per key);
+    * the broadcast hint keeps every batch a map-side hash join — the
+    * fact side (the stream) never shuffles. `retain ≥ 2` on the sink is
+    * what makes this race-safe: a version superseded mid-batch stays
+    * readable until the NEXT commit prunes it (the read lease documented
+    * on [[readCdcTable]]).
+    *
+    * `enrich` receives (batch ⟕ dimension) rows — left join, so stream
+    * rows with no dimension entry survive with nulls (an inner join
+    * would silently drop early events racing their dimension upsert).
+    */
+  def enrichAgainstCdcTable(events: DataFrame, tableDir: String,
+      joinKey: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dim = readCdcTable(batch.sparkSession, tableDir)
+      val enriched = dim match {
+        case Some(d) => batch.join(broadcast(d), Seq(joinKey), "left")
+        // no committed dimension yet: pass through — note the column set
+        // widens once the first commit lands, so a schema-strict sink
+        // should start the stream only after the dimension's first commit
+        case None => batch
+      }
+      sink(enriched, batchId)
+    }
+
   /** Batch twin of [[latestPerUser]] for equivalence testing. */
   def latestPerUserBatch(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -813,4 +813,46 @@ class StreamingSpec extends SparkSpec {
     assert(dUsers == expect.filter(_._2._1 == "D").keySet)
     dUsers.foreach(u => assert(expect(u)._2 == "error"))
   }
+
+  test("stream-static CDC enrichment re-resolves the dimension version per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc-enrich").toString + "/t"
+    def cdcBatch(rows: (Long, String, Double)*): org.apache.spark.sql.Dataset[StreamOps.CdcRow] =
+      rows.map { case (u, tpe, v) =>
+        StreamOps.CdcRow(u, "U", tpe, v, new java.sql.Timestamp(1000L * u), 1L)
+      }.toDS()
+    // v0: user 1 -> "bronze"
+    StreamOps.applyCdcBatch(cdcBatch((1L, "bronze", 1.0)), dir, 0L)
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[String])] // (batchId, user, dim type)
+    val ms = MemoryStream[Event]
+    def ev(id: Long, u: Long): Event =
+      Event(id, new java.sql.Timestamp(3600L * 1000 * id), u, "view", 1.0)
+    val q = StreamOps.enrichAgainstCdcTable(ms.toDF(), dir, "user_id") {
+      (batch, batchId) =>
+        batch.select("user_id", "last_type").collect().foreach(r =>
+          seen += ((batchId, r.getLong(0), Option(r.getString(1)))))
+        ()
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("cdc-enrich-ckpt").toString)
+      .start()
+    try {
+      ms.addData(ev(1, 1L), ev(2, 9L)) // user 9 has no dimension row
+      q.processAllAvailable()
+      // dimension update lands BETWEEN batches: user 1 -> "gold", user 2 appears
+      StreamOps.applyCdcBatch(cdcBatch((1L, "gold", 2.0), (2L, "silver", 1.0)), dir, 1L)
+      ms.addData(ev(3, 1L), ev(4, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.groupBy(_._1).view
+      .mapValues(_.map(e => e._2 -> e._3).toMap).toMap
+    // batch 0 joined the version live at ITS start: bronze, and the
+    // dimensionless user survives the LEFT join with a null
+    assert(byBatch(0L) == Map(1L -> Some("bronze"), 9L -> None), s"batch 0: $byBatch")
+    // batch 1 sees the upsert committed between batches — the stale-plan
+    // formulation (join the path resolved at planning) would still say bronze
+    assert(byBatch(1L) == Map(1L -> Some("gold"), 2L -> Some("silver")),
+      s"batch 1: $byBatch")
+  }
 }
