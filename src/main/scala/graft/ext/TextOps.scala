@@ -3433,6 +3433,82 @@ object TextOps {
        |       / ((m*sxx - sx*sx) * (m*syy - sy*sy)) END, 6) AS r2
        |FROM cum, f ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- d61
+
+  /** MinHash ESTIMATOR calibration audit: for every exact near-dup pair
+    * (d05), the 16-permutation MinHash Jaccard estimate beside the true
+    * Jaccard, with the signed error — the measurement that validates the
+    * statistical engine UNDER d06's LSH before anyone trusts its bands
+    * at corpus scale (E[estimate] = J; per-pair σ = √(J(1−J)/16) ≈ 0.1
+    * at J = 0.8, which the spec's mean-absolute-error gate reflects).
+    * d06 already proves the BANDING finds the right pairs; this audits
+    * the estimator those bands are built from.
+    *
+    * Portability: permutations are min-hashes of `md5_long60` over
+    * "mh-<p>-<shingle>" — the cross-engine hash family (e29's trick),
+    * so both engines hold bit-identical signatures; the production path
+    * (d06) keeps the faster xxhash64 family, which no SQL oracle can
+    * replay — THIS query exists to put the estimator itself under the
+    * hash gate.
+    *
+    * Scale shape: signatures are one explode × 16-row broadcast +
+    * min-agg (map-side combinable, state = one long per (doc, perm));
+    * the audit joins signatures only for d05's PAIR SET (pair-
+    * proportional, never corpus²). est = k/16 is binary-exact; err is
+    * row arithmetic on exact inputs — emitted unrounded (policy item 4).
+    */
+  def minhashEstimateAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS shs""".stripMargin)
+    val sigs = sh.selectExpr("doc_id", "explode(shs) AS g")
+      .crossJoin(broadcast(s.range(0, 16).selectExpr("CAST(id AS INT) AS p")))
+      .selectExpr("doc_id", "p", "md5_long60(concat('mh-', p, '-', g)) AS h")
+      .groupBy("doc_id", "p").agg(min("h").as("m"))
+      .localCheckpoint() // both sides of the pair join
+    jaccardDupPairs(s, dir)
+      .join(sigs.select(col("doc_id").as("doc_id_1"), col("p"),
+        col("m").as("m1")), "doc_id_1")
+      .join(sigs.select(col("doc_id").as("doc_id_2"), col("p"),
+        col("m").as("m2")), Seq("doc_id_2", "p"))
+      .groupBy("doc_id_1", "doc_id_2", "jaccard")
+      .agg((sum(when(col("m1") === col("m2"), 1L).otherwise(0L)) / lit(16.0))
+        .as("mh_estimate"))
+      .selectExpr("doc_id_1", "doc_id_2", "jaccard", "mh_estimate",
+        "mh_estimate - jaccard AS err")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  private val minhashEstimateAuditSql =
+    s"""WITH $shingleSqlCte,
+       |sig AS (SELECT t.doc_id, pp.p,
+       |          min(CAST(('0x' || substr(md5('mh-' || pp.p || '-' || t.g),
+       |                    1, 15)) AS BIGINT)) AS m
+       |        FROM (SELECT doc_id, unnest(sh) AS g FROM s) t,
+       |             (SELECT unnest(range(0, 16)) AS p) pp
+       |        GROUP BY t.doc_id, pp.p),
+       |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |    len(list_intersect(a.sh, b.sh)) * 1.0
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |est AS (SELECT p.doc_id_1, p.doc_id_2, p.jaccard,
+       |          sum(CASE WHEN s1.m = s2.m THEN 1 ELSE 0 END) / 16.0
+       |            AS mh_estimate
+       |        FROM pairs p
+       |        JOIN sig s1 ON s1.doc_id = p.doc_id_1
+       |        JOIN sig s2 ON s2.doc_id = p.doc_id_2 AND s2.p = s1.p
+       |        GROUP BY p.doc_id_1, p.doc_id_2, p.jaccard)
+       |SELECT doc_id_1, doc_id_2, jaccard, mh_estimate,
+       |  mh_estimate - jaccard AS err
+       |FROM est ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3515,5 +3591,7 @@ object TextOps {
     QueryDef("d59_source_divergence", sourceDivergence,
       Some(sourceDivergenceSql)),
     QueryDef("d60_shingle_heaps", shingleHeaps, Some(shingleHeapsSql)),
+    QueryDef("d61_minhash_estimate_audit", minhashEstimateAudit,
+      Some(minhashEstimateAuditSql)),
   )
 }

@@ -1287,4 +1287,44 @@ class DedupSpec extends SparkSpec {
       assert(b._4 > a._4, s"vocab stalled between deciles ${a._1} and ${b._1}") }
     assert(got.head._5 > 0.0 && got.head._5 < 1.0, s"beta ${got.head._5} out of (0,1)")
   }
+
+  test("d61 MinHash estimate equals a driver recompute; estimator calibrated") {
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var acc = 0L
+      (0 until 8).foreach(k => acc = (acc << 8) | (d(k) & 0xffL))
+      acc >>> 4
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 until toks.length - 2)
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val shMap = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    def sig(id: Long): Array[Long] =
+      Array.tabulate(16)(p => shMap(id).map(g => md5_60(s"mh-$p-$g")).min)
+    val got = TextOps.minhashEstimateAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, j, est, err) =>
+      val ej = {
+        val (sa, sb) = (shMap(a), shMap(b))
+        (sa & sb).size.toDouble / (sa | sb).size
+      }
+      assert(j == ej, s"($a,$b) exact jaccard")
+      val eest = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 16.0
+      assert(est == eest, s"($a,$b) estimate $est vs $eest")
+      assert(err == est - j, s"($a,$b) err")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+    // estimator calibration: E[est] = J, sigma ~ sqrt(J(1-J)/16) <= 0.125 —
+    // the mean ABSOLUTE error over >= 25 pairs sits well inside 2 sigma
+    val mae = got.map(g => math.abs(g._5)).sum / got.length
+    assert(mae < 0.25, s"mean |err| $mae suggests a broken estimator")
+  }
 }
