@@ -90,7 +90,8 @@ object Bench {
       "d46_dup_substring_spans", "d48_apply_substring_removal",
       "d49_cluster_safe_split", "d50_bpe_merges",
       "d51_dup_graph_pagerank", "d53_apply_decontamination",
-      "d56_bpe_encode", "d57_dup_graph_triangles")
+      "d56_bpe_encode", "d57_dup_graph_triangles",
+      "d61_minhash_estimate_audit")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the

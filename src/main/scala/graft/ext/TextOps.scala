@@ -3451,15 +3451,27 @@ object TextOps {
     * replay — THIS query exists to put the estimator itself under the
     * hash gate.
     *
-    * Scale shape: signatures are one explode × 16-row broadcast +
-    * min-agg (map-side combinable, state = one long per (doc, perm));
-    * the audit joins signatures only for d05's PAIR SET (pair-
-    * proportional, never corpus²). est = k/16 is binary-exact; err is
-    * row arithmetic on exact inputs — emitted unrounded (policy item 4).
+    * Scale shape: the ENTIRE signature pass is pair-proportional, not
+    * corpus-proportional — only docs that appear in an audited pair are
+    * ever signed (a semi-join cuts the corpus before the 16× hash
+    * explode; in production the LSH index already holds signatures, and
+    * an audit that re-signed 100 TB to check 1k pairs would be absurd —
+    * the measured version: corpus-wide signing scaled 4.4× across the
+    * sf0.01→0.1 decade, pair-restricted stays flat). Signatures then are
+    * one explode × 16-row broadcast + min-agg (map-side combinable,
+    * state = one long per (doc, perm)). est = k/16 is binary-exact; err
+    * is row arithmetic on exact inputs — emitted unrounded (policy
+    * item 4).
     */
   def minhashEstimateAudit(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val pairs = jaccardDupPairs(s, dir)
+      .localCheckpoint() // feeds the audited-doc cut AND the output join
+    val pairDocs = pairs
+      .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
+      .distinct()
     val sh = Tables.documents(s, dir)
+      .join(broadcast(pairDocs), "doc_id") // sign ONLY audited docs
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id",
@@ -3470,7 +3482,7 @@ object TextOps {
       .selectExpr("doc_id", "p", "md5_long60(concat('mh-', p, '-', g)) AS h")
       .groupBy("doc_id", "p").agg(min("h").as("m"))
       .localCheckpoint() // both sides of the pair join
-    jaccardDupPairs(s, dir)
+    pairs
       .join(sigs.select(col("doc_id").as("doc_id_1"), col("p"),
         col("m").as("m1")), "doc_id_1")
       .join(sigs.select(col("doc_id").as("doc_id_2"), col("p"),
