@@ -3521,6 +3521,338 @@ object TextOps {
        |  mh_estimate - jaccard AS err
        |FROM est ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  // ---------------------------------------------------------------- d62
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-style
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, k1 = 1.2,
+    * b = 0.75): top-5 documents per query term, the lookup side of the
+    * corpus — after dedup/filtering, retrieval over the training set is
+    * how decontamination probes, data maps, and eval-leak searches are
+    * actually served. The query set is data-derived and deterministic:
+    * the 8 rarest tokens (df ASC, token ASC) — the most discriminative
+    * terms the vocabulary has.
+    *
+    * Plan shape at scale: ONE token explode builds the tf (doc,token)
+    * table (map-side combinable), and every other input derives from
+    * tf without touching the corpus again — dl(doc) = Σ tf, df and the
+    * query-term set reduce tf by token, corpus stats reduce dl. The
+    * 8-term query set and the 2-value corpus stats (N,
+    * Σdl) BROADCAST onto tf, so scoring touches only the posting lists
+    * of the query terms — the corpus-wide token stream is never joined
+    * row-at-scale, and the only window partitions by query_term over
+    * those posting lists (parallel across terms; a term's list is
+    * df-bounded, and a production index would cap it with the TopK
+    * aggregator — here the window keeps the oracle shape exact).
+    *
+    * Determinism: ranking sorts by the ROUNDED score (6 dp, policy
+    * item 6 — ln is irrational) so both engines order identical keys,
+    * with doc_id as the full tie-breaker (equal tf/dl ⇒ equal scores
+    * are common in a 31-token vocab).
+    */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan: everything downstream (dl, df, corpus stats, the
+    // query-term set) derives from the tf table — dl(doc) = Σ_tok tf is
+    // the same number a second explode would count. tf is the inverted
+    // index a production deployment materializes; persisting it here
+    // (runner-owns-cleanup contract, q31's lesson) keeps its three
+    // consumers from re-exploding the corpus.
+    val tf = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text,' ')) AS token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qterms = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("token").asc).limit(8)
+    tf.join(broadcast(qterms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("token AS query_term", "doc_id",
+        """round(ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D))
+          |  * (tf * 2.2D)
+          |  / (tf + 1.2D * (0.25D + 0.75D * (dl * 1.0D * n_docs / sum_dl))),
+          |  6) AS bm25""".stripMargin)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_term")
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("query_term", "rank", "doc_id", "bm25")
+      .orderBy("query_term", "rank")
+  }
+
+  private val bm25RetrievalSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |              FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |q AS (SELECT token, count(*) AS df FROM tf GROUP BY 1
+      |      ORDER BY df ASC, token ASC LIMIT 8),
+      |scored AS (
+      |  SELECT q.token AS query_term, tf.doc_id,
+      |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl * 1.0 * n_docs / sum_dl))),
+      |      6) AS bm25
+      |  FROM tf JOIN q ON tf.token = q.token
+      |  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      |r AS (SELECT query_term, doc_id, bm25,
+      |        row_number() OVER (PARTITION BY query_term
+      |          ORDER BY bm25 DESC, doc_id ASC) AS rank
+      |      FROM scored)
+      |SELECT query_term, CAST(rank AS INT) AS rank, doc_id, bm25
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_term, rank""".stripMargin
+
+  // ---------------------------------------------------------------- d63
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * per-document importance log-weight ln p_target(x) − ln p_raw(x)
+    * under HASHED bigram bag-of-features models — the selection score
+    * that resamples a raw crawl toward a target domain (here: the
+    * `lang = 'en'` slice stands in for the target corpus). Features
+    * are bigrams hashed into 1024 buckets ('ds:' domain-separated
+    * md5-60, cross-engine exact); both models are add-one-smoothed
+    * bucket frequencies, so
+    *   logw(d) = Σ_b∈d ln((ct_b+1)/(cr_b+1)) − |d|·ln((Nt+B)/(Nr+B)).
+    *
+    * Scale shape: the bucket models are ≤1024 rows BY CONSTRUCTION —
+    * feature hashing is what makes DSIR run on a crawl: BOTH models
+    * come out of ONE agg over the bigram stream (target = a
+    * conditional sum beside the raw count — separate raw/target aggs
+    * would scan the corpus-wide explode twice more), the totals reduce
+    * the 1024-row model, and everything broadcasts; scoring is one
+    * map-side join over the stream plus one doc-keyed sum (map-side
+    * combinable). Two stream evaluations total — model build and
+    * scoring — the floor without materializing a corpus-scale stream.
+    * Float posture: row-level ln of exact-integer ratios is
+    * bit-identical across engines; the per-doc sum carries d23's
+    * accepted 6-dp display rounding.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val feats = Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "split(text,' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id", "lang",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1)))) AS bg""".stripMargin)
+      .selectExpr("doc_id", "lang",
+        s"pmod(${md5h60("concat('ds:', bg)")}, 1024) AS f")
+    // both models in ONE agg over the bigram stream (cr = all, ct = the
+    // target slice as a conditional sum) — the naive raw/tgt/join
+    // spelling scans the corpus-wide explode three times
+    val model = feats.groupBy("f")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    feats.join(broadcast(model), Seq("f"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("""round(sum(ln((ct + 1.0D) / (cr + 1.0D)))
+               |  - count(1) * ln((first(nt) + 1024.0D)
+               |                / (first(nr) + 1024.0D)), 6)""".stripMargin)
+          .as("logw"))
+      .orderBy("doc_id")
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks
+       |           FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |       FROM t WHERE len(toks) >= 2),
+       |feats AS (SELECT doc_id, lang,
+       |            ${md5h60Sql("'ds:' || bg")} % 1024 AS f FROM bg),
+       |raw AS (SELECT f, count(*) AS cr FROM feats GROUP BY 1),
+       |tgt AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en'
+       |        GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+       |               (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt),
+       |model AS (SELECT raw.f, cr, coalesce(ct, 0) AS ct
+       |          FROM raw LEFT JOIN tgt ON raw.f = tgt.f)
+       |SELECT doc_id, count(*) AS n_feats,
+       |  round(sum(ln((ct + 1.0) / (cr + 1.0)))
+       |    - count(*) * ln((max(nt) + 1024.0) / (max(nr) + 1024.0)), 6) AS logw
+       |FROM feats JOIN model USING (f), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d64
+
+  /** Stupid-backoff bigram scoring of the held-out split (Brants et al.
+    * 2007, arXiv/W07 "Large Language Models in Machine Translation" —
+    * THE distributed-by-construction LM: no normalization, no
+    * discounting, so the model is nothing but count tables and scoring
+    * is embarrassingly parallel; the paper's point, and this query's,
+    * is that at crawl scale this beats fancy smoothing it can't afford).
+    * Score of bigram (w1,w2): cb/cf when the TRAIN split saw it, else
+    * 0.4 · cu(w2)/N (the backoff path); w2 never seen in train at all
+    * is OOV — excluded from the mean and reported, d54's discipline.
+    *
+    * Scale shape: all three model tables are VOCAB-bounded (cb ≤ V²,
+    * cf/cu ≤ V) so they broadcast with the 1-row total; scoring is one
+    * map-side pass over the held-out bigram stream + a doc-keyed
+    * map-combinable agg — the train corpus is aggregated once, the
+    * held-out corpus never shuffles except per-doc. Float posture: ln
+    * of exact-integer ratios (0.4 as an exact double constant both
+    * sides); per-doc avg carries d23's accepted 6-dp rounding.
+    */
+  def stupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir).selectExpr("doc_id", "text", docBucket)
+    val bigramOf = """explode(transform(sequence(1, size(toks) - 1),
+                     |  i -> struct(element_at(toks, i) AS w1,
+                     |              element_at(toks, i + 1) AS w2))) AS b""".stripMargin
+    val cb = docs.filter(col("bucket") < TrainCut)
+      .selectExpr("split(text,' ') AS toks").where("size(toks) >= 2")
+      .selectExpr(bigramOf).select("b.w1", "b.w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cf = cb.groupBy("w1").agg(sum("cb").as("cf"))
+    val cu = docs.filter(col("bucket") < TrainCut)
+      .selectExpr("explode(split(text,' ')) AS w2")
+      .groupBy("w2").agg(count(lit(1)).as("cu"))
+    val nt = cu.agg(sum("cu").as("nt"))
+    docs.filter(col("bucket") >= ValCut)
+      .selectExpr("doc_id", "split(text,' ') AS toks").where("size(toks) >= 2")
+      .selectExpr("doc_id", bigramOf)
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(broadcast(cf), Seq("w1"), "left")
+      .join(broadcast(cu), Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .selectExpr("doc_id",
+        "CASE WHEN cb IS NULL AND cu IS NOT NULL THEN 1L ELSE 0L END AS is_backoff",
+        "CASE WHEN cu IS NULL THEN 1L ELSE 0L END AS is_oov",
+        """CASE WHEN cb IS NOT NULL THEN ln(cb * 1.0D / cf)
+          |     WHEN cu IS NOT NULL THEN ln(0.4D * cu / nt)
+          |     ELSE CAST(NULL AS DOUBLE) END AS lns""".stripMargin)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("is_backoff").as("n_backoff"),
+        sum("is_oov").as("n_oov"),
+        round(avg("lns"), 6).as("sb_logscore"))
+      .orderBy("doc_id")
+  }
+
+  private val stupidBackoffSql =
+    s"""WITH d AS (SELECT doc_id, text, $docBucketSql FROM documents),
+       |tb AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+       |         SELECT unnest(list_transform(range(1, len(toks)),
+       |                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+       |         FROM (SELECT string_split(text,' ') AS toks FROM d
+       |               WHERE bucket < $TrainCut)
+       |         WHERE len(toks) >= 2)),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM tb GROUP BY 1, 2),
+       |cf AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cf FROM cb GROUP BY 1),
+       |cu AS (SELECT w2, count(*) AS cu FROM (
+       |         SELECT unnest(string_split(text,' ')) AS w2 FROM d
+       |         WHERE bucket < $TrainCut) GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM cu),
+       |hb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+       |         SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+       |         FROM (SELECT doc_id, string_split(text,' ') AS toks FROM d
+       |               WHERE bucket >= $ValCut)
+       |         WHERE len(toks) >= 2)),
+       |sc AS (SELECT doc_id,
+       |         CASE WHEN cb IS NULL AND cu IS NOT NULL THEN 1 ELSE 0 END
+       |           AS is_backoff,
+       |         CASE WHEN cu IS NULL THEN 1 ELSE 0 END AS is_oov,
+       |         CASE WHEN cb IS NOT NULL THEN ln(cb * 1.0 / cf)
+       |              WHEN cu IS NOT NULL
+       |                THEN ln(CAST(0.4 AS DOUBLE) * cu / nt)
+       |              ELSE NULL END AS lns
+       |       FROM hb LEFT JOIN cb USING (w1, w2) LEFT JOIN cf USING (w1)
+       |            LEFT JOIN cu USING (w2), nt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+       |  CAST(sum(is_oov) AS BIGINT) AS n_oov,
+       |  round(avg(lns), 6) AS sb_logscore
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d65
+
+  /** Fuzzy decontamination: train-split documents whose winnowed
+    * fingerprints are ≥ 50% CONTAINED in some test-split document — the
+    * edit-tolerant leak detector (d18's exact 8-gram probe misses a
+    * contaminated doc that was lightly paraphrased or truncated;
+    * winnowing's position-invariant local sampling survives both, the
+    * reason plagiarism/contamination tooling is built on it —
+    * Schleimer 2003). Fingerprints are min-hashes over 3-wide windows
+    * of WORD-TRIGRAM hashes (d05's shingle granularity, winnowed to
+    * ~1/3 of the stream): character 5-grams on this 31-word vocabulary
+    * are near-ubiquitous — the all-pairs trap — while token trigrams
+    * stay selective (candidate pairs drop ~40×, measured).
+    *
+    * Scale shape: the pair candidates come from a POSTING-LIST join
+    * keyed by fingerprint (d05's inverted-index discipline — never
+    * train × test): each side explodes its distinct fingerprints once,
+    * the join is fingerprint-proportional, and the per-pair agg is
+    * map-side combinable. A boilerplate fingerprint shared by
+    * everything makes a hot key — production caps posting lists
+    * exactly as d39 does for shingles. The winnow ARRAY frame is
+    * localCheckpoint'd before the explode: project collapse otherwise
+    * inlines the hash chain into every downstream reference and the
+    * generator path re-evaluates it per OUTPUT row (measured 68 s vs
+    * 0.3 s on 500 docs); the fingerprint index is the artifact a
+    * production pipeline persists anyway. Containment = |shared| /
+    * |train fps| is exact-integer division — bit-identical across
+    * engines, emitted unrounded (policy item 4) — and the 0.5
+    * threshold compares that exact value.
+    */
+  def fuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fpsFrame = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks", docBucket)
+      .where("size(toks) >= 6")
+      .selectExpr("doc_id", "bucket",
+        s"""transform(sequence(1, size(toks) - 2),
+           |  i -> ${md5h60("concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))")}) AS hs""".stripMargin)
+      .selectExpr("doc_id", "bucket",
+        "array_distinct(transform(sequence(1, size(hs) - 2), i -> array_min(slice(hs, i, 3)))) AS fps")
+      .localCheckpoint()
+    val e = fpsFrame
+      .selectExpr("doc_id", "bucket", "size(fps) AS n_fp", "explode(fps) AS fp")
+    val tr = e.where(col("bucket") < TrainCut)
+      .select(col("doc_id").as("train_doc_id"), col("n_fp"), col("fp"))
+    val te = e.where(col("bucket") >= ValCut)
+      .select(col("doc_id").as("test_doc_id"), col("fp"))
+    tr.join(te, Seq("fp"))
+      .groupBy("train_doc_id", "test_doc_id", "n_fp")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(expr("n_shared_fp * 1.0D / n_fp >= 0.5D"))
+      .selectExpr("train_doc_id", "test_doc_id", "n_fp", "n_shared_fp",
+        "n_shared_fp * 1.0D / n_fp AS containment")
+      .orderBy("train_doc_id", "test_doc_id")
+  }
+
+  private val fuzzyDecontaminationSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+       |             $docBucketSql FROM documents),
+       |h AS (SELECT doc_id, bucket,
+       |        list_transform(range(1, len(toks) - 1),
+       |          i -> ${md5h60Sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}) AS hs
+       |      FROM d WHERE len(toks) >= 6),
+       |f AS (SELECT doc_id, bucket,
+       |        list_distinct(list_transform(range(1, len(hs) - 1),
+       |          i -> list_min(hs[i:i+2]))) AS fps FROM h),
+       |e AS (SELECT doc_id, bucket, len(fps) AS n_fp, unnest(fps) AS fp
+       |      FROM f),
+       |tr AS (SELECT doc_id AS train_doc_id, n_fp, fp FROM e
+       |       WHERE bucket < $TrainCut),
+       |te AS (SELECT doc_id AS test_doc_id, fp FROM e
+       |       WHERE bucket >= $ValCut),
+       |j AS (SELECT train_doc_id, test_doc_id, n_fp, count(*) AS n_shared_fp
+       |      FROM tr JOIN te USING (fp) GROUP BY 1, 2, 3)
+       |SELECT train_doc_id, test_doc_id, n_fp,
+       |  CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+       |  n_shared_fp * 1.0 / n_fp AS containment
+       |FROM j WHERE n_shared_fp * 1.0 / n_fp >= 0.5
+       |ORDER BY train_doc_id, test_doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3605,5 +3937,10 @@ object TextOps {
     QueryDef("d60_shingle_heaps", shingleHeaps, Some(shingleHeapsSql)),
     QueryDef("d61_minhash_estimate_audit", minhashEstimateAudit,
       Some(minhashEstimateAuditSql)),
+    QueryDef("d62_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql)),
+    QueryDef("d63_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    QueryDef("d64_stupid_backoff", stupidBackoff, Some(stupidBackoffSql)),
+    QueryDef("d65_fuzzy_decontamination", fuzzyDecontamination,
+      Some(fuzzyDecontaminationSql)),
   )
 }

@@ -166,5 +166,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pair_explode"),
       new ExpressionInfo(classOf[PairExplode].getName, "pair_explode"),
       GraftFunctions.buildPairExplode _))
+    // Opt-in scale guardrail (spark.graft.failOnGlobalWindow=true): fail
+    // analysis on partition-less windows — the single-task funnel shape.
+    ext.injectCheckRule(session =>
+      new graft.plans.GlobalWindowGuard.CheckRule(session))
   }
 }

@@ -1327,4 +1327,190 @@ class DedupSpec extends SparkSpec {
     val mae = got.map(g => math.abs(g._5)).sum / got.length
     assert(mae < 0.25, s"mean |err| $mae suggests a broken estimator")
   }
+
+  test("d62 BM25 equals a driver recompute; ranks contiguous, scores monotone") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val tf = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val n = docs.length.toLong
+    val sumDl = dl.values.sum
+    val qterms = dfm.toSeq.sortBy { case (t, d) => (d, t) }.take(8)
+    def score(t: String, id: Long): Double = {
+      val (tfv, dfv, dlv) = (tf((id, t)).toDouble, dfm(t).toDouble, dl(id).toDouble)
+      val raw = math.log(1.0 + (n.toDouble - dfv + 0.5) / (dfv + 0.5)) *
+        (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * (dlv * 1.0 * n / sumDl)))
+      math.rint(raw * 1e6) / 1e6
+    }
+    val expected = qterms.flatMap { case (t, _) =>
+      docs.collect { case (id, _) if tf.contains((id, t)) => (t, id, score(t, id)) }
+        .sortBy { case (_, id, sc) => (-sc, id) }.take(5).zipWithIndex
+        .map { case ((tt, id, sc), i) => (tt, i + 1, id) -> sc }
+    }.toMap
+    val got = TextOps.bm25Retrieval(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing ${expected.keySet -- got.keySet}; extra ${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, sc) =>
+      assert(math.abs(got(k) - sc) < 1.5e-6, s"$k: ${got(k)} vs $sc") }
+    // per-term ranks are 1..k with non-increasing scores
+    got.groupBy(_._1._1).foreach { case (t, rows) =>
+      val byRank = rows.toSeq.sortBy(_._1._2)
+      assert(byRank.map(_._1._2) == (1 to byRank.length), s"ranks for $t")
+      assert(byRank.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"scores not monotone for $t")
+    }
+  }
+
+  test("d63 DSIR weights equal a driver recompute; en docs score higher on average") {
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var acc = 0L
+      (0 until 8).foreach(k => acc = (acc << 8) | (d(k) & 0xffL))
+      acc >>> 4
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+      .filter(_._3.length >= 2)
+    def feats(ts: Array[String]): Seq[Long] =
+      (0 until ts.length - 1).map(i => md5_60(s"ds:${ts(i)} ${ts(i + 1)}") % 1024)
+    val all = docs.flatMap { case (id, lang, ts) => feats(ts).map((id, lang, _)) }
+    val cr = all.groupBy(_._3).map { case (f, v) => f -> v.length.toLong }
+    val ct = all.filter(_._2 == "en").groupBy(_._3)
+      .map { case (f, v) => f -> v.length.toLong }
+    val (nr, nt) = (cr.values.sum.toDouble, ct.values.sum.toDouble)
+    val got = TextOps.dsirWeights(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == docs.length)
+    val lw = got.map(g => g._1 -> g._3).toMap
+    docs.foreach { case (id, _, ts) =>
+      val fs = feats(ts)
+      val exp = fs.map(f => math.log((ct.getOrElse(f, 0L) + 1.0) / (cr(f) + 1.0))).sum -
+        fs.length * math.log((nt + 1024.0) / (nr + 1024.0))
+      assert(math.abs(lw(id) - exp) < 2e-6, s"doc $id: ${lw(id)} vs $exp")
+    }
+    // the selection signal points at the target: en mean beats non-en mean
+    val byLang = docs.map { case (id, lang, _) => (lang, lw(id)) }
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val en = mean(byLang.toSeq.filter(_._1 == "en").map(_._2))
+    val rest = mean(byLang.toSeq.filter(_._1 != "en").map(_._2))
+    assert(en > rest, s"en mean $en should exceed non-en mean $rest")
+  }
+
+  test("d64 stupid backoff equals a driver recompute; backoff path exercised") {
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var acc = 0L
+      (0 until 8).foreach(k => acc = (acc << 8) | (d(k) & 0xffL))
+      acc >>> 4
+    }
+    def bucket(id: Long): Long = md5_60(id.toString) % 100
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val test_ = docs.filter(d => bucket(d._1) >= 90).filter(_._2.length >= 2)
+    def bigrams(ts: Array[String]) =
+      (0 until ts.length - 1).map(i => (ts(i), ts(i + 1)))
+    val cb = train.filter(_._2.length >= 2).flatMap(d => bigrams(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cf = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val cu = train.flatMap(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val nt = cu.values.sum.toDouble
+    val got = TextOps.stupidBackoff(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet == test_.map(_._1).toSet)
+    var anyBackoff = false
+    test_.foreach { case (id, ts) =>
+      val bs = bigrams(ts)
+      val scores = bs.flatMap { case (w1, w2) =>
+        if (cb.contains((w1, w2))) Some(math.log(cb((w1, w2)) * 1.0 / cf(w1)))
+        else if (cu.contains(w2)) Some(math.log(0.4 * cu(w2) / nt))
+        else None
+      }
+      val nBackoff = bs.count { case (w1, w2) =>
+        !cb.contains((w1, w2)) && cu.contains(w2) }
+      val nOov = bs.count { case (_, w2) => !cu.contains(w2) }
+      anyBackoff ||= nBackoff > 0
+      val (gn, gb, go, gs) = got(id)
+      assert(gn == bs.length && gb == nBackoff && go == nOov, s"counts for $id")
+      assert(math.abs(gs - scores.sum / scores.length) < 2e-6, s"score for $id")
+    }
+    assert(anyBackoff, "corpus should exercise the backoff path")
+  }
+
+  test("d65 fuzzy decontamination equals a driver winnow recompute") {
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var acc = 0L
+      (0 until 8).foreach(k => acc = (acc << 8) | (d(k) & 0xffL))
+      acc >>> 4
+    }
+    def bucket(id: Long): Long = md5_60(id.toString) % 100
+    def fps(t: String): Set[Long] = {
+      val ts = t.split(" ", -1)
+      if (ts.length < 6) return Set.empty
+      val hs = (0 to ts.length - 3)
+        .map(i => md5_60(s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}"))
+      (0 to hs.length - 3).map(i => hs.slice(i, i + 3).min).toSet
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), fps(r.getString(1)))).filter(_._2.nonEmpty)
+    val tr = docs.filter(d => bucket(d._1) < 80)
+    val te = docs.filter(d => bucket(d._1) >= 90)
+    val expected = (for {
+      (tid, tf) <- tr; (eid, ef) <- te
+      shared = (tf & ef).size
+      if shared * 1.0 / tf.size >= 0.5
+    } yield (tid, eid, tf.size.toLong, shared.toLong)).toSet
+    val got = TextOps.fuzzyDecontamination(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty, "corpus should contain cross-split near-dups")
+    assert(got == expected,
+      s"missing ${expected -- got}; extra ${got -- expected}")
+  }
+
+  test("e30 hard negatives equal an in-bucket brute-force recompute") {
+    val vs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucket(v: Array[Double]): Int =
+      VectorOps.planes.zipWithIndex.map { case (p, i) =>
+        if (dot(v, p.toArray) > 0) 1 << i else 0
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+    val withB = vs.map { case (id, l, v) => (id, l, v, bucket(v)) }
+    val expected = withB.flatMap { case (id, l, v, b) =>
+      val cands = withB.filter(o => o._4 == b && o._2 != l)
+        .map(o => (o._1, o._2, cos(v, o._3)))
+      if (cands.isEmpty) None
+      else Some {
+        val best = cands.minBy { case (nid, _, c) => (-c, nid) }
+        (id, l, best._1, best._2) -> best._3
+      }
+    }.toMap
+    val got = VectorOps.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+        -> r.getDouble(4)).toMap
+    assert(expected.nonEmpty, "buckets should contain cross-label candidates")
+    assert(got.keySet == expected.keySet,
+      s"missing ${expected.keySet -- got.keySet}; extra ${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1.5e-6, s"$k: ${got(k)} vs $c") }
+    got.keySet.foreach { case (_, l, _, nl) => assert(l != nl) }
+  }
 }

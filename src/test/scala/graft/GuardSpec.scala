@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.SparkException
+import graft.plans.GlobalWindowGuard
+
+/** GlobalWindowGuard: the runtime funnel guardrail (library assert +
+  * conf-gated analysis check rule). Uses an isolated `newSession()` so the
+  * conf flip can never leak into suites sharing the JVM-wide session.
+  */
+class GuardSpec extends SparkSpec {
+
+  private def s2 = spark.newSession()
+
+  test("assertNone rejects a partition-less window and names it") {
+    val df = spark.range(10)
+      .selectExpr("id", "row_number() OVER (ORDER BY id) AS rn")
+    val e = intercept[SparkException] { GlobalWindowGuard.assertNone(df) }
+    assert(e.getMessage.contains("Partition-less window"))
+    assert(e.getMessage.contains("rn"))
+  }
+
+  test("assertNone accepts partitioned windows") {
+    val df = spark.range(10)
+      .selectExpr("id", "id % 3 AS g")
+      .selectExpr("id", "row_number() OVER (PARTITION BY g ORDER BY id) AS rn")
+    GlobalWindowGuard.assertNone(df) // must not throw
+  }
+
+  test("finds windows hidden inside subqueries") {
+    val s = s2
+    s.range(10).createOrReplaceTempView("gw_t")
+    val df = s.sql(
+      """SELECT * FROM gw_t WHERE id IN
+        |  (SELECT id FROM (SELECT id, row_number() OVER (ORDER BY id) AS r
+        |                   FROM gw_t) WHERE r <= 3)""".stripMargin)
+    assert(GlobalWindowGuard.globalWindows(df.queryExecution.analyzed).nonEmpty)
+  }
+
+  test("check rule fires only when the conf opts in") {
+    val s = s2
+    val bad = s.range(10)
+      .selectExpr("id", "row_number() OVER (ORDER BY id) AS rn")
+    val rule = new GlobalWindowGuard.CheckRule(s)
+    rule(bad.queryExecution.analyzed) // conf unset: no-op
+    s.conf.set(GlobalWindowGuard.confKey, "true")
+    intercept[SparkException] { rule(bad.queryExecution.analyzed) }
+    val ok = s.range(10)
+      .selectExpr("id", "id % 3 AS g")
+      .selectExpr("id", "sum(id) OVER (PARTITION BY g) AS t")
+    rule(ok.queryExecution.analyzed) // partitioned: passes even when on
+  }
+}
