@@ -484,6 +484,46 @@ object Temporal {
       | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
       |ORDER BY error_id, purchase_id""".stripMargin
 
+  /** FULL OUTER variant — batch twin of
+    * `streaming.StreamOps.purchasesNearErrorsFullOuter`, completing the
+    * interval-join matrix (inner t16 / left t46 / full t47): unmatched
+    * errors AND unmatched purchases both survive, null-padded on the
+    * absent side, so `user_id` coalesces across sides. Unlike t46, the
+    * sort keys themselves can now be NULL (an unmatched purchase has no
+    * error_id), and Spark defaults NULLS FIRST where DuckDB defaults
+    * NULLS LAST — both sides pin NULLS LAST explicitly. Same single
+    * user_id-keyed shuffle as t16.
+    */
+  def purchasesNearErrorsFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("ets"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"), col("value").as("purchase_value"))
+    err.join(pur,
+        col("e_user") === col("p_user") &&
+          col("pts") >= col("ets") - expr("INTERVAL 1 HOUR") && col("pts") <= col("ets"),
+        "full")
+      .select(col("error_id"), col("purchase_id"),
+        coalesce(col("e_user"), col("p_user")).as("user_id"),
+        unix_micros(col("ets")).as("error_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
+      .orderBy(col("error_id").asc_nulls_last, col("purchase_id").asc_nulls_last)
+  }
+
+  private val purchasesNearErrorsFullOuterSql =
+    """SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+      | coalesce(e.user_id, p.user_id) AS user_id,
+      | epoch_us(e.ts) AS error_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+      | p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+      |ORDER BY error_id NULLS LAST, purchase_id NULLS LAST""".stripMargin
+
   /** RANGE-frame window (every other frame in the inventory is ROWS-based):
     * per event, the running sum of the same user's values in the trailing
     * hour — the frame is defined by the ORDER-BY VALUE (event time), so
@@ -1911,5 +1951,7 @@ object Temporal {
     QueryDef("t45_incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
     QueryDef("t46_purchases_near_errors_outer", purchasesNearErrorsOuter,
       Some(purchasesNearErrorsOuterSql)),
+    QueryDef("t47_purchases_near_errors_full", purchasesNearErrorsFullOuter,
+      Some(purchasesNearErrorsFullOuterSql)),
   )
 }

@@ -757,6 +757,21 @@ object StreamOps {
   def purchasesNearErrorsOuter(errors: DataFrame, purchases: DataFrame): DataFrame =
     ssjProject(ssjJoin(errors, purchases, "leftOuter"))
 
+  /** FULL OUTER variant — completes the stream-stream join matrix
+    * (inner t16 / left outer t46 / full outer t47): unmatched ERRORS
+    * null-pad the purchase side (as in the left form) AND unmatched
+    * PURCHASES null-pad the error side, each emitted exactly once when
+    * its own watermark proves no partner can still arrive (a purchase
+    * at pts can only match errors with ets ∈ [pts, pts + 1h], so once
+    * the error-side watermark passes pts + 1h the purchase's fate is
+    * sealed). State bound and eviction are the inner form's — the
+    * outer emissions ride the same expiry scan. `user_id` must
+    * COALESCE across sides: either side may be the null one. Batch
+    * twin under the oracle gate: Temporal t47.
+    */
+  def purchasesNearErrorsFullOuter(errors: DataFrame, purchases: DataFrame): DataFrame =
+    ssjProject(ssjJoin(errors, purchases, "fullOuter"))
+
   private def ssjJoin(errors: DataFrame, purchases: DataFrame,
                       joinType: String): DataFrame = {
     val err = errors
@@ -773,7 +788,8 @@ object StreamOps {
   }
 
   private def ssjProject(joined: DataFrame): DataFrame =
-    joined.select(col("error_id"), col("purchase_id"), col("e_user").as("user_id"),
+    joined.select(col("error_id"), col("purchase_id"),
+      coalesce(col("e_user"), col("p_user")).as("user_id"),
       unix_micros(col("ets")).as("error_ts_us"),
       unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
 

@@ -271,6 +271,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream FULL OUTER interval join: both null sides emit at the watermark, result equals the t47 batch twin") {
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(500)
+    val maxMs = data.map(_.ts.getTime).max
+    val errs = MemoryStream[Event]; val purs = MemoryStream[Event]
+    val q = StreamOps.purchasesNearErrorsFullOuter(errs.toDF(), purs.toDF())
+      .writeStream.format("memory").queryName("ssj_full").outputMode("append").start()
+    try {
+      errs.addData(data.filter(_.event_type == "error"))
+      purs.addData(data.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      val flushTs = new java.sql.Timestamp(maxMs + 10L * 3600 * 1000)
+      errs.addData(Event(999999L, flushTs, 999999L, "error", 0.0))
+      purs.addData(Event(999998L, flushTs, 999998L, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // drop the two flush rows (they surface as unmatched outer rows);
+    // null keys sort NULLS LAST to match the batch twin's pinned order
+    val streamed = spark.table("ssj_full")
+      .filter((col("error_id").isNull || col("error_id") < 999999L) &&
+        (col("purchase_id").isNull || col("purchase_id") < 999998L))
+      .orderBy(col("error_id").asc_nulls_last, col("purchase_id").asc_nulls_last)
+      .collect()
+    val batchInput = data.toDF()
+    val batch = StreamOps.purchasesNearErrorsFullOuter(
+        batchInput.filter(col("event_type") === "error"),
+        batchInput.filter(col("event_type") === "purchase"))
+      .orderBy(col("error_id").asc_nulls_last, col("purchase_id").asc_nulls_last)
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_.isNullAt(1)), "expected null-padded errors")
+    assert(streamed.exists(_.isNullAt(0)), "expected null-padded purchases")
+    assert(streamed.count(r => !r.isNullAt(0) && !r.isNullAt(1)) > 0,
+      "expected matched pairs too")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("transformWithState running stats (RocksDB store) equal the batch window twin") {
     implicit val ctx = spark.sqlContext
     def us(t: java.sql.Timestamp): Long =
