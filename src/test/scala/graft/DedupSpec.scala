@@ -1478,6 +1478,46 @@ class DedupSpec extends SparkSpec {
       s"missing ${expected -- got}; extra ${got -- expected}")
   }
 
+  test("e31 triplets equal an in-bucket brute-force recompute; margins consistent") {
+    val vs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucket(v: Array[Double]): Int =
+      VectorOps.planes.zipWithIndex.map { case (p, i) =>
+        if (dot(v, p.toArray) > 0) 1 << i else 0
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+    val withB = vs.map { case (id, l, v) => (id, l, v, bucket(v)) }
+    val expected = withB.flatMap { case (id, l, v, b) =>
+      val inB = withB.filter(o => o._4 == b && o._1 != id)
+      val pos = inB.filter(_._2 == l).map(o => (o._1, cos(v, o._3)))
+      val neg = inB.filter(_._2 != l).map(o => (o._1, cos(v, o._3)))
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val p = pos.minBy { case (cid, c) => (-c, cid) }
+        val n = neg.minBy { case (cid, c) => (-c, cid) }
+        Some((id, l, p._1, n._1) -> (p._2, n._2))
+      }
+    }.toMap
+    val got = VectorOps.tripletMining(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4))
+        -> (r.getDouble(3), r.getDouble(5), r.getDouble(6))).toMap
+    assert(expected.nonEmpty, "buckets should yield complete triplets")
+    assert(got.keySet == expected.keySet,
+      s"missing ${expected.keySet -- got.keySet}; extra ${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, (pc, nc)) =>
+      val (gp, gn, gm) = got(k)
+      assert(math.abs(gp - pc) < 1.5e-6 && math.abs(gn - nc) < 1.5e-6, s"$k")
+      assert(gm == gp - gn, s"margin must be the row difference for $k")
+    }
+  }
+
   test("e30 hard negatives equal an in-bucket brute-force recompute") {
     val vs = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "label",
