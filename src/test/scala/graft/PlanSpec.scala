@@ -533,7 +533,8 @@ class PlanSpec extends SparkSpec {
     val names = Seq("e03_lsh_buckets", "e05_ann_lsh_top5", "e07_ann_ivf_top5",
       "e13_lsh_recall", "e18_ann_ivf_multiprobe", "e19_pq_knn",
       "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
-      "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook")
+      "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook",
+      "e30_hard_negatives", "e31_triplet_mining")
     spark.sharedState.cacheManager.clearCache()
     val iso = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf0001).collect().toSeq).toMap
