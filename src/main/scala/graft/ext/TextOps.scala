@@ -3853,6 +3853,78 @@ object TextOps {
        |FROM j WHERE n_shared_fp * 1.0 / n_fp >= 0.5
        |ORDER BY train_doc_id, test_doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d66
+
+  /** Curation attrition funnel: d31's quality rules applied as an
+    * ORDERED cascade with per-stage loss accounting — the report a
+    * curator actually reads before shipping a filter config ("the
+    * length rule costs 4% of the corpus, the stopword rule another 11%
+    * of what survived"); every production pipeline publishes this
+    * table next to the filtered corpus, because a rule that silently
+    * deletes half the data is the most expensive bug curation has.
+    *
+    * Scale shape: ONE corpus scan computes all three rule booleans
+    * row-locally, one global conditional-sum agg (map-side combinable,
+    * 4 longs of state) yields every stage's survivor count — the
+    * cascade is CUMULATIVE conjunctions, so stage k's output count is
+    * simply Σ(r1 ∧ … ∧ rk) — and the 3-row funnel unpivots from that
+    * single row via `stack`. No shuffle carries more than one row.
+    * Rates are exact-integer divisions (policy item 3) — emitted
+    * unrounded.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        "length(replace(text, ' ', '')) AS n_alpha",
+        "split(text, ' ') AS toks")
+      .selectExpr(
+        "n_tokens BETWEEN 50 AND 100000 AS r1",
+        "n_alpha * 1.0D / n_tokens BETWEEN 3.0D AND 10.0D AS r2",
+        "array_contains(toks, 'the') AND array_contains(toks, 'a') AS r3")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("r1") && col("r2") && col("r3"), 1L).otherwise(0L))
+          .as("s3"))
+      .selectExpr(
+        """stack(3,
+          |  1, 'len',      n,  s1,
+          |  2, 'word_len', s1, s2,
+          |  3, 'stopword', s2, s3) AS (stage, rule, n_in, n_out)""".stripMargin,
+        "n AS n_total")
+      .selectExpr("stage", "rule", "n_in", "n_out", "n_in - n_out AS n_removed",
+        "n_out * 1.0D / n_total AS survival")
+      .orderBy("stage")
+
+  private val filterFunnelSql =
+    """WITH m AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tokens,
+      |    length(replace(text, ' ', '')) AS n_alpha,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |r AS (SELECT
+      |    n_tokens BETWEEN 50 AND 100000 AS r1,
+      |    CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0 AS r2,
+      |    list_contains(toks, 'the') AND list_contains(toks, 'a') AS r3
+      |  FROM m),
+      |a AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s3
+      |  FROM r),
+      |f AS (
+      |  SELECT 1 AS stage, 'len' AS rule, n AS n_in, s1 AS n_out, n FROM a
+      |  UNION ALL
+      |  SELECT 2, 'word_len', s1, s2, n FROM a
+      |  UNION ALL
+      |  SELECT 3, 'stopword', s2, s3, n FROM a)
+      |SELECT CAST(stage AS INT) AS stage, rule, n_in, n_out,
+      |  n_in - n_out AS n_removed, n_out * 1.0 / n AS survival
+      |FROM f ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -3942,5 +4014,6 @@ object TextOps {
     QueryDef("d64_stupid_backoff", stupidBackoff, Some(stupidBackoffSql)),
     QueryDef("d65_fuzzy_decontamination", fuzzyDecontamination,
       Some(fuzzyDecontaminationSql)),
+    QueryDef("d66_filter_funnel", filterFunnel, Some(filterFunnelSql)),
   )
 }

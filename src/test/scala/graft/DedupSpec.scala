@@ -1478,6 +1478,34 @@ class DedupSpec extends SparkSpec {
       s"missing ${expected -- got}; extra ${got -- expected}")
   }
 
+  test("d66 filter funnel equals a driver recompute; counts telescope") {
+    val docs = Tables.documents(spark, sf0001).select("text").collect()
+      .map(_.getString(0))
+    def rules(t: String): (Boolean, Boolean, Boolean) = {
+      val toks = t.split(" ", -1)
+      val nAlpha = t.replace(" ", "").length
+      (toks.length >= 50 && toks.length <= 100000,
+        { val m = nAlpha * 1.0 / toks.length; m >= 3.0 && m <= 10.0 },
+        toks.contains("the") && toks.contains("a"))
+    }
+    val rs = docs.map(rules)
+    val n = docs.length.toLong
+    val s1 = rs.count(_._1).toLong
+    val s2 = rs.count(r => r._1 && r._2).toLong
+    val s3 = rs.count(r => r._1 && r._2 && r._3).toLong
+    val got = TextOps.filterFunnel(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq ==
+      Seq((1, "len", n, s1), (2, "word_len", s1, s2), (3, "stopword", s2, s3)))
+    got.foreach { case (_, _, nin, nout, nrem, surv) =>
+      assert(nrem == nin - nout)
+      assert(surv == nout * 1.0 / n)
+    }
+    // the funnel telescopes: each stage's input is the previous output
+    assert(got.map(_._3).drop(1).toSeq == got.map(_._4).dropRight(1).toSeq)
+  }
+
   test("e31 triplets equal an in-bucket brute-force recompute; margins consistent") {
     val vs = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "label",
