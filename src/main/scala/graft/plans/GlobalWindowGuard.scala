@@ -67,4 +67,48 @@ object GlobalWindowGuard {
         if (hits.nonEmpty) fail(hits)
       }
   }
+
+  /** PHYSICAL-plan sweep — the precise form of the guard, run after
+    * planning: flags `CartesianProductExec` (the all-pairs blowup) and
+    * partition-less `WindowExec` (the funnel). Precision is the point of
+    * checking physical rather than logical: a `crossJoin(broadcast(one
+    * row of corpus stats))` — this library's own idiom — plans as a
+    * BroadcastNestedLoopJoin and passes, where any logical-level cross-
+    * join ban would have to blacklist it. AQE wrappers and query stages
+    * are traversed. (Plan-embedded subquery expressions are not — use
+    * the analysis-time [[assertNone]] for those.)
+    */
+  def physicalOffenders(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(s"partition-less WindowExec[${w.windowExpression.map(_.name).mkString(", ")}]")
+      case _: CartesianProductExec => Seq("CartesianProductExec")
+      case _ => Nil
+    }
+    self ++ kids.flatMap(physicalOffenders)
+  }
+
+  /** Throws [[SparkException]] if the frame's PLANNED execution contains
+    * a cartesian product or a partition-less window. Callers with a
+    * provably bounded global window should not route that frame through
+    * this check (same contract as [[assertNone]]).
+    */
+  def assertScaleSafe(df: Dataset[_]): Unit = {
+    val hits = physicalOffenders(df.queryExecution.executedPlan)
+    if (hits.nonEmpty)
+      throw new SparkException(
+        "Scale-unsafe physical operator(s): " + hits.mkString("; ") +
+          ". Partition the window / add a join condition or broadcast " +
+          "the bounded side; see graft.operators.Ranking for exact " +
+          "distributed ranking alternatives.")
+  }
 }

@@ -36,6 +36,35 @@ class GuardSpec extends SparkSpec {
     assert(GlobalWindowGuard.globalWindows(df.queryExecution.analyzed).nonEmpty)
   }
 
+  test("physical sweep flags cartesian products but not broadcast loops") {
+    // a small range would auto-broadcast into a nested-loop join, so pin
+    // the threshold off in an isolated session to get the real planner
+    // behavior a fact-fact crossJoin exhibits at scale
+    val s = s2
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val a = s.range(100).selectExpr("id AS x")
+    val b = s.range(100).selectExpr("id AS y")
+    val cart = a.crossJoin(b)
+    val e = intercept[SparkException] { GlobalWindowGuard.assertScaleSafe(cart) }
+    assert(e.getMessage.contains("CartesianProductExec"))
+    // the library's own stats idiom: an EXPLICIT 1-row broadcast side
+    // plans as a BroadcastNestedLoopJoin even with auto-broadcast off —
+    // must pass; this precision is why the sweep is physical, not logical
+    val stats = s.range(100).agg(org.apache.spark.sql.functions.sum("id").as("s"))
+    GlobalWindowGuard.assertScaleSafe(
+      a.crossJoin(org.apache.spark.sql.functions.broadcast(stats)))
+  }
+
+  test("physical sweep flags the funnel window, partitioned windows pass") {
+    val funnel = spark.range(100)
+      .selectExpr("id", "row_number() OVER (ORDER BY id) AS rn")
+    val e = intercept[SparkException] { GlobalWindowGuard.assertScaleSafe(funnel) }
+    assert(e.getMessage.contains("partition-less WindowExec"))
+    GlobalWindowGuard.assertScaleSafe(spark.range(100)
+      .selectExpr("id", "id % 3 AS g")
+      .selectExpr("id", "row_number() OVER (PARTITION BY g ORDER BY id) AS rn"))
+  }
+
   test("check rule fires only when the conf opts in") {
     val s = s2
     val bad = s.range(10)
