@@ -1546,6 +1546,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("e31's negative side agrees with e30 on every shared anchor") {
+    // the two miners must be the SAME mining: e31 restricts e30's anchor
+    // set to those that also have a positive, never changes the negative
+    val e30 = VectorOps.hardNegatives(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val e31 = VectorOps.tripletMining(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5)))
+    assert(e31.nonEmpty)
+    e31.foreach { case (anchor, neg) =>
+      assert(e30.contains(anchor), s"e31 anchor $anchor missing from e30")
+      assert(e30(anchor) == neg, s"negative disagrees for $anchor")
+    }
+  }
+
   test("e30 hard negatives equal an in-bucket brute-force recompute") {
     val vs = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "label",
