@@ -3925,6 +3925,85 @@ object TextOps {
       |  n_in - n_out AS n_removed, n_out * 1.0 / n AS survival
       |FROM f ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- d67
+
+  /** Corpus dup-mass report — the headline numbers a dedup paper (or a
+    * curation review) publishes: how many documents and what TOKEN
+    * share of the corpus is redundant, under exact dedup (d01's
+    * keep-lowest-per-text) and under near-dup clustering (d13's
+    * connected components), reported INDEPENDENTLY — exact dups are by
+    * construction a subset of near-dup clusters, so the two measures
+    * are not additive and are not summed. One row out.
+    *
+    * Scale shape: one corpus scan feeds the per-text group agg and the
+    * 2-value total; the cluster side joins d13's assignment (pipeline
+    * mode shares the persisted cluster frame) to per-doc token counts
+    * — cluster count-sized aggs after that. Every exact group's
+    * members share one text, hence one token count, so the redundant
+    * token mass is (size−1)·tokens with no per-member bookkeeping; the
+    * cluster keeper's tokens come from `min_by(n_tok, doc_id)` — the
+    * keep-lowest discipline d29 applies, measured instead of applied.
+    * Token shares are exact-integer divisions, unrounded.
+    */
+  def dupMassReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", "size(split(text,' ')) AS n_tok")
+    val tot = d.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val ex = d.groupBy("text")
+      .agg(count(lit(1)).as("sz"), min("n_tok").as("tok1"))
+      .agg(
+        coalesce(sum(when(col("sz") > 1, col("sz") - 1)), lit(0L))
+          .as("exact_redundant_docs"),
+        coalesce(sum(when(col("sz") > 1, (col("sz") - 1) * col("tok1"))),
+          lit(0L)).as("exact_redundant_tokens"))
+    val nr = dupClusters(s, dir)
+      .join(d.select("doc_id", "n_tok"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"), sum("n_tok").as("ctok"),
+        expr("min_by(n_tok, doc_id)").as("keeptok"))
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz") - 1), lit(0L)).as("near_redundant_docs"),
+        coalesce(sum(col("ctok") - col("keeptok")), lit(0L))
+          .as("near_redundant_tokens"))
+    tot.crossJoin(ex).crossJoin(nr)
+      .selectExpr("n_docs", "n_tokens",
+        "exact_redundant_docs", "exact_redundant_tokens",
+        "exact_redundant_tokens * 1.0D / n_tokens AS exact_token_share",
+        "n_clusters", "near_redundant_docs", "near_redundant_tokens",
+        "near_redundant_tokens * 1.0D / n_tokens AS near_token_share")
+  }
+
+  private val dupMassReportSql =
+    s"""WITH RECURSIVE $ccReachCte,
+       |cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach
+       |       GROUP BY doc_id),
+       |d AS (SELECT doc_id, text, len(string_split(text,' ')) AS n_tok
+       |      FROM documents),
+       |tot AS (SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT)
+       |          AS n_tokens FROM d),
+       |eg AS (SELECT count(*) AS sz, min(n_tok) AS tok1 FROM d
+       |       GROUP BY text),
+       |ex AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN sz > 1 THEN sz - 1 END), 0)
+       |      AS BIGINT) AS exact_redundant_docs,
+       |    CAST(coalesce(sum(CASE WHEN sz > 1 THEN (sz - 1) * tok1 END), 0)
+       |      AS BIGINT) AS exact_redundant_tokens
+       |  FROM eg),
+       |cg AS (SELECT cluster_id, count(*) AS sz, sum(n_tok) AS ctok,
+       |         min_by(n_tok, d.doc_id) AS keeptok
+       |       FROM cl JOIN d USING (doc_id) GROUP BY cluster_id),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |         CAST(coalesce(sum(sz - 1), 0) AS BIGINT)
+       |           AS near_redundant_docs,
+       |         CAST(coalesce(sum(ctok - keeptok), 0) AS BIGINT)
+       |           AS near_redundant_tokens
+       |       FROM cg)
+       |SELECT n_docs, n_tokens, exact_redundant_docs, exact_redundant_tokens,
+       |  exact_redundant_tokens * 1.0 / n_tokens AS exact_token_share,
+       |  n_clusters, near_redundant_docs, near_redundant_tokens,
+       |  near_redundant_tokens * 1.0 / n_tokens AS near_token_share
+       |FROM tot, ex, nr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -4015,5 +4094,6 @@ object TextOps {
     QueryDef("d65_fuzzy_decontamination", fuzzyDecontamination,
       Some(fuzzyDecontaminationSql)),
     QueryDef("d66_filter_funnel", filterFunnel, Some(filterFunnelSql)),
+    QueryDef("d67_dup_mass_report", dupMassReport, Some(dupMassReportSql)),
   )
 }

@@ -101,7 +101,7 @@ class DedupSpec extends SparkSpec {
       "d13_dup_clusters", "d18_contamination", "d29_apply_near_dup_removal",
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
       "d39_capped_jaccard_pairs", "d46_dup_substring_spans",
-      "d48_apply_substring_removal")
+      "d48_apply_substring_removal", "d67_dup_mass_report")
     val isolated = names.map(n => n -> snap(n)).toMap
     TextOps.enableSharedFrames(spark, sf0001)
     try names.foreach { n =>
@@ -1544,6 +1544,32 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(gp - pc) < 1.5e-6 && math.abs(gn - nc) < 1.5e-6, s"$k")
       assert(gm == gp - gn, s"margin must be the row difference for $k")
     }
+  }
+
+  test("d67 dup-mass report equals a driver recompute over d13's clusters") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ntok = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val nTokens = ntok.values.sum
+    val exGroups = docs.groupBy(_._2).values.map(_.map(_._1).sorted)
+    val exRedDocs = exGroups.map(g => g.length - 1L).sum
+    val exRedToks = exGroups.map(g => (g.length - 1L) * ntok(g.head)).sum
+    val clusters = TextOps.dupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2).values
+      .map(_.map(_._1).sorted)
+    val nrDocs = clusters.map(c => c.length - 1L).sum
+    val nrToks = clusters.map(c => c.map(ntok).sum - ntok(c.min)).sum
+    val r = TextOps.dupMassReport(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) == ((nDocs, nTokens)))
+    assert((row.getLong(2), row.getLong(3)) == ((exRedDocs, exRedToks)))
+    assert(row.getDouble(4) == exRedToks * 1.0 / nTokens)
+    assert((row.getLong(5), row.getLong(6), row.getLong(7)) ==
+      ((clusters.size.toLong, nrDocs, nrToks)))
+    assert(row.getDouble(8) == nrToks * 1.0 / nTokens)
+    assert(nrDocs > 0, "corpus plants near-dups; the report must see them")
   }
 
   test("e31's negative side agrees with e30 on every shared anchor") {
