@@ -183,13 +183,25 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson$floor,"sf":"$sfName"}"""
     // Full-resolution per-query record, unconditionally: the stdout line
     // is budget-bound but the repo is not — every run leaves its complete
-    // 3-decimal map (plus floor) here for PERF.md work and review.
+    // 3-decimal map (plus floor) here for PERF.md work and review. The
+    // file record keeps the FULL sfDir path (no length budget applies):
+    // two corpora with the same basename in different parents stay
+    // distinguishable; only the stdout line uses the basename.
     val fullJson =
-      s"""{"metric":"total","value":$total,"n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(3)}$pipeline$vpipe$floor,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(3)}$pipeline$vpipe$floor,"sf":"$sfDir"}"""
+    // Output dir is explicit — GRAFT_BENCH_DIR when set, else the process
+    // CWD — and a failed write WARNS instead of silently leaving a stale
+    // committed file that misrepresents the latest run.
+    val outPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("GRAFT_BENCH_DIR", "."))
+      .resolve("bench_queries.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Exception => () } // read-only CWD must not fail the bench
+      java.nio.file.Files.write(outPath, (fullJson + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception => // a read-only CWD must not fail the bench itself
+        System.err.println(
+          s"# WARN bench_queries.json not written to $outPath (${e.getClass.getSimpleName}: ${e.getMessage}); any existing file there is STALE")
+    }
     // Rung raised 1880 → 1948 at 171 queries: the JSON line is the LAST
     // stdout print (spark.stop logs to stderr), so the harness's ~2000-char
     // stdout tail captures it whole at ≤1950. At 171 queries the 1-decimal
