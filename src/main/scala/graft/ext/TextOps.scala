@@ -3220,7 +3220,7 @@ object TextOps {
   // Oracle ranks the full per-source vocab directly (tiny at oracle SF);
   // the Spark side's threshold cut provably admits the same top-K.
   private val zipfFitSql =
-    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+    s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
       |            FROM documents),
       |c AS (SELECT source, tok, count(*) AS cnt FROM tk
       |      WHERE tok <> '' GROUP BY source, tok),
@@ -3230,7 +3230,7 @@ object TextOps {
       |                           ORDER BY cnt DESC, tok) AS rank
       |      FROM c),
       |t AS (SELECT source, ln(rank) AS x, ln(cnt) AS y FROM r
-      |      WHERE rank <= 20),
+      |      WHERE rank <= $ZipfTopK),
       |f AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
       |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
       |      FROM t GROUP BY source)
@@ -4004,6 +4004,64 @@ object TextOps {
        |  near_redundant_tokens * 1.0 / n_tokens AS near_token_share
        |FROM tot, ex, nr""".stripMargin
 
+  // ---------------------------------------------------------------- d68
+
+  /** Intra-document repetition REMOVAL — the applied-rewrite complement
+    * of d19's repetition *signals* (the same split d46→d48 makes for the
+    * cross-doc substring family): each document's token stream is cut
+    * into fixed 8-token chunks and only the FIRST occurrence of each
+    * distinct chunk survives, in order — the "dedupe the document against
+    * itself" pass (Rae et al. 2021 §A.1.1's repetition gates, applied
+    * instead of merely scored) that precedes cross-doc dedup in a
+    * training-data pipeline, because intra-doc loops (boilerplate
+    * headers, scraper echo, degenerate generation) otherwise inflate
+    * every downstream frequency signal.
+    *
+    * Scale shape — ZERO shuffle: the whole rewrite is higher-order array
+    * functions over one `documents` scan (split → chunk via
+    * transform/slice → keep-first via `filter`'s (element, index) lambda
+    * against `array_position`, which returns the FIRST match). No
+    * explode, no window, no regroup: every row finishes where it was
+    * read, so at 100 TB this is a map-only pass at full scan bandwidth.
+    * The keep-first probe is O(c²) per doc in its CHUNK count c =
+    * ⌈tokens/8⌉ — bounded and local (a 2048-token web doc is c=256 →
+    * 65k in-memory compares); a corpus of book-length outliers would
+    * switch to the d48-style posexplode + min-pos window at the cost of
+    * the doc_id shuffle this formulation exists to avoid.
+    */
+  def intraDocChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .selectExpr("doc_id",
+        """transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT) - 1),
+          |  b -> concat_ws(' ', slice(toks, b * 8 + 1, 8))) AS chunks""".stripMargin)
+      .selectExpr("doc_id", "size(chunks) AS n_chunks",
+        "filter(chunks, (c, i) -> array_position(chunks, c) = i + 1) AS kept")
+      .selectExpr("doc_id", "n_chunks", "size(kept) AS n_kept",
+        "round(1.0D - size(kept) * 1.0D / n_chunks, 6) AS dropped_frac",
+        "concat_ws(' ', kept) AS cleaned_text")
+      .orderBy("doc_id")
+
+  // Same keep-first semantics in list ops: filtering a range() list keeps
+  // DuckDB's lambda index-free (the elements ARE the 1-based indices),
+  // and list_position — like array_position — resolves to the first match.
+  private val intraDocChunkDedupSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |        list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+      |          b -> array_to_string(toks[(b*8+1):(b*8+8)], ' ')) AS chunks
+      |      FROM t),
+      |k AS (SELECT doc_id, chunks,
+      |        list_transform(
+      |          list_filter(range(1, len(chunks) + 1),
+      |            i -> list_position(chunks, chunks[i]) = i),
+      |          i -> chunks[i]) AS kept
+      |      FROM c)
+      |SELECT doc_id, len(chunks) AS n_chunks, len(kept) AS n_kept,
+      |  round(1.0 - len(kept) * 1.0 / len(chunks), 6) AS dropped_frac,
+      |  array_to_string(kept, ' ') AS cleaned_text
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -4095,5 +4153,7 @@ object TextOps {
       Some(fuzzyDecontaminationSql)),
     QueryDef("d66_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("d67_dup_mass_report", dupMassReport, Some(dupMassReportSql)),
+    QueryDef("d68_intradoc_chunk_dedup", intraDocChunkDedup,
+      Some(intraDocChunkDedupSql)),
   )
 }
