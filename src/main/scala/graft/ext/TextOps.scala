@@ -322,12 +322,17 @@ object TextOps {
     * plan, closing the one quadratic hole in the exact path
     * (d05 deliberately caps nothing; a shingle in 1e9 docs then emits
     * 1e18 pairs from one aggregation buffer). Three stages:
-    * (1) hot shingles (df > [[ShingleDfCap]]) from a map-side-combinable
-    * count; (2) candidate pairs from COLD postings only — list sizes
-    * ≤ cap by construction, so emission is O(cap²) per shingle and the
-    * collect_list state is bounded (the anti-join runs BEFORE the list
-    * builds — filtering after `collect_list` would still materialize
-    * the hot buffer); (3) d06's exact verify re-joins the original
+    * (1) ONE bounded posting aggregation
+    * ([[graft.functions.BoundedPostingAgg]], bound = cap + 1): per
+    * shingle, the cap+1 smallest doc_ids plus the exact df, O(cap)
+    * state even for a shingle in 1e9 docs — this replaces the earlier
+    * count-then-anti-join-then-collect_list two-pass shape (two
+    * shuffles of the posting stream, and collect_list state only
+    * bounded because the anti-join ran first); (2) pairs expand ONLY
+    * where df ≤ cap — for exactly those groups the bounded list is
+    * provably COMPLETE (df ≤ cap < bound means nothing was evicted),
+    * so emission is O(cap²) per shingle on full cold postings;
+    * (3) d06's exact verify re-joins the original
     * shingle arrays so `common` counts EVERY shared shingle, hot ones
     * included — the cap bounds who gets compared, never the measure.
     *
@@ -338,13 +343,18 @@ object TextOps {
     * with d05 on this corpus and postings boundedness).
     */
   def cappedJaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashed(s, dir)
+    // the shingle frame feeds pair generation AND both sides of the
+    // exact-confirm rejoin — unpersisted, the split+hash shingling ran
+    // three times per isolated run (in pipeline mode shingleHashed
+    // returns the already-persisted shared frame and this is a no-op);
+    // runner owns cleanup, as with q31/q33/d42
+    val sh = shingleHashed(s, dir).persist()
     val ex = sh.selectExpr("doc_id", "explode(shs) AS h")
-    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap).select("h")
-    val cand = ex.join(hot, Seq("h"), "left_anti")
-      .groupBy("h").agg(sort_array(collect_list("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
+    val bounded = udaf(new graft.functions.BoundedPostingAgg(ShingleDfCap + 1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val cand = ex.groupBy("h").agg(bounded(col("doc_id")).as("p"))
+      .where(col("p.df") <= ShingleDfCap && size(col("p.ds")) > 1)
+      .select(col("p.ds").as("ds"))
       .selectExpr(pairExplode)
       .selectExpr("x AS doc_id_1", "y AS doc_id_2")
       .distinct()
@@ -1075,14 +1085,18 @@ object TextOps {
     * frequent bigram — the standard "natural text vs degenerate repetition"
     * quality gates of a training-data pipeline.
     *
-    * dup fractions are pure array ops (no shuffle); the top-bigram count
-    * needs a per-(doc, bigram) count, done as explode → two-level hash agg.
-    * The per-doc scalars ride the bigram stream (min() through both agg
-    * levels) instead of a join back to a second `documents` scan — one
-    * scan, one shuffle keyed by (doc, bigram), then a co-partition-safe
-    * regroup on doc_id; never a sort, never a window over the corpus.
-    * (The rejoin alternative re-reads the table and was the measured
-    * loser in the d05/d13 slim-payload experiment — see PERF.md.)
+    * All three signals are per-doc array ops — ZERO shuffle. The only
+    * non-obvious one is the top-bigram count, which is NOT a corpus
+    * frequency question: it is "longest equal run in this doc's SORTED
+    * bigram array", an O(n log n) per-doc `aggregate(array_sort(bgs),…)`
+    * fold. Earlier revisions shipped the bigrams through a
+    * (doc, bigram) hash-agg + doc_id regroup — two exchanges moving
+    * every bigram of the corpus over the network to compute a quantity
+    * each row already holds locally; the fold formulation deletes both
+    * (measured 1.9 s → ~0.3 s at sf0.1) and, unlike a
+    * distinct×scan HOF probe, stays n log n for book-length outliers,
+    * so the map-only shape survives any doc-size distribution at
+    * 100 TB.
     */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1092,15 +1106,15 @@ object TextOps {
         "size(array_distinct(toks)) AS n_uniq",
         "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', slice(toks, i, 2))) AS bgs")
       .selectExpr("doc_id", "n_tokens", "n_uniq", "size(bgs) AS n_bgs",
-        "size(array_distinct(bgs)) AS n_uniq_bgs", "explode(bgs) AS bg")
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("n"), min("n_tokens").as("n_tokens"),
-        min("n_uniq").as("n_uniq"), min("n_bgs").as("n_bgs"),
-        min("n_uniq_bgs").as("n_uniq_bgs"))
-      .groupBy("doc_id")
-      .agg(max("n").as("top_n"), min("n_tokens").as("n_tokens"),
-        min("n_uniq").as("n_uniq"), min("n_bgs").as("n_bgs"),
-        min("n_uniq_bgs").as("n_uniq_bgs"))
+        "size(array_distinct(bgs)) AS n_uniq_bgs",
+        // longest equal run in the sorted bigram array == max per-bigram
+        // count; the struct carries (previous element, current run, best)
+        """aggregate(array_sort(bgs),
+          |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+          |  (acc, x) -> struct(x AS prev,
+          |    IF(x <=> acc.prev, acc.run + 1L, 1L) AS run,
+          |    greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L)) AS best),
+          |  acc -> acc.best) AS top_n""".stripMargin)
       .selectExpr("doc_id", "n_tokens",
         "round(1.0D - n_uniq * 1.0D / n_tokens, 6) AS dup_token_frac",
         "round(1.0D - n_uniq_bgs * 1.0D / n_bgs, 6) AS dup_bigram_frac",

@@ -46,3 +46,48 @@ class TopKAgg(k: Int) extends Aggregator[Ranked, Seq[Ranked], Seq[Ranked]] {
   override def outputEncoder: Encoder[Seq[Ranked]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
+
+/** Bounded posting-list aggregate: the smallest `bound` ids of the group,
+  * ascending, plus the EXACT group count — one pass, O(bound) state,
+  * map-side combinable.
+  *
+  * This is the frequency-capped inverted index in a single aggregation:
+  * a consumer that only expands groups with `df <= cap` (using
+  * `bound = cap + 1`) reads a COMPLETE sorted posting list for exactly
+  * those groups — `df <= cap < bound` means nothing was evicted — while
+  * a hot group costs `bound` ids of state instead of its full (possibly
+  * corpus-sized) membership. Replaces the two-pass
+  * count-then-anti-join-then-collect_list shape: one shuffle of the
+  * posting stream instead of two, same boundedness guarantee.
+  *
+  * Determinism: the kept set ("bound smallest ids") and its order are
+  * properties of the group's VALUE SET, independent of partitioning and
+  * merge order; df is an exact count. Both engines of an oracle pair
+  * therefore agree bit-for-bit.
+  */
+case class Posting(ds: Seq[Long], df: Long)
+
+class BoundedPostingAgg(bound: Int) extends Aggregator[Long, Posting, Posting] {
+
+  require(bound > 0)
+
+  override def zero: Posting = Posting(Vector.empty, 0L)
+
+  override def reduce(b: Posting, id: Long): Posting = {
+    val ds =
+      if (b.ds.length == bound && id >= b.ds.last) b.ds
+      else ((b.ds :+ id).sorted: Seq[Long]).take(bound)
+    Posting(ds, b.df + 1)
+  }
+
+  override def merge(a: Posting, b: Posting): Posting =
+    Posting(((a.ds ++ b.ds).sorted: Seq[Long]).take(bound), a.df + b.df)
+
+  override def finish(b: Posting): Posting = b
+
+  override def bufferEncoder: Encoder[Posting] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Posting] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
