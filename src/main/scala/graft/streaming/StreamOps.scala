@@ -793,6 +793,129 @@ object StreamOps {
       unix_micros(col("ets")).as("error_ts_us"),
       unix_micros(col("pts")).as("purchase_ts_us"), col("purchase_value"))
 
+  case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+                     purchase_ts_us: Option[Long], purchase_value: Option[Double])
+
+  /** Streaming AS-OF join — the point-in-time enrichment the interval
+    * matrix (t16/t46/t47) cannot express: every error is matched to AT
+    * MOST ONE purchase, the same user's most recent at-or-before its
+    * event time, unbounded lookback. Spark has no stream-stream as-of
+    * join (the interval join needs a bound on BOTH ends to expire
+    * state), so this is custom state on `transformWithState`: per user,
+    * a pending-error list and a purchase list, with event-time timers
+    * driving emission.
+    *
+    * Correctness contract (why the watermark gates emission): an error
+    * at T is resolvable only when the watermark passes T — until then
+    * an admissible purchase with pts ≤ T can still arrive and CHANGE
+    * the as-of match. Errors therefore buffer until
+    * `wm > T` (strict: a purchase arriving exactly AT the watermark is
+    * still admissible and may tie-match at pts = T), then emit exactly
+    * once — matched or null-padded, like the outer interval forms.
+    *
+    * State bound (the 100 TB property the unbounded lookback seems to
+    * violate): after each emission pass, the purchase list keeps only
+    * purchases at-or-after the watermark PLUS the single best one below
+    * it — any future error has ets ≥ wm (later arrivals are dropped as
+    * late), so its as-of match is either a kept purchase or that one
+    * carry-forward row. Per-user state is O(events inside the watermark
+    * horizon) + 1, regardless of stream age.
+    *
+    * Semantics twin: [[asofPurchaseBatch]] ≡ Temporal t13 (the
+    * oracle-checked batch query): inclusive `<=`, equal-ts purchases
+    * resolved by largest event_id. StreamingSpec pins stream == batch
+    * across multi-batch splits, late-but-admissible purchases that
+    * REVISE a not-yet-emitted match, and the null-pad path.
+    */
+  class AsofProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AsofOut] {
+    @transient private var errs:
+      org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var purch:
+      org.apache.spark.sql.streaming.ListState[(Long, Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      errs = getHandle.getListState[(Long, Long)]("errs",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      purch = getHandle.getListState[(Long, Long, Double)]("purch",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    /** Emit every pending error the watermark has sealed, prune state,
+      * and re-arm one timer at the earliest still-pending error. */
+    private def emitDue(key: Long, wmUs: Long): Iterator[AsofOut] = {
+      val pending = errs.get().toSeq
+      val (due, remaining) = pending.partition(_._1 < wmUs)
+      val ps = purch.get().toSeq
+      val out = due.sorted.map { case (ets, eid) =>
+        val eligible = ps.filter(_._1 <= ets)
+        val m = if (eligible.isEmpty) None
+                else Some(eligible.maxBy(p => (p._1, p._2)))
+        AsofOut(eid, key, ets, m.map(_._1), m.map(_._3))
+      }
+      if (due.nonEmpty) {
+        errs.clear()
+        if (remaining.nonEmpty) errs.put(remaining.toArray)
+        // purchase prune: everything at-or-after the watermark survives,
+        // plus the single latest row below it (the carry-forward match
+        // for the next error, whose ets is provably ≥ wm)
+        val (below, atOrAbove) = ps.partition(_._1 < wmUs)
+        val keep = atOrAbove ++
+          (if (below.nonEmpty) Seq(below.maxBy(p => (p._1, p._2))) else Nil)
+        purch.clear()
+        if (keep.nonEmpty) purch.put(keep.toArray)
+      }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // wm is ms-grained: the timer that proves wm_us > ets fires at
+      // floor(ets/1000) + 1 ms
+      remaining.minOption.foreach(e => getHandle.registerTimer(e._1 / 1000L + 1L))
+      out.iterator
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AsofOut] = {
+      rows.foreach { e =>
+        if (e.event_type == "error") errs.appendValue((us(e.ts), e.event_id))
+        else if (e.event_type == "purchase")
+          purch.appendValue((us(e.ts), e.event_id, e.value))
+      }
+      emitDue(key, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofOut] =
+      emitDue(key, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  def asofPurchaseStream(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == "error" || e.event_type == "purchase")
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[asofPurchaseStream]] — Temporal t13's tagged-union +
+    * running `last(…, ignoreNulls)` window, applied to an events frame
+    * (t13 itself is the oracle-checked table form). */
+  def asofPurchaseBatch(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("event_type").isin("error", "purchase"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts"), (col("event_type") === "error").cast("int"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val lastPurchase = last(
+      when(col("event_type") === "purchase",
+        struct(unix_micros(col("ts")).as("ts_us"), col("value"))),
+      ignoreNulls = true).over(w)
+    ev.withColumn("p", lastPurchase)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("p.ts_us").as("purchase_ts_us"), col("p.value").as("purchase_value"))
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   /** Streaming incremental corpus dedup — d24's Bloom-prefiltered
@@ -908,10 +1031,19 @@ object StreamOps {
       val dim = readCdcTable(batch.sparkSession, tableDir)
       val enriched = dim match {
         case Some(d) => batch.join(broadcast(d), Seq(joinKey), "left")
-        // no committed dimension yet: pass through — note the column set
-        // widens once the first commit lands, so a schema-strict sink
-        // should start the stream only after the dimension's first commit
-        case None => batch
+        // No committed dimension yet: fail fast. Passing the bare batch
+        // through would emit a NARROWER schema than every later batch
+        // (no dimension columns), so a schema-strict sink would fail at
+        // an unpredictable batch mid-stream instead of at start — and a
+        // lenient one would silently persist schema-unstable output.
+        // The dimension schema is unknowable before its first commit, so
+        // null-padding is not an option; the contract is: commit the
+        // dimension's first version before starting the stream.
+        case None => throw new IllegalStateException(
+          s"enrichAgainstCdcTable: no committed CDC version under $tableDir " +
+          "— commit the dimension's first version (applyCdcBatch / " +
+          "cdcApplyParquetSink) before starting the enrichment stream, so " +
+          "every micro-batch carries the joined schema from batch 0")
       }
       sink(enriched, batchId)
     }

@@ -25,6 +25,20 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** transformWithState with >1 state variable (or timers + state) needs
+    * the RocksDB provider — HDFSBackedStateStoreProvider rejects multiple
+    * column families. */
+  private def withRocksDbStateStore[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming tumbling hourly equals its batch twin") {
     implicit val ctx = spark.sqlContext
     val data = sampleEvents(500)
@@ -339,6 +353,71 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == data.size)
     assert(streamed.exists(_.getLong(4) > 0), "some events must carry history")
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming as-of join equals the t13 batch twin across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // time-sorted split: batch 2's rows all carry ts ≥ batch 1's max, so
+    // nothing is watermark-late and the stream must equal the batch twin
+    val data = sampleEvents(500)
+      .filter(e => e.event_type == "error" || e.event_type == "purchase")
+      .sortBy(e => (us(e.ts), e.event_id))
+    val maxMs = data.map(_.ts.getTime).max
+    val (b1, b2) = data.splitAt(data.size / 2)
+    withRocksDbStateStore {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.asofPurchaseStream(ms.toDS()).toDF().writeStream
+        .format("memory").queryName("asof_stream").outputMode("append").start()
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        // errors seal only once the watermark passes them: far-future flush
+        val flushTs = new java.sql.Timestamp(maxMs + 10L * 3600 * 1000)
+        ms.addData(Event(999999L, flushTs, 999999L, "purchase", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val streamed = spark.table("asof_stream").orderBy("event_id").collect()
+    val batch = StreamOps.asofPurchaseBatch(data.toDF())
+      .orderBy("event_id").collect()
+    assert(streamed.length == data.count(_.event_type == "error"))
+    assert(streamed.exists(!_.isNullAt(3)), "some errors must match a purchase")
+    assert(streamed.exists(_.isNullAt(3)), "some errors must null-pad")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("as-of join: an admissible out-of-order purchase revises a pending match") {
+    implicit val ctx = spark.sqlContext
+    // P1(t=0h) and E1(t=1h) arrive first; E1 is NOT resolvable yet (the
+    // 2h watermark sits below it), so when P2(t=0.5h) arrives in a LATER
+    // batch it must still win the as-of match — the eager formulation
+    // (match at arrival) would wrongly freeze P1. E2 has no purchase at
+    // all and must null-pad at flush.
+    val H = 100L * 3600 * 1000 // epoch-offset base, ms
+    def ev(id: Long, u: Long, tpe: String, offMin: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(H + offMin * 60000L), u, tpe, v)
+    withRocksDbStateStore {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.asofPurchaseStream(ms.toDS()).toDF().writeStream
+        .format("memory").queryName("asof_revise").outputMode("append").start()
+      try {
+        ms.addData(ev(10, 1, "purchase", 0, 5.0), ev(11, 1, "error", 60, 0.0))
+        q.processAllAvailable()
+        ms.addData(ev(12, 1, "purchase", 30, 7.0), ev(13, 2, "error", 60, 0.0))
+        q.processAllAvailable()
+        ms.addData(ev(999, 999, "purchase", 100 * 60, 0.0)) // watermark flush
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val rows = spark.table("asof_revise").orderBy("event_id").collect()
+    assert(rows.length == 2, rows.mkString(";"))
+    // E1 matched P2 (t=30min), not the earlier-arriving P1
+    assert(rows(0).getLong(0) == 11L && rows(0).getLong(3) == (H + 30 * 60000L) * 1000L
+      && rows(0).getDouble(4) == 7.0, rows(0).toString)
+    // E2 null-pads: user 2 never purchased
+    assert(rows(1).getLong(0) == 13L && rows(1).isNullAt(3) && rows(1).isNullAt(4))
   }
 
   test("transformWithState event-time-timer sessionizer equals the session_window batch twin") {
@@ -891,5 +970,31 @@ class StreamingSpec extends SparkSpec {
     // formulation (join the path resolved at planning) would still say bronze
     assert(byBatch(1L) == Map(1L -> Some("gold"), 2L -> Some("silver")),
       s"batch 1: $byBatch")
+  }
+
+  test("CDC enrichment fails fast when no dimension version is committed") {
+    // Before the fix the first batch passed through with the NARROW
+    // stream-only schema, then widened once a commit landed — a
+    // schema-strict sink died at an unpredictable mid-stream batch.
+    // The contract is now explicit: no committed version ⇒ the stream
+    // fails at batch 0 with guidance, never emitting unstable schemas.
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc-enrich-empty").toString + "/t"
+    val ms = MemoryStream[Event]
+    val q = StreamOps.enrichAgainstCdcTable(ms.toDF(), dir, "user_id") {
+      (_, _) => ()
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("cdc-enrich-empty-ckpt").toString)
+      .start()
+    try {
+      ms.addData(Event(1L, new java.sql.Timestamp(1000L), 1L, "view", 1.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("no committed CDC version")), ex.getMessage)
+    } finally q.stop()
   }
 }
