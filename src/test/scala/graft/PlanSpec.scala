@@ -171,6 +171,113 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries with no partition-less window (remove): $stale")
   }
 
+  test("no query reads a heavy column its result does not depend on") {
+    // The 100 TB scan-bandwidth sweep: `documents.text` and
+    // `embeddings.embedding` are the two columns that dominate their
+    // tables' byte size (multi-KB text, 64-float vectors vs a handful of
+    // scalar metadata fields). Catalyst prunes them automatically — until
+    // something blocks pruning (a typed Dataset op deserializing whole
+    // rows, a persist/checkpoint of a wide frame, to_json(struct(*)), a
+    // select("*") carried through a join). This sweep walks every
+    // registry query's FileSourceScanExec nodes (through AQE wrappers and
+    // subqueries) and fails if a query OUTSIDE the audited reader sets
+    // pulls a heavy column through its scan — i.e. if a metadata-only
+    // query ever starts paying the full text/vector scan cost. The two
+    // sets were seeded from the actual plans and hand-audited: every
+    // member tokenizes/hashes text or does vector math on embeddings.
+    // Queries whose text work happens inside an eagerly-built shared
+    // subtree (d13/d20/d42/d45/d46/… via gram8/localCheckpoint) surface
+    // no file scan in their FINAL plan — the build's own scan is audited
+    // through the members above that share it.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // suite-order hygiene: a persisted frame left by an earlier test would
+    // serve some scans from InMemoryTableScan and make the staleness check
+    // below misread "no file scan" as "no longer reads the column"
+    graft.ext.TextOps.clearSharedFrames()
+    graft.ext.VectorOps.clearSharedFrames()
+    spark.sharedState.cacheManager.clearCache()
+    val textReaders = Set(
+      "d01_exact_dedup", "d02_token_stats", "d03_quality_score",
+      "d04_lang_id", "d05_jaccard_dup_pairs", "d06_minhash_lsh_pairs",
+      "d07_simhash_pairs", "d08_winnow_fingerprint", "d09_token_frequencies",
+      "d10_bpe_token_counts", "d11_heavy_hitter_tokens",
+      "d12_edit_distance_dup_pairs", "d15_token_chunks",
+      "d17_incremental_dedup", "d18_contamination", "d19_repetition_stats",
+      "d21_tfidf_top_terms", "d22_vocab_prune", "d23_unigram_logprob",
+      "d24_bloom_incremental_dedup", "d25_sequence_packing",
+      "d26_cross_split_leakage", "d27_source_report", "d28_length_histogram",
+      "d29_apply_near_dup_removal", "d30_prefix_dup", "d31_rule_filter",
+      "d32_quality_weighted_sample", "d33_bigram_logprob",
+      "d35_containment_dup_pairs", "d36_hapax_stats", "d37_best_of_cluster",
+      "d38_langid_confusion", "d39_capped_jaccard_pairs",
+      "d40_boilerplate_ngrams", "d41_pmi_phrases", "d44_cms_token_frequency",
+      "d47_token_budget_fill", "d48_apply_substring_removal",
+      "d53_apply_decontamination", "d54_heldout_perplexity",
+      "d55_temperature_mixture", "d56_bpe_encode", "d63_dsir_weights",
+      "d64_stupid_backoff", "d66_filter_funnel", "d67_dup_mass_report",
+      "d68_intradoc_chunk_dedup", "e23_crossmodal_dup_confirm",
+      // visible only THROUGH their internally-persisted build frames
+      // (the InMemoryTableScan recursion below): all five tokenize text
+      // inside the gram/persist subtree they are built on
+      "d20_crossdoc_ngram_dup", "d42_quality_calibration",
+      "d45_ngram_novelty", "d46_dup_substring_spans", "d62_bm25_retrieval")
+    val embReaders = Set(
+      "e01_knn_brute_force", "e02_label_centroids", "e03_lsh_buckets",
+      "e04_top_similar_pairs", "e05_ann_lsh_top5", "e06_cosine_near_dup",
+      "e07_ann_ivf_top5", "e08_batch_knn", "e09_quantized_knn",
+      "e10_centroid_representatives", "e11_filtered_knn",
+      "e12_embedding_audit", "e13_lsh_recall", "e14_ivf_balance_audit",
+      "e16_cluster_separation", "e17_feature_simhash",
+      "e18_ann_ivf_multiprobe", "e19_pq_knn", "e20_pq_rerank_top5",
+      "e21_bq_knn", "e22_semantic_dedup", "e23_crossmodal_dup_confirm",
+      "e24_ivfpq_knn", "e25_kmeans_codebook", "e26_ivf_recall",
+      "e27_knn_graph", "e30_hard_negatives", "e31_triplet_mining")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        // see THROUGH internal persists (d39's shingle frame, q31/q33):
+        // the audit is about what the query's execution reads from
+        // parquet, and a cached subtree's build scan is part of that
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(c.relation.cachedPlan)
+        case o => o.children
+      }
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      self ++ kids.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    }
+    val heavyByQuery = SparkEntry.allQueries
+      .filterNot(_.name.startsWith("d13")) // iterative: planning executes jobs
+      .map { q =>
+        val reads = scans(q.fn(spark, sf0001).queryExecution.executedPlan)
+          .flatMap { s =>
+            val tbl = s.relation.location.rootPaths.headOption
+              .map(_.getName).getOrElse("?")
+            val cols = s.requiredSchema.fieldNames.toSet
+            Seq(("documents.parquet", "text"), ("embeddings.parquet", "embedding"))
+              .collect { case (t, c) if tbl == t && cols.contains(c) => c }
+          }.toSet
+        // per-query cache hygiene (the runner-owns-cleanup contract):
+        // without it, a frame persisted by one query's fn would serve a
+        // LATER query's matching subtree from cache, making this audit
+        // registry-order-dependent
+        spark.sharedState.cacheManager.clearCache()
+        q.name -> reads
+      }.toMap
+    val offenders = heavyByQuery.collect {
+      case (n, r) if r.contains("text") && !textReaders.contains(n) => n -> "text"
+      case (n, r) if r.contains("embedding") && !embReaders.contains(n) => n -> "embedding"
+    }
+    assert(offenders.isEmpty,
+      s"queries reading a heavy column outside the audited sets: $offenders")
+    // and the audited sets must not rot into a superset nobody prunes:
+    val staleText = textReaders.filterNot(n => heavyByQuery.get(n).exists(_.contains("text")))
+    val staleEmb = embReaders.filterNot(n => heavyByQuery.get(n).exists(_.contains("embedding")))
+    assert(staleText.isEmpty && staleEmb.isEmpty,
+      s"audited readers whose plan no longer reads the column (remove): text=$staleText emb=$staleEmb")
+  }
+
   /** Run `body` with `confs` set, restoring previous values after. */
   private def withConfs[A](confs: (String, String)*)(body: => A): A = {
     val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
