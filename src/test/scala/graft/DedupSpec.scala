@@ -767,6 +767,104 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("e32 cluster-balanced resample equals a driver-recomputed per-cell draw") {
+    val em = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cb = em.filter(_._1 < 16).toSeq
+    val cellOf = em.map { case (id, v) =>
+      id -> cb.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(x: Long): Long = {
+      val hex = md.digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000000L
+    }
+    val quota = math.max(1L, math.ceil(em.length / 32.0).toLong)
+    val expected = cellOf.groupBy(_._2).flatMap { case (cell, ms) =>
+      ms.keys.toSeq.sortBy(id => (draw(id), id)).take(quota.toInt)
+        .map(id => (cell, id) -> ms.size.toLong)
+    }
+    val got = VectorOps.clusterBalancedResample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got.keySet == expected.keySet, {
+      val miss = expected.keySet -- got.keySet; val extra = got.keySet -- expected.keySet
+      s"kept-set drift: missing $miss extra $extra"
+    })
+    got.foreach { case (k @ (cell, _), (size, q)) =>
+      assert(size == expected(k), s"cell $cell size")
+      assert(q == quota, s"quota column")
+    }
+    // the balance property itself: no cell exceeds the quota, and a
+    // dense cell is actually cut (this corpus has at least one)
+    val perCell = got.keySet.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perCell.values.forall(_ <= quota))
+    assert(cellOf.groupBy(_._2).exists { case (c, ms) =>
+      ms.size > quota && perCell(c) == quota }, "expected at least one cut cell")
+  }
+
+  test("e33 trained PQ codebook equals a driver-recomputed per-subspace Lloyd loop") {
+    val em = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      r6(s) // the 6-dp pre-argmin round both engines apply
+    }
+    // per-subspace Lloyd, subspace j = dims [8j, 8j+8)
+    val subs = (0 until 8).map { j =>
+      j -> em.map { case (id, v) => id -> v.slice(8 * j, 8 * j + 8) }
+    }.toMap
+    def assign(j: Int, cb: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      subs(j).map { case (id, sv) =>
+        id -> cb.map { case (c, cv) => (c, l2(sv, cv)) }
+          .sortBy { case (c, d) => (d, c) }.head._1
+      }.toMap
+    def centroids(j: Int, a: Map[Long, Long]): Seq[(Long, Array[Double])] =
+      subs(j).groupBy { case (id, _) => a(id) }.toSeq.sortBy(_._1)
+        .map { case (code, members) =>
+          code -> Array.tabulate(8)(i =>
+            r6(members.map(_._2(i)).sum) / members.length)
+        }
+    val expected = (0 until 8).flatMap { j =>
+      val cb0 = subs(j).filter(_._1 < 16).map { case (id, sv) => (id, sv) }.toSeq
+      val a2 = assign(j, centroids(j, assign(j, cb0)))
+      val cb2 = centroids(j, a2).toMap
+      a2.groupBy(_._2).map { case (code, ms) =>
+        val mse = r6(r6(ms.keys.toSeq.sorted
+          .map(id => l2(subs(j).toMap.apply(id), cb2(code))).sum) / ms.size)
+        (j.toLong, code) -> ((ms.size.toLong, mse))
+      }
+    }.toMap
+    val got = VectorOps.pqCodebookTrain(spark, sf0001).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet, "surviving (subspace, code) cells")
+    got.foreach { case (k, (n, mse)) =>
+      assert(n == expected(k)._1, s"cell $k member count")
+      // driver sums fold in a different order; 6-dp rounding is the
+      // agreement layer — tolerate one last-digit ulp as in e25
+      assert(math.abs(mse - expected(k)._2) < 2e-6,
+        s"cell $k mse $mse vs ${expected(k)._2}")
+    }
+  }
+
   test("d49 cluster-safe split: near-dups never straddle splits; roots and buckets check out") {
     val labels = TextOps.dupClusters(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -232,7 +232,8 @@ class PlanSpec extends SparkSpec {
       "e18_ann_ivf_multiprobe", "e19_pq_knn", "e20_pq_rerank_top5",
       "e21_bq_knn", "e22_semantic_dedup", "e23_crossmodal_dup_confirm",
       "e24_ivfpq_knn", "e25_kmeans_codebook", "e26_ivf_recall",
-      "e27_knn_graph", "e30_hard_negatives", "e31_triplet_mining")
+      "e27_knn_graph", "e30_hard_negatives", "e31_triplet_mining",
+      "e32_cluster_balanced_resample", "e33_pq_codebook_train")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
