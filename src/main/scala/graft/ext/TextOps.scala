@@ -4018,6 +4018,83 @@ object TextOps {
        |  near_redundant_tokens * 1.0 / n_tokens AS near_token_share
        |FROM tot, ex, nr""".stripMargin
 
+  // ---------------------------------------------------------------- d69
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing KenLM ships and CCNet-style quality filters actually
+    * run) — the top rung of the repo's LM-quality ladder: d23 add-one
+    * unigram → d33 raw bigram → d64 stupid backoff (held-out) → THIS,
+    * absolute discounting with the continuation-probability backoff
+    * that makes KN the standard:
+    *
+    *   p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··),  D = 0.75
+    *
+    * where N1+(w1·)/N1+(·w2) are distinct-successor/-predecessor type
+    * counts and N1+(··) the bigram type total — "how many contexts has
+    * w2 ever completed" rather than "how often has w2 occurred", the
+    * correction that stops frequent-but-context-bound words (d33's
+    * known failure on boilerplate) from looking probable everywhere.
+    *
+    * Scale shape = d33's discipline: every derived table (bigram
+    * counts, per-w1 totals/types, per-w2 types) is vocab²-bounded and
+    * joins BY KEY — never broadcast, the bigram keyspace is unbounded
+    * at corpus scale; only the 1-row type total broadcasts. Scoring is
+    * one pass over the corpus bigram stream + a doc-keyed
+    * map-combinable mean. Every p is strictly positive by construction
+    * (a scored bigram exists in the count table), so ln never sees 0.
+    *
+    * Determinism: p is exact-integer inputs through an IDENTICAL
+    * arithmetic expression on both engines (same association order →
+    * same IEEE result); the per-doc mean of ln carries the accepted
+    * 6-dp posture (sum-order noise ~1e-13 vs the 5e-7 boundary).
+    */
+  def knBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val bigs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text,' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))) AS b""".stripMargin)
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val byW1 = cb.groupBy("w1")
+      .agg(sum("cb").as("cf"), count(lit(1)).as("n1f"))
+    val byW2 = cb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = cb.agg(count(lit(1)).as("n1tot"))
+    bigs.join(cb, Seq("w1", "w2"))
+      .join(byW1, Seq("w1"))
+      .join(byW2, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .selectExpr("doc_id",
+        "greatest(cb - 0.75D, 0D) / cf + 0.75D * n1f / cf * (n1b / n1tot) AS p")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("p"))), 6).as("kn_xent"))
+      .orderBy("doc_id")
+  }
+
+  private val knBigramScoreSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> {'w1': toks[i], 'w2': toks[i+1]})) AS e
+      |      FROM t WHERE len(toks) >= 2),
+      |bb AS (SELECT doc_id, e.w1 AS w1, e.w2 AS w2 FROM b),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY w1, w2),
+      |w1t AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cf, count(*) AS n1f
+      |        FROM cb GROUP BY w1),
+      |w2t AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+      |tt AS (SELECT count(*) AS n1tot FROM cb),
+      |sc AS (SELECT doc_id,
+      |         greatest(cb - 0.75, 0) / cf + 0.75 * n1f / cf * (n1b / n1tot) AS p
+      |       FROM bb JOIN cb USING (w1, w2) JOIN w1t USING (w1)
+      |            JOIN w2t USING (w2) CROSS JOIN tt)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(-avg(ln(p)), 6) AS kn_xent
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d68
 
   /** Intra-document repetition REMOVAL — the applied-rewrite complement
@@ -4169,5 +4246,6 @@ object TextOps {
     QueryDef("d67_dup_mass_report", dupMassReport, Some(dupMassReportSql)),
     QueryDef("d68_intradoc_chunk_dedup", intraDocChunkDedup,
       Some(intraDocChunkDedupSql)),
+    QueryDef("d69_kn_bigram_score", knBigramScore, Some(knBigramScoreSql)),
   )
 }

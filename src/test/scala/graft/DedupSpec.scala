@@ -767,6 +767,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d69 Kneser-Ney: conditionals sum to 1 per context; xent equals driver recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "split(text,' ') AS toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+      .filter(_._2.length >= 2)
+    val bigs = docs.flatMap { case (id, toks) =>
+      toks.sliding(2).map(p => (id, p(0), p(1))) }
+    val cb = bigs.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val cf = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = cb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val n1tot = cb.size.toLong
+    val D = 0.75
+    def p(w1: String, w2: String): Double =
+      math.max(cb((w1, w2)) - D, 0.0) / cf(w1) +
+        D * n1f(w1) / cf(w1) * (n1b(w2).toDouble / n1tot)
+    // THE KN self-consistency identity: over the observed successor set,
+    // discounted mass + redistributed continuation mass telescope to 1
+    // exactly — Σ max(c−D,0)/cf = (cf − D·n1f)/cf and λ·Σ p_cont covers
+    // the rest because Σ_w2 N1+(·w2) = N1+(··). A formula typo (wrong
+    // normalizer, wrong discount placement) breaks this immediately.
+    cf.keys.foreach { w1 =>
+      val succ = cb.keys.filter(_._1 == w1).map(_._2).toSet
+      val mass = succ.toSeq.map(w2 => p(w1, w2)).sum
+      val cont = (n1b.keySet -- succ).toSeq
+        .map(w2 => D * n1f(w1) / cf(w1) * (n1b(w2).toDouble / n1tot)).sum
+      assert(math.abs(mass + cont - 1.0) < 1e-9, s"context '$w1' mass ${mass + cont}")
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bigs.groupBy(_._1).map { case (id, bs) =>
+      id -> ((bs.length.toLong,
+        r6(-bs.map(b => math.log(p(b._2, b._3))).sum / bs.length)))
+    }
+    val got = TextOps.knBigramScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, x)) =>
+      assert(n == expected(id)._1, s"doc $id n_bigrams")
+      assert(math.abs(x - expected(id)._2) < 2e-6, s"doc $id xent $x vs ${expected(id)._2}")
+    }
+    // the continuation correction must actually bite on this corpus:
+    // KN and raw-bigram xent orderings differ somewhere
+    val d33 = TextOps.bigramLogprob(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ids = got.keySet.toSeq.sorted
+    assert(ids.exists(a => ids.exists(b =>
+      (got(a)._2 - got(b)._2) * (d33(a) - d33(b)) < 0)),
+      "expected at least one rank flip between KN and raw bigram xent")
+  }
+
   test("e32 cluster-balanced resample equals a driver-recomputed per-cell draw") {
     val em = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")

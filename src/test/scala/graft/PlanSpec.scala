@@ -216,7 +216,8 @@ class PlanSpec extends SparkSpec {
       "d53_apply_decontamination", "d54_heldout_perplexity",
       "d55_temperature_mixture", "d56_bpe_encode", "d63_dsir_weights",
       "d64_stupid_backoff", "d66_filter_funnel", "d67_dup_mass_report",
-      "d68_intradoc_chunk_dedup", "e23_crossmodal_dup_confirm",
+      "d68_intradoc_chunk_dedup", "d69_kn_bigram_score",
+      "e23_crossmodal_dup_confirm",
       // visible only THROUGH their internally-persisted build frames
       // (the InMemoryTableScan recursion below): all five tokenize text
       // inside the gram/persist subtree they are built on
