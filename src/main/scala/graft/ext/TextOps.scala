@@ -2122,6 +2122,117 @@ object TextOps {
       |  sum(p) * 1.0 / count(*) AS rule_pass_rate
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- d70
+
+  /** Isotonic (monotone) calibration of the rule-pass probability against
+    * the LM quality score — the shape-constrained upgrade of d42's decile
+    * audit: d42 REPORTS the per-decile pass rate; this fits the best
+    * monotone (non-increasing in xent) rate curve by least squares — the
+    * pool-adjacent-violators solution (Barlow et al. 1972), the standard
+    * probability-calibration step (isotonic regression) before a quality
+    * score is used as a sampling weight. Where the raw rates violate
+    * monotonicity, adjacent deciles pool into blocks sharing their
+    * weighted mean; the fitted curve is what a curation pipeline should
+    * threshold on.
+    *
+    * PAV is sequential, but the repo never runs it over data-scaled rows:
+    * docs reduce to B=10 decile bins first (the d42 frame, deciles via
+    * [[graft.operators.Ranking.exactNtile]] so the doc dimension never
+    * funnels), and over BOUNDED bins the fit has a closed join form —
+    * the max-min identity  fit_i = min_{j≤i} max_{k≥i} mean(y_j..y_k)
+    * (antitonic dual of Robertson-Wright-Dykstra Thm 1.4.4) — so the
+    * whole solve is three self-joins of a 10-row frame: cumulative
+    * (n, Σp) sums, interval means A(j,k) from cum differences, then
+    * min-over-j of max-over-k. Float shape: every A(j,k) is ONE int/int
+    * division and min/max only SELECT among those bit-identical values,
+    * so the fit is emitted unrounded (QueryDef rules 3-4).
+    */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scores = unigramLogprob(s, dir).select("doc_id", "xent")
+    val rules = ruleFilter(s, dir)
+      .select(col("doc_id"), col("pass").cast("int").as("p"))
+    // persisted for exactNtile's three passes — d42's documented pattern
+    // (registry contract: the runner owns cache cleanup)
+    val scored = scores.join(rules, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bins = graft.operators.Ranking
+      .exactNtile(scored, 10, col("xent"),
+        ascending = true, ties = Seq(col("doc_id")), out = "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("p").as("sp"),
+        (round(sum("xent"), 6) / count(lit(1))).as("mean_xent"))
+    // everything below operates on the bounded 10-row bin frame; renamed
+    // projections (not plan aliases) keep the self-joins unambiguous, and
+    // every non-equi join carries a broadcast hint — the frames are ≤11
+    // rows BY CONSTRUCTION, so BroadcastNestedLoopJoin is the right plan
+    // at any corpus size (a CartesianProduct of two shuffled sides never is)
+    val byDec = bins.select(col("decile").cast("long").as("yd"),
+      col("n_docs").as("yn"), col("sp").as("ysp"))
+    val cum = bins.select(col("decile").cast("long").as("cd"))
+      .join(broadcast(byDec), col("yd") <= col("cd"))
+      .groupBy("cd")
+      .agg(sum("yn").as("cumn"), sum("ysp").as("cumsp"))
+    val cum0 = cum
+      .unionByName(bins.sparkSession.range(1)
+        .select(lit(0L).as("cd"), lit(0L).as("cumn"), lit(0L).as("cumsp")))
+      .select(col("cd").as("ld"), col("cumn").as("lcumn"),
+        col("cumsp").as("lcumsp"))
+    val ivl = cum0.join(broadcast(cum), col("ld") < col("cd"))
+      .select((col("ld") + 1).as("j"), col("cd").as("k"),
+        ((col("cumsp") - col("lcumsp")) * lit(1.0) /
+          (col("cumn") - col("lcumn"))).as("av"))
+    val iso = bins.select(col("decile").cast("long").as("i"))
+      .join(broadcast(ivl), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(max("av").as("mx"))
+      .groupBy("i").agg(min("mx").as("iso_pass_rate"))
+    bins.join(broadcast(iso), col("decile") === col("i"))
+      .select(col("decile"), col("n_docs"), col("mean_xent"),
+        (col("sp") * lit(1.0) / col("n_docs")).as("pass_rate"),
+        col("iso_pass_rate"))
+      .orderBy("decile")
+  }
+
+  private val isotonicCalibrationSql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      |tot AS (SELECT count(*) AS n_total FROM t),
+      |sc AS (SELECT doc_id, round(ln(max(n_total)) - avg(ln(c)), 6) AS xent
+      |       FROM t JOIN cnt USING (tok), tot GROUP BY doc_id),
+      |m AS (SELECT doc_id,
+      |        len(string_split(text, ' ')) AS n_tokens,
+      |        length(replace(text, ' ', '')) AS n_alpha,
+      |        string_split(text, ' ') AS toks
+      |      FROM documents),
+      |r AS (SELECT doc_id,
+      |        CAST((n_tokens BETWEEN 50 AND 100000)
+      |          AND (CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0)
+      |          AND list_contains(toks, 'the') AND list_contains(toks, 'a') AS INT) AS p
+      |      FROM m),
+      |d AS (SELECT sc.doc_id, sc.xent, r.p,
+      |        ntile(10) OVER (ORDER BY sc.xent, sc.doc_id) AS decile
+      |      FROM sc JOIN r ON sc.doc_id = r.doc_id),
+      |bins AS (SELECT decile, count(*) AS n_docs, CAST(sum(p) AS BIGINT) AS sp,
+      |           round(sum(xent), 6) / count(*) AS mean_xent
+      |         FROM d GROUP BY decile),
+      |cum AS (SELECT x.decile AS cd, CAST(sum(y.n_docs) AS BIGINT) AS cumn,
+      |          CAST(sum(y.sp) AS BIGINT) AS cumsp
+      |        FROM bins x JOIN bins y ON y.decile <= x.decile GROUP BY x.decile),
+      |cum0 AS (SELECT CAST(0 AS BIGINT) AS cd, CAST(0 AS BIGINT) AS cumn,
+      |           CAST(0 AS BIGINT) AS cumsp
+      |         UNION ALL SELECT cd, cumn, cumsp FROM cum),
+      |ivl AS (SELECT l.cd + 1 AS j, r.cd AS k,
+      |          (r.cumsp - l.cumsp) * 1.0 / (r.cumn - l.cumn) AS av
+      |        FROM cum0 l JOIN cum r ON l.cd < r.cd),
+      |iso AS (SELECT i, min(mx) AS iso_pass_rate
+      |        FROM (SELECT b.decile AS i, ivl.j, max(ivl.av) AS mx
+      |              FROM bins b JOIN ivl ON ivl.j <= b.decile AND ivl.k >= b.decile
+      |              GROUP BY b.decile, ivl.j)
+      |        GROUP BY i)
+      |SELECT decile, n_docs, mean_xent, sp * 1.0 / n_docs AS pass_rate,
+      |  iso_pass_rate
+      |FROM bins JOIN iso ON decile = i
+      |ORDER BY decile""".stripMargin
+
   /** Corpus mixture reweighting — the sampling-weight table a pretraining
     * run derives before drawing its data mix: per source, the actual
     * share and the weight that would equalize shares (uniform target),
@@ -4095,6 +4206,134 @@ object TextOps {
       |       round(-avg(ln(p)), 6) AS kn_xent
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d71
+
+  /** Source-overlap duplication matrix — WHERE the near-dup mass lives:
+    * d67 reports the corpus-level redundancy share; this breaks the d05
+    * pair set down by (source, source) cell, the provenance view that
+    * tells a curation run which feeds restate which (mirror sites, cross-
+    * posted content, scraper echo between crawls). Emits per unordered
+    * source pair the dup-pair count, the distinct docs involved, and the
+    * cell's share of all dup pairs.
+    *
+    * Scale shape: the pair frame is the registry-shared d05 subtree
+    * (computed once in pipeline mode); each side then broadcast-joins the
+    * slim (doc_id, source) projection — the matrix itself is bounded by
+    * |sources|², so every aggregation lands on a tiny key space. The
+    * distinct-doc count is a second aggregation over the exploded pair
+    * ends rather than a collect_set payload, keeping agg state bounded
+    * per QueryDef's no-unbounded-buffers discipline.
+    */
+  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardDupPairs(s, dir).select("doc_id_1", "doc_id_2")
+    val src = Tables.documents(s, dir).select("doc_id", "source")
+    val m = pairs
+      .join(broadcast(src.select(col("doc_id").as("doc_id_1"),
+        col("source").as("s1"))), "doc_id_1")
+      .join(broadcast(src.select(col("doc_id").as("doc_id_2"),
+        col("source").as("s2"))), "doc_id_2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"),
+        col("doc_id_1"), col("doc_id_2"))
+    val np = m.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = m.select(col("source_a"), col("source_b"),
+        explode(array(col("doc_id_1"), col("doc_id_2"))).as("d"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct("d").as("n_docs"))
+    val tot = np.agg(sum("n_pairs").as("tot_pairs"))
+    np.join(nd, Seq("source_a", "source_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("n_docs"),
+        (col("n_pairs") * lit(1.0) / col("tot_pairs")).as("pair_share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceOverlapMatrixSql =
+    s"""WITH $shingleSqlCte,
+       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |sm AS (SELECT least(x.source, y.source) AS source_a,
+       |              greatest(x.source, y.source) AS source_b, d1, d2
+       |       FROM pr JOIN documents x ON pr.d1 = x.doc_id
+       |               JOIN documents y ON pr.d2 = y.doc_id),
+       |np AS (SELECT source_a, source_b, count(*) AS n_pairs
+       |       FROM sm GROUP BY source_a, source_b),
+       |nd AS (SELECT source_a, source_b, count(DISTINCT d) AS n_docs
+       |       FROM (SELECT source_a, source_b, unnest([d1, d2]) AS d FROM sm)
+       |       GROUP BY source_a, source_b),
+       |tp AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM np)
+       |SELECT source_a, source_b, n_pairs, n_docs,
+       |  n_pairs * 1.0 / tot AS pair_share
+       |FROM np JOIN nd USING (source_a, source_b) CROSS JOIN tp
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------- d72
+
+  /** Hashed bag-of-words cosine near-dup pairs — the WEIGHTED sparse
+    * companion to d05's set-based Jaccard: docs become 64-bucket term-
+    * frequency vectors via the hashing trick (feature hashing, Weinberger
+    * et al. 2009) with the portable `md5_long60` bucket hash, and pair
+    * similarity is cosine over those sparse vectors. Catches the dup
+    * class Jaccard misses (same vocabulary at the same RATES but shuffled
+    * order breaks every trigram shingle) and is the bridge between the
+    * text family and the e-family's dense-vector machinery.
+    *
+    * Scale shape — the sparse inner-product join, the classic IR
+    * formulation: vectors stay EXPLODED as (doc, bucket, tf) postings;
+    * the dot product is a self-join ON BUCKET + a per-pair sum of tf
+    * products, so cost is Σ_bucket df(bucket)² — inverted-index bounded,
+    * never |docs|² — and norms broadcast back per side. With 64 buckets
+    * this corpus is posting-dense (every doc hits most buckets); real
+    * vocabularies hash into 2²⁰ buckets where df per bucket is tiny —
+    * the cap discipline for degenerate hot buckets is d39's. All floats:
+    * tf products and dots are exact ints; norms are sqrt of int sums;
+    * cosine = int / (norm·norm) — one irrational op chain, 6-dp display
+    * rounding (QueryDef rule 6), ≥ 0.9 threshold on the rounded value.
+    */
+  def sparseCosineDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .selectExpr("doc_id", "pmod(md5_long60(tok), 64) AS b")
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val norms = posts.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+    val dots = posts.select(col("doc_id").as("da"), col("b"), col("tf").as("tfa"))
+      .join(posts.select(col("doc_id").as("db"), col("b"), col("tf").as("tfb")),
+        Seq("b"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("da"), col("nrm").as("na"))), "da")
+      .join(broadcast(norms.select(col("doc_id").as("db"), col("nrm").as("nb"))), "db")
+      .select(col("da").as("doc_id_1"), col("db").as("doc_id_2"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  private val sparseCosineDupPairsSql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents),
+      |p AS (SELECT doc_id,
+      |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+      |      FROM tk),
+      |tfv AS (SELECT doc_id, b, count(*) AS tf FROM p GROUP BY doc_id, b),
+      |nrm AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+      |        FROM tfv GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS da, c.doc_id AS db,
+      |           CAST(sum(a.tf * c.tf) AS BIGINT) AS dot
+      |         FROM tfv a JOIN tfv c ON a.b = c.b AND a.doc_id < c.doc_id
+      |         GROUP BY da, db)
+      |SELECT da AS doc_id_1, db AS doc_id_2,
+      |  round(dot / (x.nrm * y.nrm), 6) AS cos_sim
+      |FROM dots JOIN nrm x ON da = x.doc_id JOIN nrm y ON db = y.doc_id
+      |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9
+      |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   // ---------------------------------------------------------------- d68
 
   /** Intra-document repetition REMOVAL — the applied-rewrite complement
@@ -4247,5 +4486,11 @@ object TextOps {
     QueryDef("d68_intradoc_chunk_dedup", intraDocChunkDedup,
       Some(intraDocChunkDedupSql)),
     QueryDef("d69_kn_bigram_score", knBigramScore, Some(knBigramScoreSql)),
+    QueryDef("d70_isotonic_calibration", isotonicCalibration,
+      Some(isotonicCalibrationSql)),
+    QueryDef("d71_source_overlap_matrix", sourceOverlapMatrix,
+      Some(sourceOverlapMatrixSql)),
+    QueryDef("d72_sparse_cosine_dup_pairs", sparseCosineDupPairs,
+      Some(sparseCosineDupPairsSql)),
   )
 }

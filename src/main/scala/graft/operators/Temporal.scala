@@ -1898,6 +1898,74 @@ object Temporal {
       | count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
 
+  /** Page's CUSUM drift detector over each type's hourly event-rate series
+    * — the sequential change-point monitor (Page 1954) that flags a
+    * sustained rate shift long before a fixed z-threshold (t02/t31) fires:
+    * small deviations ACCUMULATE until the cumulative excess crosses the
+    * decision band. The textbook statistic is recursive
+    * (s_i = max(0, s_{i−1} + x_i − μ)), which no SQL window expresses
+    * directly; the identity this query pins is that the clamped recursion
+    * equals a PREFIX SUM MINUS ITS RUNNING MINIMUM —
+    * up_i = P_i − min(0, P_1..P_i) with P_i = Σ_{j≤i}(n_j − μ) — so the
+    * whole detector is two stock window functions over the hours-sized
+    * per-type aggregate (and the mirrored running max gives the downward
+    * detector). Decision band h = 4·√μ, the Poisson-scaled four-sigma
+    * convention.
+    *
+    * Float discipline: P_i = S_i − i·μ where S_i is a cumulative INTEGER
+    * sum and i a row_number — the only float ops are one multiply and one
+    * subtract on exact inputs (μ = total/hours, one int/int division), so
+    * every cusum value is bit-identical cross-engine and is emitted
+    * UNROUNDED (QueryDef rules 3-4; a windowed SUM of doubles would be
+    * reassociation-unsafe — over ints it is exact). Scale shape: the raw
+    * event stream feeds one map-side-combining bucket agg; every window
+    * runs per-type over the bounded hours series.
+    */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val mu = hourly.groupBy(col("event_type").as("mt"))
+      .agg((sum("n_events") * lit(1.0) / count(lit(1))).as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(mu), col("event_type") === col("mt"))
+      .withColumn("p",
+        sum("n_events").over(wrun).cast("double") -
+          row_number().over(w) * col("mu"))
+      .withColumn("cusum_up", col("p") - least(min("p").over(wrun), lit(0.0)))
+      .withColumn("cusum_down",
+        greatest(max("p").over(wrun), lit(0.0)) - col("p"))
+      .select(col("event_type"), unix_micros(col("h")).as("h_us"),
+        col("n_events"), col("mu"), col("cusum_up"), col("cusum_down"),
+        (col("cusum_up") > lit(4.0) * sqrt(col("mu"))).as("up_drift"),
+        (col("cusum_down") > lit(4.0) * sqrt(col("mu"))).as("down_drift"))
+      .orderBy("event_type", "h_us")
+  }
+
+  private val cusumDriftSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+      |  FROM events GROUP BY event_type, h),
+      |m AS (SELECT event_type, sum(n_events) * 1.0 / count(*) AS mu
+      |      FROM hourly GROUP BY event_type),
+      |pp AS (SELECT event_type, h, n_events, mu,
+      |        CAST(sum(n_events) OVER wr AS DOUBLE)
+      |          - row_number() OVER wo * mu AS p
+      |      FROM hourly JOIN m USING (event_type)
+      |      WINDOW wo AS (PARTITION BY event_type ORDER BY h),
+      |             wr AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, epoch_us(h) AS h_us, n_events, mu,
+      |  p - least(min(p) OVER wr, 0.0) AS cusum_up,
+      |  greatest(max(p) OVER wr, 0.0) - p AS cusum_down,
+      |  p - least(min(p) OVER wr, 0.0) > 4.0 * sqrt(mu) AS up_drift,
+      |  greatest(max(p) OVER wr, 0.0) - p > 4.0 * sqrt(mu) AS down_drift
+      |FROM pp
+      |WINDOW wr AS (PARTITION BY event_type ORDER BY h
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, h_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -1953,5 +2021,6 @@ object Temporal {
       Some(purchasesNearErrorsOuterSql)),
     QueryDef("t47_purchases_near_errors_full", purchasesNearErrorsFullOuter,
       Some(purchasesNearErrorsFullOuterSql)),
+    QueryDef("t48_cusum_drift", cusumDrift, Some(cusumDriftSql)),
   )
 }

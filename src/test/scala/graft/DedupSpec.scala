@@ -1770,4 +1770,189 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(got(k) - c) < 1.5e-6, s"$k: ${got(k)} vs $c") }
     got.keySet.foreach { case (_, l, _, nl) => assert(l != nl) }
   }
+
+  test("d70 isotonic fit equals a sequential pool-adjacent-violators solve") {
+    val got = TextOps.isotonicCalibration(spark, sf0001).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 10)
+    // classic sequential PAV for a NON-INCREASING fit: push each decile as
+    // a block, pool while a later block's mean exceeds its predecessor's
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    got.foreach { case (_, n, rate, _) =>
+      blocks += ((n.toDouble, n * rate))
+      while (blocks.length >= 2 &&
+          blocks(blocks.length - 1)._2 / blocks(blocks.length - 1)._1 >
+          blocks(blocks.length - 2)._2 / blocks(blocks.length - 2)._1 + 1e-12) {
+        val a = blocks.remove(blocks.length - 1)
+        val b = blocks.remove(blocks.length - 1)
+        blocks += ((a._1 + b._1, a._2 + b._2))
+      }
+    }
+    // expand block means back to per-decile fitted values by accumulated
+    // block weight (deciles may be unequal when n % 10 != 0)
+    val fitPer = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var bi = 0; var acc = 0.0
+      got.foreach { case (_, n, _, _) =>
+        out += blocks(bi)._2 / blocks(bi)._1
+        acc += n
+        if (acc >= blocks.take(bi + 1).map(_._1).sum - 1e-9) bi += 1
+      }
+      out
+    }
+    got.zip(fitPer).foreach { case ((d, _, _, iso), exp) =>
+      assert(math.abs(iso - exp) < 1e-9, s"decile $d: $iso vs PAV $exp") }
+    // fitted curve is non-increasing and preserves the weighted mean
+    got.map(_._4).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"fit not monotone: $a -> $b") }
+    val wMeanRaw = got.map { case (_, n, r, _) => n * r }.sum
+    val wMeanFit = got.map { case (_, n, _, f) => n * f }.sum
+    assert(math.abs(wMeanRaw - wMeanFit) < 1e-6,
+      s"PAV must preserve the weighted mean: $wMeanRaw vs $wMeanFit")
+  }
+
+  test("d71 source-overlap matrix equals a driver recompute over d05's pairs") {
+    val pairs = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val src = Tables.documents(spark, sf0001).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa), a, b)
+    }
+    val nPairs = cells.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nDocs = cells.groupBy(_._1).view
+      .mapValues(g => g.flatMap(c => Seq(c._2, c._3)).distinct.length.toLong).toMap
+    val tot = pairs.length.toDouble
+    val got = TextOps.sourceOverlapMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == nPairs.keySet)
+    got.foreach { case (k, (np, nd, share)) =>
+      assert(np == nPairs(k), s"$k pairs")
+      assert(nd == nDocs(k), s"$k docs")
+      assert(share == np / tot, s"$k share")
+    }
+  }
+
+  test("d72 sparse-cosine pairs equal a driver hashed-TF recompute; catches a shuffled-order dup Jaccard misses") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val vecs = docs.map { case (id, text) =>
+      val v = new Array[Long](64)
+      text.split(' ').foreach { tok =>
+        val b = (graft.functions.Md5Long.hash60(UTF8String.fromString(tok)) % 64).toInt
+        v(b) += 1
+      }
+      id -> v
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < 64) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6) / 1e6
+    }
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i); (ib, vb) = vecs(j)
+      (da, vA, db, vB) = if (ia < ib) (ia, va, ib, vb) else (ib, vb, ia, va)
+      c = cos(vA, vB) if c >= 0.9
+    } yield (da, db) -> c).toMap
+    val got = TextOps.sparseCosineDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing ${expected.keySet -- got.keySet}; extra ${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, c) =>
+      assert(got(k) == c, s"pair $k: ${got(k)} vs $c") }
+    // the class d05 misses by construction: a token-PERMUTED copy has
+    // identical TF vector (cosine 1.0) but shares no trigram shingle
+    val base = docs.head._2.split(' ')
+    assert(base.length >= 6)
+    val perm = base.reverse
+    val vb = new Array[Long](64); val vp = new Array[Long](64)
+    base.foreach(t => vb((graft.functions.Md5Long.hash60(UTF8String.fromString(t)) % 64).toInt) += 1)
+    perm.foreach(t => vp((graft.functions.Md5Long.hash60(UTF8String.fromString(t)) % 64).toInt) += 1)
+    assert(cos(vb, vp) == 1.0, "permutation must preserve the TF vector")
+  }
+
+  test("e34 silhouette equals a driver centroid-distance recompute; bounded in [-1, 1]") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    val rows = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.view.mapValues { g =>
+      val n = g.length
+      Array.tabulate(64)(i => rnd6(g.map(_._3(i)).sum) / n)
+    }.toMap
+    def dist(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val d = v(i) - c(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val per = rows.map { case (_, l, v) =>
+      val a = dist(v, cents(l))
+      val b = cents.collect { case (cl, c) if cl != l => dist(v, c) }.min
+      (l, rnd6((b - a) / math.max(a, b)), rnd6(a), rnd6(b))
+    }
+    val expect = per.groupBy(_._1).view.mapValues { g =>
+      val n = g.length
+      (n.toLong, rnd6(g.map(_._2).sum) / n, rnd6(g.map(_._3).sum) / n,
+        rnd6(g.map(_._4).sum) / n)
+    }.toMap
+    val got = VectorOps.silhouette(spark, sf0001).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (l, (n, ms, ma, mb)) =>
+      val (en, ems, ema, emb) = expect(l)
+      assert(n == en, s"label $l n")
+      assert(math.abs(ms - ems) < 1e-9, s"label $l sil $ms vs $ems")
+      assert(math.abs(ma - ema) < 1e-9, s"label $l intra")
+      assert(math.abs(mb - emb) < 1e-9, s"label $l inter")
+      assert(ms >= -1.0 && ms <= 1.0, s"label $l silhouette out of range: $ms")
+    }
+  }
+
+  test("e35 kNN label eval equals a driver top-5 majority-vote recompute") {
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    val rows = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      rnd6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val preds = rows.map { case (qa, la, va) =>
+      val top = rows.filter(_._1 != qa)
+        .map { case (qb, lb, vb) => (qb, lb, cos(va, vb)) }
+        .sortBy { case (qb, _, c) => (-c, qb) }.take(5)
+      val (pl, _) = top.groupBy(_._2).view.mapValues(_.length).toSeq
+        .minBy { case (lb, nv) => (-nv, lb) }
+      (la, pl)
+    }
+    val expect = preds.groupBy(_._1).view.mapValues { g =>
+      val n = g.length; val ok = g.count(p => p._2 == p._1)
+      (n.toLong, ok.toLong, ok * 1.0 / n)
+    }.toMap
+    val got = VectorOps.knnLabelEval(spark, sf0001).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (l, v) => assert(v == expect(l), s"label $l: $v vs ${expect(l)}") }
+    // coverage: every label graded, counts partition the corpus. (On THIS
+    // corpus the labels are geometry-random — measured top-5 same-label
+    // share ≈ 0.09 ≈ 1/k — so the probe's correct verdict is chance-level
+    // accuracy: that unlearnability REPORT is the operator's purpose, and
+    // the exact-recompute equality above is the correctness pin.)
+    assert(got.values.map(_._1).sum == rows.length)
+    val overall = got.values.map(_._2).sum.toDouble / rows.length
+    assert(overall >= 0.0 && overall <= 1.0)
+  }
 }

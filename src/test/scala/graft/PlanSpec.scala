@@ -217,7 +217,10 @@ class PlanSpec extends SparkSpec {
       "d55_temperature_mixture", "d56_bpe_encode", "d63_dsir_weights",
       "d64_stupid_backoff", "d66_filter_funnel", "d67_dup_mass_report",
       "d68_intradoc_chunk_dedup", "d69_kn_bigram_score",
+      "d71_source_overlap_matrix", "d72_sparse_cosine_dup_pairs",
       "e23_crossmodal_dup_confirm",
+      // tokenizes text inside the unigram-LM subtree (the d42 pattern)
+      "d70_isotonic_calibration",
       // visible only THROUGH their internally-persisted build frames
       // (the InMemoryTableScan recursion below): all five tokenize text
       // inside the gram/persist subtree they are built on
@@ -234,7 +237,8 @@ class PlanSpec extends SparkSpec {
       "e21_bq_knn", "e22_semantic_dedup", "e23_crossmodal_dup_confirm",
       "e24_ivfpq_knn", "e25_kmeans_codebook", "e26_ivf_recall",
       "e27_knn_graph", "e30_hard_negatives", "e31_triplet_mining",
-      "e32_cluster_balanced_resample", "e33_pq_codebook_train")
+      "e32_cluster_balanced_resample", "e33_pq_codebook_train",
+      "e34_silhouette", "e35_knn_label_eval")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

@@ -1139,4 +1139,31 @@ class SemanticsSpec extends SparkSpec {
     // imbalance = max * n_nonempty / total ⇒ total recoverable exactly
     assert(math.rint(maxSz * nonEmpty / imb) == n.toDouble)
   }
+
+  test("t48 window-form CUSUM equals the clamped recursion; flags recompute") {
+    // The query computes Page's detector through the prefix-sum-minus-
+    // running-min identity; this recomputes the TEXTBOOK recursion
+    // s_i = max(0, s_{i-1} + (n_i - mu)) per type and pins the identity
+    // (tolerance covers float reassociation between the two forms).
+    val got = graft.operators.Temporal.cusumDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val seq = rows.sortBy(_._2)
+      // mu is the exact hourly mean of the emitted bucket counts
+      val mu = seq.map(_._3).sum * 1.0 / seq.length
+      assert(seq.forall(_._4 == mu), s"$et mu mismatch")
+      var up = 0.0; var dn = 0.0
+      seq.foreach { case (_, hUs, nEv, m, cu, cd, fUp, fDn) =>
+        up = math.max(0.0, up + (nEv - m))
+        dn = math.max(0.0, dn + (m - nEv))
+        assert(math.abs(cu - up) < 1e-9, s"$et@$hUs up $cu vs $up")
+        assert(math.abs(cd - dn) < 1e-9, s"$et@$hUs down $cd vs $dn")
+        assert(fUp == (cu > 4.0 * math.sqrt(m)), s"$et@$hUs up flag")
+        assert(fDn == (cd > 4.0 * math.sqrt(m)), s"$et@$hUs down flag")
+        assert(cu >= 0.0 && cd >= 0.0, s"$et@$hUs negative cusum")
+      }
+    }
+  }
 }
