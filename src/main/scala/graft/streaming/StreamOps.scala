@@ -146,6 +146,82 @@ object StreamOps {
       .select(unix_micros(col("w.start")).as("bucket_us"), col("r"), col("b"), col("c"))
   }
 
+  case class CusumState(openHourUs: Long, openN: Long, cumN: Long,
+                        nClosed: Long, runMinP: Double, runMaxP: Double)
+  case class CusumOut(event_type: String, h_us: Long, n_events: Long,
+                      cusum_up: Double, cusum_down: Double,
+                      up_drift: Boolean, down_drift: Boolean)
+
+  /** Streaming CUSUM drift monitor — the streaming twin of
+    * Temporal.cusumDrift (t48), in the detector's NATIVE posture: batch
+    * CUSUM self-references the series mean, but a monitor watches the
+    * live stream against a KNOWN in-control target rate μ₀ per key
+    * (supplied from a historical profile — e.g. the batch query over
+    * last month). Per event_type the state is O(1) — the open hour's
+    * count, the closed-hours cumulative count, the closed-hour index,
+    * and the running min/max of the drift prefix P — so a key emits one
+    * row per CLOSED hourly bucket with exactly the batch twin's
+    * arithmetic (P = S − i·μ on exact ints, clamped CUSUM = P − running
+    * min, mirrored for downward drift): feed the same μ and the same
+    * events and the emitted rows are bit-identical to t48's, which is
+    * what StreamingSpec pins.
+    *
+    * Contract: per-type events must arrive in event-time order ACROSS
+    * micro-batches (stateIntervalsStream's contract; rows within one
+    * batch are sorted here). An event for an hour already closed is
+    * DROPPED — a forward-only monitor never reopens a decided bucket;
+    * watermark-buffered sorting upstream is the fix if the source
+    * reorders. The final open hour emits only when a later event closes
+    * it (a stream has no "end of series").
+    */
+  def cusumStream(events: Dataset[Event],
+                  mu: Map[String, Double]): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    val targets = events.sparkSession.sparkContext.broadcast(mu)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          val m = targets.value.getOrElse(et,
+            throw new IllegalArgumentException(
+              s"cusumStream: no in-control target rate for key '$et'"))
+          var s = state.getOption.getOrElse(
+            CusumState(Long.MinValue, 0L, 0L, 0L,
+              Double.PositiveInfinity, Double.NegativeInfinity))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          val band = 4.0 * math.sqrt(m)
+          def closeOpenHour(): Unit = if (s.openHourUs != Long.MinValue) {
+            // identical op order to the batch twin: cumulative INT sum,
+            // one multiply, one subtract — bit-identical cusum values
+            val cumN = s.cumN + s.openN
+            val i = s.nClosed + 1
+            val p = cumN.toDouble - i * m
+            val runMin = math.min(s.runMinP, p)
+            val runMax = math.max(s.runMaxP, p)
+            val up = p - math.min(runMin, 0.0)
+            val down = math.max(runMax, 0.0) - p
+            out += CusumOut(et, s.openHourUs, s.openN, up, down,
+              up > band, down > band)
+            s = CusumState(Long.MinValue, 0L, cumN, i, runMin, runMax)
+          }
+          def usOf(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val h = usOf(e.ts) / 3600000000L * 3600000000L
+              if (h == s.openHourUs) s = s.copy(openN = s.openN + 1)
+              else if (h > s.openHourUs) {
+                closeOpenHour()
+                s = s.copy(openHourUs = h, openN = 1L)
+              } // h < openHourUs: late into a decided bucket — dropped
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of the
     * gaps-and-islands batch query Temporal.userSessions.
     */

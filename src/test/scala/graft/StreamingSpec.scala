@@ -997,4 +997,41 @@ class StreamingSpec extends SparkSpec {
         c.getMessage.contains("no committed CDC version")), ex.getMessage)
     } finally q.stop()
   }
+
+  test("streaming CUSUM emits bit-identical rows to batch t48 under the batch's own target") {
+    implicit val ctx = spark.sqlContext
+    // batch twin over the full sf0.001 events table; its per-type mu is
+    // the in-control target the stream monitors against
+    val batch = graft.operators.Temporal.cusumDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7)))
+    val mu = batch.map(r => r._1 -> r._4).toMap
+    val data = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    // sentinel per type, 2h past its max hour: closes the final bucket
+    // (the sentinel's own bucket stays open and must emit nothing)
+    val sentinels = batch.groupBy(_._1).map { case (et, rows) =>
+      Event(-1L, new java.sql.Timestamp(
+        (rows.map(_._2).max + 7200000000L) / 1000L), -1L, et, 0.0)
+    }.toSeq
+    val ms = MemoryStream[Event]
+    ms.addData(data) // one batch: rows are sorted inside the group fold
+    val q = StreamOps.cusumStream(ms.toDS(), mu).writeStream
+      .format("memory").queryName("cusum_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(sentinels) // later batch keeps cross-batch time order
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_stream")
+      .orderBy("event_type", "h_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+    val expect = batch.sortBy(r => (r._1, r._2))
+      .map(r => (r._1, r._2, r._3, r._5, r._6, r._7, r._8))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == expect.toSeq,
+      s"stream/batch drift: ${streamed.toSeq.diff(expect.toSeq).take(3)} vs ${expect.toSeq.diff(streamed.toSeq).take(3)}")
+  }
 }
