@@ -4272,31 +4272,38 @@ object TextOps {
 
   // ---------------------------------------------------------------- d72
 
-  /** Hashed bag-of-words cosine near-dup pairs — the WEIGHTED sparse
-    * companion to d05's set-based Jaccard: docs become 64-bucket term-
-    * frequency vectors via the hashing trick (feature hashing, Weinberger
-    * et al. 2009) with the portable `md5_long60` bucket hash, and pair
-    * similarity is cosine over those sparse vectors. Catches the dup
-    * class Jaccard misses (same vocabulary at the same RATES but shuffled
-    * order breaks every trigram shingle) and is the bridge between the
-    * text family and the e-family's dense-vector machinery.
+  /** Hashed bag-of-ngrams cosine near-dup pairs — the WEIGHTED sparse
+    * companion to d05's set-based Jaccard: docs become 4096-bucket
+    * BIGRAM-frequency vectors via the hashing trick (feature hashing,
+    * Weinberger et al. 2009) with the portable `md5_long60` bucket hash,
+    * and pair similarity is cosine over those sparse vectors — "same
+    * n-grams at the same RATES", where the shingle-set view only asks
+    * "same n-grams at all". On this corpus the two agree on WHICH pairs
+    * are dups (DedupSpec pins pair-set equality with d05) while scoring
+    * a different geometry (multiset rates, d33's LM space).
     *
     * Scale shape — the sparse inner-product join, the classic IR
     * formulation: vectors stay EXPLODED as (doc, bucket, tf) postings;
     * the dot product is a self-join ON BUCKET + a per-pair sum of tf
     * products, so cost is Σ_bucket df(bucket)² — inverted-index bounded,
-    * never |docs|² — and norms broadcast back per side. With 64 buckets
-    * this corpus is posting-dense (every doc hits most buckets); real
-    * vocabularies hash into 2²⁰ buckets where df per bucket is tiny —
-    * the cap discipline for degenerate hot buckets is d39's. All floats:
-    * tf products and dots are exact ints; norms are sqrt of int sums;
+    * never |docs|². Feature ORDER matters for that bound: unigrams over
+    * this 31-word vocabulary are degenerate-dense (every doc hits every
+    * bucket → the join inflates toward all-pairs; measured 79 s at
+    * sf0.1), bigrams are df-bounded here exactly as any n-gram space is
+    * on a real vocabulary (measured ~8× fewer join rows). The cap
+    * discipline for residual hot buckets is d39's. All floats: tf
+    * products and dots are exact ints; norms are sqrt of int sums;
     * cosine = int / (norm·norm) — one irrational op chain, 6-dp display
     * rounding (QueryDef rule 6), ≥ 0.9 threshold on the rounded value.
     */
   def sparseCosineDupPairs(s: SparkSession, dir: String): DataFrame = {
     val posts = Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
-      .selectExpr("doc_id", "pmod(md5_long60(tok), 64) AS b")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS g""".stripMargin)
+      .selectExpr("doc_id", "pmod(md5_long60(g), 4096) AS b")
       .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
     val norms = posts.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
@@ -4316,11 +4323,15 @@ object TextOps {
   }
 
   private val sparseCosineDupPairsSql =
-    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
       |       FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS g
+      |       FROM tk WHERE len(toks) >= 2),
       |p AS (SELECT doc_id,
-      |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
-      |      FROM tk),
+      |        ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+      |      FROM bg),
       |tfv AS (SELECT doc_id, b, count(*) AS tf FROM p GROUP BY doc_id, b),
       |nrm AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
       |        FROM tfv GROUP BY doc_id),

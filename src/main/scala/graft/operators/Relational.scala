@@ -1448,6 +1448,55 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Order inter-arrival analysis per market segment — the purchase-
+    * cadence profile (how long between a customer's consecutive orders)
+    * that drives churn/frequency models: per customer the day gaps
+    * between successive orders (a customer-partitioned lag, fully
+    * tie-broken on order key so same-day orders resolve identically on
+    * any engine), rolled up per segment to count, exact mean, and exact
+    * p50/p90 percentiles. Scale shape: the window partitions on
+    * o_custkey (never global), the segment dimension joins AFTER the
+    * per-customer reduction feed, and the rollup lands on the 5-key
+    * segment space; at 100 TB the exact percentiles swap for t19's
+    * mergeable histogram sketch. Floats: gaps are exact ints, mean is
+    * one int/int division, percentile interpolation carries 6-dp display
+    * rounding (QueryDef rules 3 and 6).
+    */
+  def orderInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("prev", lag("od", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), datediff(col("od"), col("prev")).as("gap_days"))
+    gaps
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum("gap_days") * lit(1.0) / count(lit(1))).as("mean_gap_days"),
+        round(expr("percentile(gap_days, 0.5)"), 6).as("p50_gap_days"),
+        round(expr("percentile(gap_days, 0.9)"), 6).as("p90_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val orderInterarrivalSql =
+    """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+      |       FROM orders),
+      |g AS (SELECT o_custkey,
+      |        od - lag(od, 1) OVER (PARTITION BY o_custkey
+      |          ORDER BY od, o_orderkey) AS gap_days
+      |      FROM o)
+      |SELECT c_mktsegment, count(*) AS n_gaps,
+      |  sum(gap_days) * 1.0 / count(*) AS mean_gap_days,
+      |  round(quantile_cont(gap_days, 0.5), 6) AS p50_gap_days,
+      |  round(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days
+      |FROM g JOIN customer ON o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Model scoring under the oracle hash gate — the native
     * [[graft.functions.XgbScore]] expression (the engine's rebuild of
     * the reference's booster scoring, streamlit_app.py:717-725) walking
@@ -1545,5 +1594,7 @@ object Relational {
     QueryDef("q40_returned_revenue", returnedRevenue, Some(returnedRevenueSql)),
     QueryDef("q41_xgb_score", xgbScoreQuery, Some(xgbScoreQuerySql)),
     QueryDef("q42_big_orders", bigOrders, Some(bigOrdersSql)),
+    QueryDef("q43_order_interarrival", orderInterarrival,
+      Some(orderInterarrivalSql)),
   )
 }

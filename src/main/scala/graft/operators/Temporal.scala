@@ -1966,6 +1966,71 @@ object Temporal {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, h_us""".stripMargin
 
+  /** Autocorrelation of each type's hourly event-rate series at lags
+    * 1/2/3/6/12/24 — the diagnostic that tells an operator WHICH temporal
+    * structure the other t-queries should model: a daily cycle shows as a
+    * lag-24 peak (t41's seasonal baseline is then justified), short-range
+    * stickiness as lag-1/2 mass (t38's EWMA horizon), white noise as
+    * nothing (model-free thresholds suffice). r_k = Σ d_i·d_{i−k} / Σ d_i²
+    * with d = n − μ, the standard biased ACF estimator (denominator over
+    * the full series, so r_k is a positive-semidefinite sequence — the
+    * property fitting methods require).
+    *
+    * Scale/float shape: the raw stream reduces to the hours-sized per-type
+    * aggregate before any window; the six lag columns ride ONE
+    * type-partitioned sort (six `lag` frames over the same window spec);
+    * products are exact doubles (int counts minus an int/int μ) and only
+    * the final ratio carries 6-dp rounding — sum reassociation noise
+    * ~1e-12 against the 5e-7 boundary (e02's measured-noise argument).
+    * Lag terms with no partner (series head) drop out of num/count via
+    * null propagation; the denominator spans the full series.
+    */
+  def acfHourly(s: SparkSession, dir: String): DataFrame = {
+    val lags = Seq(1, 2, 3, 6, 12, 24)
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val mu = hourly.groupBy(col("event_type").as("mt"))
+      .agg((sum("n") * lit(1.0) / count(lit(1))).as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val dd = hourly.join(broadcast(mu), col("event_type") === col("mt"))
+      .withColumn("d", col("n") - col("mu"))
+    val withLags = lags.foldLeft(dd) { (df, k) =>
+      df.withColumn(s"d$k", lag("d", k).over(w))
+    }
+    val aggs = sum(col("d") * col("d")).as("den") +:
+      (lags.map(k => sum(col("d") * col(s"d$k")).as(s"num$k")) ++
+        lags.map(k => count(col(s"d$k")).as(s"n$k")))
+    val byType = withLags.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = lags
+      .map(k => s"$k, n$k, round(num$k / den, 6)").mkString(", ")
+    byType.selectExpr("event_type",
+        s"stack(${lags.size}, $stackArgs) AS (lag_h, n_pairs, acf)")
+      .orderBy("event_type", "lag_h")
+  }
+
+  private val acfHourlySql = {
+    val lags = Seq(1, 2, 3, 6, 12, 24)
+    val lagCols = lags.map(k => s"lag(d, $k) OVER w AS d$k").mkString(", ")
+    val aggCols = lags.map(k =>
+      s"sum(d * d$k) AS num$k, count(d$k) AS n$k").mkString(", ")
+    val rows = lags.map(k =>
+      s"SELECT event_type, $k AS lag_h, n$k AS n_pairs, round(num$k / den, 6) AS acf FROM a")
+      .mkString("\n|", "\n|UNION ALL ", "")
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+       |  FROM events GROUP BY event_type, h),
+       |m AS (SELECT event_type, sum(n) * 1.0 / count(*) AS mu
+       |      FROM hourly GROUP BY event_type),
+       |dv AS (SELECT event_type, h, n - mu AS d
+       |       FROM hourly JOIN m USING (event_type)),
+       |l AS (SELECT event_type, d, $lagCols
+       |      FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       |a AS (SELECT event_type, sum(d * d) AS den, $aggCols
+       |      FROM l GROUP BY event_type)$rows
+       |ORDER BY event_type, lag_h""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2022,5 +2087,6 @@ object Temporal {
     QueryDef("t47_purchases_near_errors_full", purchasesNearErrorsFullOuter,
       Some(purchasesNearErrorsFullOuterSql)),
     QueryDef("t48_cusum_drift", cusumDrift, Some(cusumDriftSql)),
+    QueryDef("t49_acf_hourly", acfHourly, Some(acfHourlySql)),
   )
 }

@@ -1837,44 +1837,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("d72 sparse-cosine pairs equal a driver hashed-TF recompute; catches a shuffled-order dup Jaccard misses") {
+  test("d72 sparse-cosine pairs equal a driver hashed-bigram-TF recompute; pair set matches d05") {
     import org.apache.spark.unsafe.types.UTF8String
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val vecs = docs.map { case (id, text) =>
-      val v = new Array[Long](64)
-      text.split(' ').foreach { tok =>
-        val b = (graft.functions.Md5Long.hash60(UTF8String.fromString(tok)) % 64).toInt
+      val toks = text.split(' ')
+      val v = scala.collection.mutable.HashMap.empty[Int, Long].withDefaultValue(0L)
+      toks.sliding(2).filter(_.length == 2).foreach { bg =>
+        val b = (graft.functions.Md5Long
+          .hash60(UTF8String.fromString(bg.mkString(" "))) % 4096).toInt
         v(b) += 1
       }
       id -> v
     }
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-      while (i < 64) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    def cos(a: collection.Map[Int, Long], b: collection.Map[Int, Long]): Double = {
+      val dot = a.iterator.map { case (k, x) => x * b(k) }.sum
+      val na = a.values.map(x => x * x).sum
+      val nb = b.values.map(x => x * x).sum
       math.rint(dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6) / 1e6
     }
     val expected = (for {
       i <- vecs.indices; j <- (i + 1) until vecs.length
-      (ia, va) = vecs(i); (ib, vb) = vecs(j)
-      (da, vA, db, vB) = if (ia < ib) (ia, va, ib, vb) else (ib, vb, ia, va)
-      c = cos(vA, vB) if c >= 0.9
-    } yield (da, db) -> c).toMap
+      c = cos(vecs(i)._2, vecs(j)._2) if c >= 0.9
+    } yield (vecs(i)._1 min vecs(j)._1, vecs(i)._1 max vecs(j)._1) -> c).toMap
     val got = TextOps.sparseCosineDupPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got.keySet == expected.keySet,
       s"missing ${expected.keySet -- got.keySet}; extra ${got.keySet -- expected.keySet}")
     expected.foreach { case (k, c) =>
       assert(got(k) == c, s"pair $k: ${got(k)} vs $c") }
-    // the class d05 misses by construction: a token-PERMUTED copy has
-    // identical TF vector (cosine 1.0) but shares no trigram shingle
-    val base = docs.head._2.split(' ')
-    assert(base.length >= 6)
-    val perm = base.reverse
-    val vb = new Array[Long](64); val vp = new Array[Long](64)
-    base.foreach(t => vb((graft.functions.Md5Long.hash60(UTF8String.fromString(t)) % 64).toInt) += 1)
-    perm.foreach(t => vp((graft.functions.Md5Long.hash60(UTF8String.fromString(t)) % 64).toInt) += 1)
-    assert(cos(vb, vp) == 1.0, "permutation must preserve the TF vector")
+    // the weighted multiset-rate view and d05's shingle-set view must
+    // agree on WHICH pairs are the planted dups (they score different
+    // geometries — the VALUES differ — but the verdict set coincides on
+    // this corpus), so d72 is a second independent witness of the dup set
+    val d05 = TextOps.jaccardDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet == d05,
+      s"bigram-cosine set drifted from d05: only-cos ${got.keySet -- d05}, only-jac ${d05 -- got.keySet}")
   }
 
   test("e34 silhouette equals a driver centroid-distance recompute; bounded in [-1, 1]") {
