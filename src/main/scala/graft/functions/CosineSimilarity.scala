@@ -128,6 +128,12 @@ object GraftFunctions {
     PairExplode(exprs.head)
   }
 
+  private[functions] def buildSparseDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      s"sparse_dot requires exactly 4 arguments, got ${exprs.length}")
+    SparseDot(exprs.head, exprs(1), exprs(2), exprs(3))
+  }
+
   /** Idempotent session-level registration so `selectExpr`/SQL can call
     * the graft functions without configuring extensions.
     */
@@ -140,6 +146,8 @@ object GraftFunctions {
       "md5_long60", buildMd5Long, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pair_explode", buildPairExplode, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sparse_dot", buildSparseDot, "built-in")
   }
 }
 
@@ -166,6 +174,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pair_explode"),
       new ExpressionInfo(classOf[PairExplode].getName, "pair_explode"),
       GraftFunctions.buildPairExplode _))
+    ext.injectFunction((
+      FunctionIdentifier("sparse_dot"),
+      new ExpressionInfo(classOf[SparseDot].getName, "sparse_dot"),
+      GraftFunctions.buildSparseDot _))
     // Opt-in scale guardrail (spark.graft.failOnGlobalWindow=true): fail
     // analysis on partition-less windows — the single-task funnel shape.
     ext.injectCheckRule(session =>

@@ -131,6 +131,48 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(corpus == 0)
   }
 
+  test("sparse_dot matches a map-based SQL dot over sorted posting arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    // hand cases: disjoint, subset, interleaved, empty sides
+    val cases = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), Seq(1L, 3L, 5L), Seq(1L, 1L, 1L), 12L),
+      (Seq(1L, 2L), Seq(10L, 20L), Seq(3L, 4L), Seq(1L, 1L), 0L),
+      (Seq(1L, 2L, 9L), Seq(2L, 3L, 4L), Seq(2L, 9L), Seq(5L, 7L), 43L),
+      (Seq.empty[Long], Seq.empty[Long], Seq(1L), Seq(9L), 0L))
+    cases.foreach { case (ka, va, kb, vb, want) =>
+      val got = Seq((ka, va, kb, vb)).toDF("ka", "va", "kb", "vb")
+        .selectExpr("sparse_dot(ka, va, kb, vb) AS d").head().getLong(0)
+      assert(got == want, s"${ka} dot ${kb}")
+    }
+    // and across the corpus's bigram posting vectors against an
+    // independent SQL formulation (map build + explode + join-free sum)
+    val posts = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS g""".stripMargin)
+      .selectExpr("doc_id", "pmod(md5_long60(g), 4096) AS b")
+      .groupBy("doc_id", "b").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("tf"))
+    val vecsDf = posts.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("b"),
+            org.apache.spark.sql.functions.col("tf")))).as("kv"))
+      .selectExpr("doc_id", "transform(kv, x -> x.b) AS ks",
+        "transform(kv, x -> x.tf) AS vs",
+        "map_from_arrays(transform(kv, x -> x.b), transform(kv, x -> x.tf)) AS mp")
+      .limit(40)
+    val mismatches = vecsDf.as("a").crossJoin(vecsDf.as("b"))
+      .selectExpr("sparse_dot(a.ks, a.vs, b.ks, b.vs) AS fast",
+        """aggregate(map_entries(a.mp), 0L,
+          |  (acc, e) -> acc + e.value * coalesce(b.mp[e.key], 0L)) AS slow""".stripMargin)
+      .filter("fast != slow").count()
+    assert(mismatches == 0)
+  }
+
   test("word_trigram_hashes arity and type errors are named") {
     graft.functions.GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
