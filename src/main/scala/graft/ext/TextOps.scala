@@ -4441,6 +4441,71 @@ object TextOps {
       |  array_to_string(kept, ' ') AS cleaned_text
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d73
+
+  /** Filter-threshold sensitivity sweep — the knob audit a curation
+    * pipeline runs BEFORE committing to a quality rule: d03 fixes its
+    * stopword-ratio floor at 0.05, but how much corpus does each choice
+    * of floor actually cost? For a 9-point grid of floors (0 … 16% in
+    * 2-point steps, expressed in integer basis points so the comparison
+    * `n_stop·10000 ≥ bp·n_tokens` never touches a float) this reports
+    * the surviving doc count, doc share, and — the number that matters
+    * for training budgets — the surviving TOKEN share. A cliff between
+    * adjacent grid points is the signal the rule is load-bearing and
+    * needs review; a flat segment means the knob is free there.
+    *
+    * Scale shape: the per-doc stat projection is computed once from one
+    * `documents` scan, then cross-joined with the BROADCAST 9-row grid —
+    * the 9× row inflation is of a slim (int, int) projection and feeds a
+    * map-side-combining 9-group aggregate, so the shuffle carries 9 rows
+    * per input partition regardless of corpus size. Floats: all counts
+    * and comparisons are exact integer arithmetic; the shares are one
+    * int/int division each (QueryDef rule 3), emitted unrounded.
+    */
+  def thresholdSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "CAST(size(split(text,' ')) AS BIGINT) AS n_tokens",
+        s"CAST(size(filter(split(text,' '), t -> array_contains($stopArr, t))) AS BIGINT) AS n_stop")
+    val grid = s.range(0, 9).select((col("id") * 200).as("min_stop_bp"))
+    val pass = col("n_tokens").between(20, 400) &&
+      col("n_stop") * 10000L >= col("min_stop_bp") * col("n_tokens")
+    docs.crossJoin(broadcast(grid))
+      .groupBy("min_stop_bp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(pass, col("n_tokens")).otherwise(0L)).as("tokens_pass"),
+        sum("n_tokens").as("tokens_total"))
+      .selectExpr("min_stop_bp", "n_pass", "n_docs",
+        "n_pass * 1.0D / n_docs AS doc_share",
+        "tokens_pass", "tokens_pass * 1.0D / tokens_total AS token_share")
+      .orderBy("min_stop_bp")
+  }
+
+  private val thresholdSensitivitySql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH d AS (SELECT doc_id,
+       |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(string_split(text,' '),
+       |          t -> list_contains($stopList, t))) AS BIGINT) AS n_stop
+       |      FROM documents),
+       |g AS (SELECT CAST(200 * g AS BIGINT) AS min_stop_bp
+       |      FROM generate_series(0, 8) t(g)),
+       |x AS (SELECT min_stop_bp, n_tokens,
+       |        CAST(n_tokens BETWEEN 20 AND 400
+       |          AND n_stop * 10000 >= min_stop_bp * n_tokens AS INT) AS ok
+       |      FROM d CROSS JOIN g)
+       |SELECT min_stop_bp, CAST(sum(ok) AS BIGINT) AS n_pass,
+       |  count(*) AS n_docs,
+       |  sum(ok) * 1.0 / count(*) AS doc_share,
+       |  CAST(sum(CASE WHEN ok = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS tokens_pass,
+       |  sum(CASE WHEN ok = 1 THEN n_tokens ELSE 0 END) * 1.0 / sum(n_tokens)
+       |    AS token_share
+       |FROM x GROUP BY min_stop_bp ORDER BY min_stop_bp""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -4541,5 +4606,7 @@ object TextOps {
       Some(sourceOverlapMatrixSql)),
     QueryDef("d72_sparse_cosine_dup_pairs", sparseCosineDupPairs,
       Some(sparseCosineDupPairsSql)),
+    QueryDef("d73_threshold_sensitivity", thresholdSensitivity,
+      Some(thresholdSensitivitySql)),
   )
 }

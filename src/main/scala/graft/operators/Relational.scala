@@ -1497,6 +1497,91 @@ object Relational {
       |WHERE gap_days IS NOT NULL
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** RFM customer segmentation — the standard recency/frequency/monetary
+    * quartile grid (Hughes 1994) rolled up to named lifecycle segments:
+    * per customer, days since last order (vs the corpus max date — a
+    * deterministic data anchor, never wall-clock), order count, and
+    * 2-dp-exact total spend; each dimension quartile-scored and the
+    * (r, f) grid mapped to champion / loyal / promising / at_risk /
+    * hibernating — the table a retention campaign is actually driven by.
+    *
+    * Scale shape: the RFM frame is one map-side-combining aggregate of
+    * orders (customer-sized), persisted once (registry contract — the
+    * runner owns cache cleanup) because each of the three quartile
+    * scores is a [[Ranking.exactNtile]] over it: the exact two-level
+    * formulation, so NO window ever sees the whole customer dimension in
+    * one partition (q35's discipline, three times). The three slim
+    * (custkey, score) frames join back on the aggregate's own key.
+    * Floats: recency/frequency are exact ints; monetary is
+    * `round(sum, 2)` — an exact decimal restore of 2-dp money (QueryDef
+    * rule 1) — so the ntile orders and all reported means divide exact
+    * values (rules 2-3), emitted unrounded.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice"))
+    val mx = o.agg(max("od").as("anchor"))
+    val rfm = o.groupBy("o_custkey")
+      .agg(max("od").as("last_od"), count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_od")).as("recency"),
+        col("frequency"), col("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tile(score: String, asc: Boolean, out: String) = Ranking
+      .exactNtile(rfm, 4, col(score), ascending = asc,
+        ties = Seq(col("o_custkey")), out = out)
+      .select("o_custkey", out)
+    val scored = rfm
+      .join(tile("recency", asc = true, "r_score"), "o_custkey")
+      .join(tile("frequency", asc = false, "f_score"), "o_custkey")
+      .join(tile("monetary", asc = false, "m_score"), "o_custkey")
+    scored
+      .withColumn("segment",
+        when(col("r_score") === 1 && col("f_score") === 1, "champion")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "loyal")
+          .when(col("r_score") <= 2, "promising")
+          .when(col("f_score") <= 2, "at_risk")
+          .otherwise("hibernating"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("frequency").as("n_orders"),
+        round(sum("monetary"), 2).as("total_monetary"),
+        (sum("recency") * lit(1.0) / count(lit(1))).as("mean_recency_days"),
+        (round(sum("monetary"), 2) / count(lit(1))).as("mean_monetary"))
+      .orderBy("segment")
+  }
+
+  private val rfmSegmentsSql =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+      |        o_totalprice FROM orders),
+      |mx AS (SELECT max(od) AS anchor FROM o),
+      |rfm AS (SELECT o_custkey, anchor - max(od) AS recency,
+      |          count(*) AS frequency,
+      |          round(sum(o_totalprice), 2) AS monetary
+      |        FROM o, mx GROUP BY o_custkey, anchor),
+      |sc AS (SELECT *,
+      |         ntile(4) OVER (ORDER BY recency, o_custkey) AS r_score,
+      |         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      |       FROM rfm),
+      |seg AS (SELECT CASE
+      |          WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+      |          WHEN r_score <= 2 AND f_score <= 2 THEN 'loyal'
+      |          WHEN r_score <= 2 THEN 'promising'
+      |          WHEN f_score <= 2 THEN 'at_risk'
+      |          ELSE 'hibernating' END AS segment,
+      |          recency, frequency, monetary
+      |        FROM sc)
+      |SELECT segment, count(*) AS n_customers,
+      |  CAST(sum(frequency) AS BIGINT) AS n_orders,
+      |  round(sum(monetary), 2) AS total_monetary,
+      |  sum(recency) * 1.0 / count(*) AS mean_recency_days,
+      |  round(sum(monetary), 2) / count(*) AS mean_monetary
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+
   /** Model scoring under the oracle hash gate — the native
     * [[graft.functions.XgbScore]] expression (the engine's rebuild of
     * the reference's booster scoring, streamlit_app.py:717-725) walking
@@ -1596,5 +1681,6 @@ object Relational {
     QueryDef("q42_big_orders", bigOrders, Some(bigOrdersSql)),
     QueryDef("q43_order_interarrival", orderInterarrival,
       Some(orderInterarrivalSql)),
+    QueryDef("q44_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }

@@ -2031,6 +2031,75 @@ object Temporal {
        |ORDER BY event_type, lag_h""".stripMargin
   }
 
+  /** Seasonal-strength decomposition — per event type, how much of the
+    * hourly-count variance the hour-of-day cycle explains: the ANOVA R²
+    * (eta-squared) of the 24-level hour-of-day factor,
+    * strength = 1 − SSW/SST = SSB/SST ∈ [0, 1]. This is the quantified
+    * companion to t41's baseline (t41 FITS the seasonal means; this says
+    * whether they are worth fitting) and the model-selection gate before
+    * t38's EWMA or t49's ACF lags are trusted: strength near 1 → a
+    * seasonal baseline removes most variance; near 0 → the cycle is
+    * noise and a flat baseline does as well.
+    *
+    * Scale shape: one map-side-combining hour-grain count aggregate of
+    * the fact table, then two reductions of the hours-sized frame (a
+    * per-(type, hod) partial and a per-type total) joined on the
+    * |types|-bounded key — the fact table is scanned once and never
+    * joined to anything its own size. Floats: hourly counts are exact
+    * ints, so SST's Σx and Σx² are exact; the ANOVA identity
+    * SSW = Σx² − Σ_h S_h²/n_h needs one division per hour-of-day cell
+    * (24 per type) and the 24-term sum order differs across engines, so
+    * strength and variance carry 6-dp display rounding (QueryDef rule 6);
+    * the mean is one int/int division. Products are promoted to double
+    * BEFORE multiplying (`s · 1.0 · s`), identically on both engines —
+    * overflow-safe where a long·long square is not.
+    */
+  def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    val byHod = hourly
+      .select(col("event_type"), hour(col("h")).as("hod"), col("cnt"))
+      .groupBy("event_type", "hod")
+      .agg(sum("cnt").as("sh"), count(lit(1)).as("nh"))
+      .groupBy("event_type")
+      .agg(sum(col("sh") * lit(1.0) * col("sh") / col("nh")).as("ss_hod"))
+    val tot = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+    tot.join(byHod, "event_type")
+      .selectExpr("event_type", "n_hours",
+        "sx * 1.0D / n_hours AS mean_hourly",
+        "round((sxx - sx * 1.0D * sx / n_hours) / n_hours, 6) AS var_hourly",
+        """round(CASE WHEN sxx - sx * 1.0D * sx / n_hours = 0.0D THEN NULL
+          |  ELSE 1.0D - (sxx - ss_hod) / (sxx - sx * 1.0D * sx / n_hours)
+          |  END, 6) AS seasonal_strength""".stripMargin)
+      .orderBy("event_type")
+  }
+
+  private val seasonalStrengthSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      |  FROM events GROUP BY event_type, h),
+      |w AS (SELECT event_type,
+      |        sum(sh * 1.0 * sh / nh) AS ss_hod
+      |      FROM (SELECT event_type, hour(h) AS hod,
+      |              CAST(sum(cnt) AS BIGINT) AS sh, count(*) AS nh
+      |            FROM hourly GROUP BY event_type, hod)
+      |      GROUP BY event_type),
+      |t AS (SELECT event_type, count(*) AS n_hours,
+      |        CAST(sum(cnt) AS BIGINT) AS sx,
+      |        CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+      |      FROM hourly GROUP BY event_type)
+      |SELECT event_type, n_hours,
+      |  sx * 1.0 / n_hours AS mean_hourly,
+      |  round((sxx - sx * 1.0 * sx / n_hours) / n_hours, 6) AS var_hourly,
+      |  round(CASE WHEN sxx - sx * 1.0 * sx / n_hours = 0.0 THEN NULL
+      |    ELSE 1.0 - (sxx - ss_hod) / (sxx - sx * 1.0 * sx / n_hours)
+      |    END, 6) AS seasonal_strength
+      |FROM t JOIN w USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2088,5 +2157,7 @@ object Temporal {
       Some(purchasesNearErrorsFullOuterSql)),
     QueryDef("t48_cusum_drift", cusumDrift, Some(cusumDriftSql)),
     QueryDef("t49_acf_hourly", acfHourly, Some(acfHourlySql)),
+    QueryDef("t50_seasonal_strength", seasonalStrength,
+      Some(seasonalStrengthSql)),
   )
 }

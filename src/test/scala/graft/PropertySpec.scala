@@ -218,4 +218,51 @@ class PropertySpec extends SparkSpec {
       assert(bad == 0)
     }
   }
+
+  test("q44 RFM segments partition the customer base and conserve totals") {
+    val seg = graft.operators.Relational.rfmSegments(spark, sf0001)
+      .collect()
+    // every named segment is from the fixed vocabulary, no duplicates
+    val names = seg.map(_.getString(0)).toSeq
+    val vocab = Set("champion", "loyal", "promising", "at_risk", "hibernating")
+    assert(names.toSet.subsetOf(vocab) && names.distinct == names)
+    // segments PARTITION the customers-with-orders set: counts conserve
+    val orders = Tables.orders(spark, sf0001)
+    val nCust = orders.select("o_custkey").distinct().count()
+    val nOrd = orders.count()
+    assert(seg.map(_.getLong(1)).sum == nCust, "n_customers must sum to distinct custkeys")
+    assert(seg.map(_.getLong(2)).sum == nOrd, "n_orders must sum to the order count")
+    spark.sharedState.cacheManager.clearCache() // rfm frame persist (registry contract)
+  }
+
+  test("t50 seasonal strength is an ANOVA R² in [0,1] and conserves counts") {
+    val rows = graft.operators.Temporal.seasonalStrength(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val strength = r.getDouble(4)
+      assert(strength >= 0.0 && strength <= 1.0, s"strength=$strength out of [0,1]")
+      // mean_hourly * n_hours restores the type's event count exactly
+      val restored = r.getDouble(2) * r.getLong(1)
+      assert(math.abs(restored - math.rint(restored)) < 1e-6)
+    }
+    val total = rows.map(r => math.rint(r.getDouble(2) * r.getLong(1)).toLong).sum
+    assert(total == Tables.events(spark, sf0001).count(),
+      "per-type hourly means must conserve the event count")
+  }
+
+  test("d73 threshold sweep is monotone non-increasing and anchored at bp=0") {
+    val rows = graft.ext.TextOps.thresholdSensitivity(spark, sf0001)
+      .orderBy("min_stop_bp").collect()
+    assert(rows.length == 9)
+    // tightening the floor can only shrink the surviving set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1), "n_pass must be non-increasing")
+      assert(b.getLong(4) <= a.getLong(4), "tokens_pass must be non-increasing")
+    }
+    // at bp=0 the stop-ratio clause is vacuous: survivors == length band
+    val band = Tables.documents(spark, sf0001)
+      .selectExpr("size(split(text,' ')) AS n")
+      .filter(col("n").between(20, 400)).count()
+    assert(rows.head.getLong(1) == band)
+  }
 }
