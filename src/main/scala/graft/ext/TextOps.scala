@@ -4506,6 +4506,171 @@ object TextOps {
        |FROM x GROUP BY min_stop_bp ORDER BY min_stop_bp""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d74
+
+  /** LSH banding configs under audit: (bands, rows) with bands·rows = 16
+    * permutations — public so the spec pins the same grid. */
+  val BandConfigs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+
+  /** d74's 16 affine MinHash permutations π_p(x) = (a·x + b) mod P over
+    * the md5_long60 base hash, P prime < 2³⁰ so every product stays
+    * < 2⁶⁰ — exact in int64 on BOTH engines (DuckDB errors on BIGINT
+    * overflow rather than wrapping, so the bound is load-bearing).
+    * Hashing the shingle ONCE and permuting arithmetically replaces 16
+    * md5 evaluations per shingle instance with one md5 + 16 integer
+    * ops — measured 8.7 s → the md5 pass was the whole query. The
+    * (a, b) constants are fixed arbitrary odd values; (a·x + b) mod P
+    * with a ≠ 0 is a bijection on [0, P), which is all a banding audit
+    * needs from its permutation family. */
+  private[ext] val MinhashP = 1073741789L
+  private[ext] val MinhashAB: Seq[(Long, Long)] = Seq(
+    (387420489L, 565656565L), (268435399L, 891891891L),
+    (536870909L, 123456789L), (715827883L, 987654321L),
+    (402653189L, 314159265L), (805306457L, 271828183L),
+    (160481219L, 414213563L), (905060539L, 173205081L),
+    (322122547L, 577215665L), (644245093L, 693147181L),
+    (229345007L, 602214076L), (458690013L, 662607015L),
+    (687935021L, 137035999L), (917180027L, 299792459L),
+    (114572407L, 160217663L), (573370019L, 522807763L))
+
+  /** LSH band-sensitivity audit — the S-curve measurement that picks
+    * d06's banding BEFORE anyone trusts it at corpus scale: for each
+    * (b bands × r rows) split of a 16-permutation MinHash signature,
+    * the candidate pairs the banding generates, how many of the exact
+    * near-dup pairs (d05, J ≥ 0.5) it detects, precision/recall, and
+    * the textbook detection probability at the threshold,
+    * p = 1 − (1 − τ^r)^b at τ = 0.5 (Leskovec/Rajaraman/Ullman ch. 3).
+    * Few rows per band → high recall, low precision (more verify work);
+    * many rows → the reverse. d61 audits the ESTIMATOR these bands are
+    * built from; this audits the BANDING decision itself — together
+    * they are the full pre-deployment checklist for the 100 TB dedup
+    * path.
+    *
+    * Portability: the shingle hashes ONCE through the cross-engine
+    * `md5_long60` (d61's trick), then each of the 16 permutations is
+    * the exact affine map [[MinhashAB]] over that base — bit-identical
+    * int64 arithmetic on both engines, 16× fewer md5 evaluations than
+    * hashing per (perm, shingle) (production keeps d06's faster
+    * xxhash64 family; the audit exists to put the banding under the
+    * hash gate). The theory column is an exact binary rational —
+    * 1 − (2^r − 1)^b / 2^16, a power-of-two division of an exact
+    * integer — interpolated into both engines as the same integer
+    * arithmetic, so it is emitted unrounded.
+    *
+    * Scale shape: the signature pass is corpus-wide BY DESIGN (unlike
+    * d61's pair-restricted audit, candidate generation is the thing
+    * being measured) — one shingle explode, one md5 per instance, a
+    * broadcast 16-row (perm, a, b) grid and a map-side-combined
+    * min-agg, persisted once for the three configs. Each config is a
+    * band-key aggregate over the 16·|docs| signature frame and a
+    * posting-style self-join on (band, key) — bucket-bounded, the same
+    * join volume d06's production banding pays. Candidate/detect
+    * counts reduce through ONE left-join aggregate per config (never
+    * two passes over the candidate set).
+    */
+  def lshBandSensitivity(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS shs""".stripMargin)
+    val perms = MinhashAB.zipWithIndex
+      .map { case ((a, b), p) => (p, a, b) }.toDF("p", "pa", "pb")
+    // registry contract: persist, no unpersist here — Verify/Bench
+    // clearCache() between queries (q31's documented ownership model)
+    val sigs = sh.selectExpr("doc_id", "explode(shs) AS g")
+      .selectExpr("doc_id", s"md5_long60(g) % ${MinhashP}L AS h0")
+      .crossJoin(broadcast(perms))
+      .selectExpr("doc_id", "p", s"(h0 * pa + pb) % ${MinhashP}L AS h")
+      .groupBy("doc_id", "p").agg(min("h").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = jaccardDupPairs(s, dir)
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"))
+      .localCheckpoint() // one side per config + the n_true scalar
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
+    val perConfig = BandConfigs.map { case (b, r) =>
+      val bands = sigs
+        .withColumn("band", expr(s"p DIV $r"))
+        .groupBy("doc_id", "band")
+        .agg(expr("""concat_ws(',', transform(
+          |  sort_array(collect_list(struct(p, m))),
+          |  x -> CAST(x.m AS STRING)))""".stripMargin).as("key"))
+      // posting-list pair generation (d05's kernel): the bucket index is
+      // built ONCE and pairs stream lazily from sorted doc lists — a
+      // (band, key) self-join would compute the band aggregate per side
+      // and shuffle the wider of the two
+      val cand = bands.groupBy("band", "key")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")) > 1)
+        .selectExpr(pairExplode)
+        .select(col("x").as("d1"), col("y").as("d2")).distinct()
+      // exact binary rational: num = (2^r − 1)^b, p_detect = 1 − num/2^16
+      val num = Iterator.fill(b)((1L << r) - 1).product
+      cand
+        .join(exact.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+        .crossJoin(broadcast(nTrue))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_detected"), col("n_true"),
+          (col("n_detected") * lit(1.0) / col("n_candidates"))
+            .as("detect_precision"),
+          (col("n_detected") * lit(1.0) / col("n_true")).as("detect_recall"),
+          (lit(1.0) - lit(num) / lit(65536.0)).as("p_detect_at_tau"))
+    }
+    perConfig.reduce(_.unionByName(_)).orderBy("rows_per_band")
+  }
+
+  private val lshBandSensitivitySql = {
+    val cfgRows = BandConfigs.map { case (b, r) =>
+      val num = Iterator.fill(b)((1L << r) - 1).product
+      s"($b, $r, $num)"
+    }.mkString(", ")
+    val permRows = MinhashAB.zipWithIndex
+      .map { case ((a, b), p) => s"($p, ${a}, ${b})" }.mkString(", ")
+    s"""WITH $shingleSqlCte,
+       |pp AS (SELECT * FROM (VALUES $permRows) AS t(p, pa, pb)),
+       |h0 AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+       |           % $MinhashP AS h0
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+       |sig AS (SELECT doc_id, pp.p,
+       |          min((h0 * pp.pa + pp.pb) % $MinhashP) AS m
+       |        FROM h0 CROSS JOIN pp
+       |        GROUP BY doc_id, pp.p),
+       |ex AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |          >= 0.5),
+       |nt AS (SELECT count(*) AS n_true FROM ex),
+       |cfg AS (SELECT * FROM (VALUES $cfgRows) AS t(nb, rpb, num)),
+       |bnd AS (SELECT nb, rpb, doc_id, p // rpb AS band,
+       |          string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bkey
+       |        FROM sig CROSS JOIN cfg
+       |        GROUP BY nb, rpb, doc_id, band),
+       |cand AS (SELECT DISTINCT x.nb, x.rpb, x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bnd x JOIN bnd y ON x.nb = y.nb AND x.rpb = y.rpb
+       |           AND x.band = y.band AND x.bkey = y.bkey
+       |           AND x.doc_id < y.doc_id),
+       |st AS (SELECT nb, rpb, count(*) AS n_candidates,
+       |         CAST(sum(CASE WHEN ex.d1 IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_detected
+       |       FROM cand LEFT JOIN ex ON cand.d1 = ex.d1 AND cand.d2 = ex.d2
+       |       GROUP BY nb, rpb)
+       |SELECT cfg.nb AS n_bands, cfg.rpb AS rows_per_band, n_candidates,
+       |  n_detected, n_true,
+       |  n_detected * 1.0 / n_candidates AS detect_precision,
+       |  n_detected * 1.0 / n_true AS detect_recall,
+       |  1.0 - cfg.num / 65536.0 AS p_detect_at_tau
+       |FROM st JOIN cfg ON st.nb = cfg.nb AND st.rpb = cfg.rpb
+       |CROSS JOIN nt
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -4608,5 +4773,7 @@ object TextOps {
       Some(sparseCosineDupPairsSql)),
     QueryDef("d73_threshold_sensitivity", thresholdSensitivity,
       Some(thresholdSensitivitySql)),
+    QueryDef("d74_lsh_band_sensitivity", lshBandSensitivity,
+      Some(lshBandSensitivitySql)),
   )
 }

@@ -1955,4 +1955,29 @@ class DedupSpec extends SparkSpec {
     val overall = got.values.map(_._2).sum.toDouble / rows.length
     assert(overall >= 0.0 && overall <= 1.0)
   }
+
+  test("d74 band configs nest: fewer rows per band can only ADD candidates") {
+    // The 16 permutations are shared and band boundaries align (each
+    // (4,4) band is two adjacent (8,2) bands; each (2,8) band is two
+    // (4,4) bands), so a full match at coarse r implies full matches in
+    // every contained finer band: candidates(2,8) ⊆ candidates(4,4) ⊆
+    // candidates(8,2). That gives monotone candidate counts, monotone
+    // recall, and p_detect_at_tau monotone in the same direction.
+    val rows = TextOps.lshBandSensitivity(spark, sf0001)
+      .orderBy("rows_per_band").collect() // r = 2, 4, 8
+    assert(rows.length == 3)
+    val cands = rows.map(_.getLong(2))
+    val det = rows.map(_.getLong(3))
+    val rec = rows.map(_.getDouble(6))
+    val theory = rows.map(_.getDouble(7))
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2), cands.toSeq.toString)
+    assert(det(0) >= det(1) && det(1) >= det(2), det.toSeq.toString)
+    assert(rec(0) >= rec(1) && rec(1) >= rec(2), rec.toSeq.toString)
+    assert(theory(0) > theory(1) && theory(1) > theory(2))
+    // detected never exceeds either of its denominators
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) <= r.getLong(4))
+    }
+    spark.sharedState.cacheManager.clearCache() // sigs persist (registry contract)
+  }
 }

@@ -218,7 +218,7 @@ class PlanSpec extends SparkSpec {
       "d64_stupid_backoff", "d66_filter_funnel", "d67_dup_mass_report",
       "d68_intradoc_chunk_dedup", "d69_kn_bigram_score",
       "d71_source_overlap_matrix", "d72_sparse_cosine_dup_pairs",
-      "d73_threshold_sensitivity",
+      "d73_threshold_sensitivity", "d74_lsh_band_sensitivity",
       "e23_crossmodal_dup_confirm",
       // tokenizes text inside the unigram-LM subtree (the d42 pattern)
       "d70_isotonic_calibration",
