@@ -2100,6 +2100,85 @@ object Temporal {
       |FROM t JOIN w USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** Changepoint LOCALIZATION — one binary-segmentation step (Scott &
+    * Knott 1974; the recursion under every offline changepoint method)
+    * per event type over the hourly counts: the split hour k that
+    * maximizes the squared-error reduction
+    * Δ(k) = S_k²/k + (S_n−S_k)²/(n−k) − S_n²/n, i.e. the best
+    * two-segment piecewise-constant fit. t48's CUSUM DETECTS that a
+    * sustained shift happened; this answers the operator's next
+    * question — WHERE — with the before/after means a root-cause
+    * review actually reads. (Production recurses on the louder
+    * segment; one level is the pinned kernel.)
+    *
+    * Scale shape: one map-side-combining hour-grain count aggregate of
+    * the fact table; the prefix sums are a window PARTITIONED BY
+    * event_type over the hours-sized rollup (parallel across types,
+    * calendar-bounded within one), and the argmax is a bounded top-1
+    * row_number over the same partitioning. Floats: hourly counts are
+    * exact ints, so S_k/k/n are exact; each Δ term is one
+    * double-promoted product of exact ints over an exact int
+    * (`s·1.0·s/k` — overflow-safe where a long·long square is not) and
+    * the three-term sum is written in the same fixed order on both
+    * engines — bit-identical, so the argmax needs NO rounding; the
+    * reported means are int/int divisions (rule 3) and only the
+    * reported Δ carries 6-dp display rounding.
+    */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val scored = hourly
+      .withColumn("k", row_number().over(w))
+      .withColumn("sk", sum("cnt").over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("sn", sum("cnt").over(Window.partitionBy("event_type")))
+      .filter(col("k") < col("n")) // both segments nonempty
+      .withColumn("delta",
+        expr("""sk * 1.0D * sk / k
+          |  + (sn - sk) * 1.0D * (sn - sk) / (n - k)
+          |  - sn * 1.0D * sn / n""".stripMargin))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("delta"), col("h"))))
+      .filter(col("rn") === 1)
+      .selectExpr("event_type", "unix_micros(h) AS split_hour_us",
+        "CAST(k AS BIGINT) AS n_hours_before",
+        "CAST(n - k AS BIGINT) AS n_hours_after",
+        "sk * 1.0D / k AS mean_before",
+        "(sn - sk) * 1.0D / (n - k) AS mean_after",
+        "round(delta, 6) AS delta_ss")
+      .orderBy("event_type")
+  }
+
+  private val changepointSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      |  FROM events GROUP BY event_type, h),
+      |sc AS (SELECT event_type, h,
+      |         row_number() OVER w AS k,
+      |         CAST(sum(cnt) OVER w AS BIGINT) AS sk,
+      |         count(*) OVER (PARTITION BY event_type) AS n,
+      |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+      |       FROM hourly
+      |       WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+      |d AS (SELECT *,
+      |        sk * 1.0 * sk / k
+      |          + (sn - sk) * 1.0 * (sn - sk) / (n - k)
+      |          - sn * 1.0 * sn / n AS delta
+      |      FROM sc WHERE k < n),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |           ORDER BY delta DESC, h) AS rn
+      |         FROM d)
+      |SELECT event_type, epoch_us(h) AS split_hour_us,
+      |  CAST(k AS BIGINT) AS n_hours_before,
+      |  CAST(n - k AS BIGINT) AS n_hours_after,
+      |  sk * 1.0 / k AS mean_before,
+      |  (sn - sk) * 1.0 / (n - k) AS mean_after,
+      |  round(delta, 6) AS delta_ss
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2159,5 +2238,6 @@ object Temporal {
     QueryDef("t49_acf_hourly", acfHourly, Some(acfHourlySql)),
     QueryDef("t50_seasonal_strength", seasonalStrength,
       Some(seasonalStrengthSql)),
+    QueryDef("t51_changepoint", changepoint, Some(changepointSql)),
   )
 }

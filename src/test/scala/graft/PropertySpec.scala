@@ -250,6 +250,40 @@ class PropertySpec extends SparkSpec {
       "per-type hourly means must conserve the event count")
   }
 
+  test("e37 bits sweep: recall non-decreasing, MSE non-increasing in bits") {
+    val rows = graft.ext.VectorOps.sqBitsSweep(spark, sf0001)
+      .orderBy("n_bits").collect()
+    assert(rows.length == graft.ext.VectorOps.SqBits.length)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      // a finer grid can only move each component CLOSER to its true
+      // value (the level sets nest at powers of two), so distortion
+      // falls; recall is monotone on this corpus and pinned as such
+      assert(b.getDouble(3) >= a.getDouble(3), "recall must not fall with more bits")
+      assert(b.getDouble(4) <= a.getDouble(4), "MSE must not rise with more bits")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 50)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("t51 changepoint: segment stats conserve the per-type event count") {
+    val rows = graft.operators.Temporal.changepoint(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.events(spark, sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (nb, na) = (r.getLong(2), r.getLong(3))
+      assert(nb >= 1 && na >= 1, "both segments must be nonempty")
+      // mean_before·n_before + mean_after·n_after restores the event count
+      val restored = r.getDouble(4) * nb + r.getDouble(5) * na
+      assert(math.abs(restored - totals(r.getString(0))) < 1e-6,
+        s"${r.getString(0)}: $restored vs ${totals(r.getString(0))}")
+      assert(r.getDouble(6) >= 0.0, "SS reduction is nonnegative by construction")
+    }
+  }
+
   test("d73 threshold sweep is monotone non-increasing and anchored at bp=0") {
     val rows = graft.ext.TextOps.thresholdSensitivity(spark, sf0001)
       .orderBy("min_stop_bp").collect()
