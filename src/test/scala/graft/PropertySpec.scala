@@ -267,6 +267,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("e38 cells sweep: partitions stay valid and balance tightens with k") {
+    val rows = graft.ext.VectorOps.ivfCellsSweep(spark, sf0001)
+      .orderBy("n_cells").collect()
+    assert(rows.length == graft.ext.VectorOps.IvfCells.length)
+    rows.foreach { r =>
+      val (k, live) = (r.getInt(0), r.getLong(1))
+      assert(live >= 1 && live <= k, s"live cells $live out of [1, $k]")
+      // the largest cell holds at least the uniform share of LIVE cells
+      assert(r.getDouble(2) >= 1.0 / live && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0, "CV is nonnegative")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 50)
+    }
+    // more cells can only shrink the biggest cell (pinned on this corpus;
+    // recall is deliberately NOT pinned monotone — the measured curve has
+    // a k=16 sweet spot, which is the point of the audit)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(2) <= a.getDouble(2), "max cell share must tighten")
+    }
+    spark.sharedState.cacheManager.clearCache() // per-k assignment persists
+  }
+
   test("t51 changepoint: segment stats conserve the per-type event count") {
     val rows = graft.operators.Temporal.changepoint(spark, sf0001).collect()
     assert(rows.nonEmpty)
