@@ -1582,6 +1582,77 @@ object Relational {
       |  round(sum(monetary), 2) / count(*) AS mean_monetary
       |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** Revenue concentration — the decile Lorenz curve and its trapezoid
+    * Gini: customers ranked by total spend (ascending), the cumulative
+    * revenue share at each population decile, and
+    * G ≈ 1 − (1/10)·Σ(L_i + L_{i−1}) — the how-concentrated-is-the-
+    * business table (and, swapped onto documents × sources, the corpus-
+    * concentration audit the same code path serves). The top decile's
+    * share and the Gini are what a revenue-risk review actually quotes.
+    *
+    * Scale shape: one map-side-combining orders aggregate to the
+    * customer grain, decile assignment via [[Ranking.exactNtile]] over
+    * the persisted customer frame (q35's no-global-window discipline),
+    * then everything — cumulative shares, trapezoid sum, Gini — runs on
+    * the 10-row decile aggregate (its unpartitioned window is bounded
+    * BY CONSTRUCTION, PlanSpec-allowlisted like q35's cum_capture).
+    * Floats: per-customer and per-decile revenue are exact 2-dp
+    * restores (rule 1), shares divide those exact values (rule 2), and
+    * only the Gini — a 10-term sum whose order differs across
+    * engines — carries 6-dp display rounding (rule 6).
+    */
+  def lorenzGini(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = Ranking
+      .exactNtile(cust, 10, col("monetary"),
+        ascending = true, ties = Seq(col("o_custkey")), out = "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("monetary"), 2).as("decile_revenue"))
+    val tot = dec.agg(round(sum("decile_revenue"), 2).as("tr"),
+      sum("n_customers").as("tc"))
+    val w = Window.orderBy("decile")
+    val lorenz = dec.crossJoin(broadcast(tot))
+      .withColumn("cum_rev", round(sum("decile_revenue").over(w), 2))
+      .select(col("decile"), col("n_customers"),
+        col("decile_revenue"),
+        (col("decile_revenue") / col("tr")).as("revenue_share"),
+        (col("cum_rev") / col("tr")).as("cum_revenue_share"))
+    val gini = lorenz
+      .withColumn("prev", coalesce(lag("cum_revenue_share", 1)
+        .over(Window.orderBy("decile")), lit(0.0)))
+      .agg(round(lit(1.0) - sum(col("cum_revenue_share") + col("prev"))
+        / lit(10.0), 6).as("gini"))
+    lorenz.crossJoin(broadcast(gini)).orderBy("decile")
+  }
+
+  private val lorenzGiniSql =
+    """WITH cust AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      |        FROM orders GROUP BY o_custkey),
+      |dec AS (SELECT decile, count(*) AS n_customers,
+      |          round(sum(monetary), 2) AS decile_revenue
+      |        FROM (SELECT o_custkey, monetary,
+      |                ntile(10) OVER (ORDER BY monetary, o_custkey) AS decile
+      |              FROM cust)
+      |        GROUP BY decile),
+      |tot AS (SELECT round(sum(decile_revenue), 2) AS tr,
+      |          CAST(sum(n_customers) AS BIGINT) AS tc FROM dec),
+      |lz AS (SELECT decile, n_customers, decile_revenue,
+      |         decile_revenue / tr AS revenue_share,
+      |         round(sum(decile_revenue) OVER (ORDER BY decile), 2) / tr
+      |           AS cum_revenue_share
+      |       FROM dec, tot),
+      |g0 AS (SELECT cum_revenue_share + coalesce(lag(cum_revenue_share, 1)
+      |           OVER (ORDER BY decile), 0.0) AS trap
+      |       FROM lz),
+      |g AS (SELECT round(1.0 - sum(trap) / 10.0, 6) AS gini FROM g0)
+      |SELECT decile, n_customers, decile_revenue, revenue_share,
+      |  cum_revenue_share, gini
+      |FROM lz, g ORDER BY decile""".stripMargin
+
   /** Model scoring under the oracle hash gate — the native
     * [[graft.functions.XgbScore]] expression (the engine's rebuild of
     * the reference's booster scoring, streamlit_app.py:717-725) walking
@@ -1682,5 +1753,6 @@ object Relational {
     QueryDef("q43_order_interarrival", orderInterarrival,
       Some(orderInterarrivalSql)),
     QueryDef("q44_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("q45_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
   )
 }

@@ -267,6 +267,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q45 Lorenz curve is convex, ends at 1, and the Gini matches its trapezoids") {
+    val rows = graft.operators.Relational.lorenzGini(spark, sf0001)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    val shares = rows.map(_.getDouble(3))
+    val cum = rows.map(_.getDouble(4))
+    // ascending-spend deciles ⇒ per-decile share non-decreasing (convex Lorenz)
+    shares.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-12) }
+    assert(math.abs(cum.last - 1.0) < 1e-12, s"cum ends at ${cum.last}")
+    // trapezoid identity recomputed from the curve itself
+    val trap = cum.zip(0.0 +: cum.init).map { case (c, p) => c + p }.sum
+    val gini = rows.head.getDouble(5)
+    assert(math.abs(gini - (1.0 - trap / 10.0)) < 1e-6)
+    assert(gini >= 0.0 && gini < 1.0)
+    spark.sharedState.cacheManager.clearCache() // customer frame persist
+  }
+
   test("e38 cells sweep: partitions stay valid and balance tightens with k") {
     val rows = graft.ext.VectorOps.ivfCellsSweep(spark, sf0001)
       .orderBy("n_cells").collect()
