@@ -91,7 +91,8 @@ object Bench {
       "d49_cluster_safe_split", "d50_bpe_merges",
       "d51_dup_graph_pagerank", "d53_apply_decontamination",
       "d56_bpe_encode", "d57_dup_graph_triangles",
-      "d61_minhash_estimate_audit", "d67_dup_mass_report")
+      "d61_minhash_estimate_audit", "d67_dup_mass_report",
+      "d74_lsh_band_sensitivity")
       .filter(n => only.forall(_.contains(n)))
     val resultMap = results.toMap
     // every family member must have SUCCEEDED in the timed pass (-1.0 is the

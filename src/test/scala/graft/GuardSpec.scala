@@ -78,4 +78,54 @@ class GuardSpec extends SparkSpec {
       .selectExpr("id", "sum(id) OVER (PARTITION BY g) AS t")
     rule(ok.queryExecution.analyzed) // partitioned: passes even when on
   }
+
+  test("PlanAudit reports scans with pruning/pushdown, join strategy, shuffles") {
+    import graft.plans.PlanAudit
+    val lf = graft.Tables.lineitem(spark, sf0001)
+    val smallDim = graft.Tables.nation(spark, sf0001)
+    val df = lf.filter(org.apache.spark.sql.functions.col("l_quantity") > 10)
+      .groupBy("l_suppkey")
+      .agg(org.apache.spark.sql.functions.sum("l_extendedprice").as("rev"))
+    // under AQE the codegen spans exist only in MATERIALIZED query
+    // stages — execute first, then audit the plan Spark actually ran
+    df.collect()
+    val f = PlanAudit.audit(df)
+    val scans = f.filter(_.kind == "scan")
+    assert(scans.nonEmpty, f.toString)
+    // column pruning reached the reader: far fewer cols than the table has
+    assert(scans.exists(_.detail.startsWith("reads 3/")), scans.toString)
+    // the quantity filter was pushed to the scan
+    assert(scans.exists(_.detail.contains("GreaterThan(l_quantity")), scans.toString)
+    // partial+final agg pair visible
+    assert(f.count(_.kind == "agg") >= 2, f.toString)
+    assert(f.exists(x => x.kind == "shuffle" && x.operator == "ShuffleExchange"))
+    assert(f.exists(_.kind == "codegen"))
+    assert(f.forall(!_.caution), "a plain pruned agg has no cautions")
+    // broadcast join recognized as the no-shuffle-of-big-side case
+    val bj = PlanAudit.audit(lf.join(
+      org.apache.spark.sql.functions.broadcast(smallDim),
+      org.apache.spark.sql.functions.col("l_suppkey") ===
+        org.apache.spark.sql.functions.col("n_nationkey")))
+    assert(bj.exists(x => x.kind == "join" && x.operator == "BroadcastHashJoin" && !x.caution))
+  }
+
+  test("PlanAudit flags the funnel window and the cartesian, auditDf round-trips") {
+    import graft.plans.PlanAudit
+    val funnel = spark.range(50)
+      .selectExpr("id", "row_number() OVER (ORDER BY id) AS rn")
+    val fw = PlanAudit.audit(funnel)
+    assert(fw.exists(x => x.kind == "window" &&
+      x.operator.contains("partition-less") && x.caution), fw.toString)
+    // true cartesian (no condition, neither side broadcastable under a
+    // pinned no-auto-broadcast session) — reuse the s2 session posture
+    val s = s2
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cart = s.range(100).crossJoin(s.range(100).selectExpr("id AS id2"))
+    val fc = PlanAudit.audit(cart)
+    assert(fc.exists(x => x.operator == "CartesianProduct" && x.caution), fc.toString)
+    s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the DataFrame form carries identical rows
+    val viaDf = PlanAudit.auditDf(funnel).collect().toSeq
+    assert(viaDf == fw)
+  }
 }
