@@ -1653,6 +1653,73 @@ object Relational {
       |  cum_revenue_share, gini
       |FROM lz, g ORDER BY decile""".stripMargin
 
+  /** Market-basket affinity — co-occurrence LIFT between parts bought in
+    * the same order (the association-rule kernel under recommenders and
+    * assortment analysis): lift(a,b) = P(a,b)/(P(a)·P(b)) over order
+    * baskets, top-20 pairs with a ≥2-order support floor. Lift > 1 =
+    * bought together more than chance; the support floor keeps
+    * one-basket coincidences out of the ranking.
+    *
+    * Scale shape: the inverted-index discipline (d05's kernel) — the
+    * per-order DISTINCT part list is built ONCE (baskets are small, so
+    * the posting list is bounded by basket size, not corpus size),
+    * pairs stream lazily via pair_explode, and the pair/part/total
+    * supports are three map-side-combining aggregates; the two slim
+    * support tables join back by part key. No self-join of the
+    * lineitem table anywhere.
+    *
+    * Determinism: lift = (n_ab·N)/(n_a·n_b) with both products promoted
+    * to double before multiplying — exact integers under 2^53 through
+    * ONE division (rule 3), bit-identical on both engines, so the
+    * (lift DESC, part ids) top-20 needs no rounding.
+    */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = baskets.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partSupp = baskets.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_part"))
+    val pairs = baskets.groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .selectExpr("pair_explode(ds) AS (x, y)")
+      .groupBy(col("x").as("part_a"), col("y").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(partSupp.select(col("l_partkey").as("part_a"),
+        col("n_part").as("n_a")), "part_a")
+      .join(partSupp.select(col("l_partkey").as("part_b"),
+        col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both") * lit(1.0) / col("n_orders")).as("support"),
+        (col("n_both") * lit(1.0) * col("n_orders") /
+          (col("n_a") * lit(1.0) * col("n_b"))).as("lift"))
+      .orderBy(desc("lift"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val basketLiftSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+      |ps AS (SELECT l_partkey, count(*) AS n_part FROM b GROUP BY l_partkey),
+      |pr AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+      |         count(*) AS n_both
+      |       FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+      |         AND a.l_partkey < c.l_partkey
+      |       GROUP BY part_a, part_b
+      |       HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_both, x.n_part AS n_a, y.n_part AS n_b,
+      |  n_both * 1.0 / n_orders AS support,
+      |  n_both * 1.0 * n_orders / (x.n_part * 1.0 * y.n_part) AS lift
+      |FROM pr JOIN ps x ON part_a = x.l_partkey
+      |JOIN ps y ON part_b = y.l_partkey, n
+      |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin
+
   /** Model scoring under the oracle hash gate — the native
     * [[graft.functions.XgbScore]] expression (the engine's rebuild of
     * the reference's booster scoring, streamlit_app.py:717-725) walking
@@ -1754,5 +1821,6 @@ object Relational {
       Some(orderInterarrivalSql)),
     QueryDef("q44_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q45_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
+    QueryDef("q46_basket_lift", basketLift, Some(basketLiftSql)),
   )
 }

@@ -2179,6 +2179,67 @@ object Temporal {
       |  round(delta, 6) AS delta_ss
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** k-anonymity audit over the behavioral quasi-identifier — the
+    * privacy-risk histogram a dataset release (or a training-data
+    * inclusion decision) is reviewed against, complementing text-side
+    * PII scrubbing: group events by the QI tuple (event_type, weekday,
+    * hour-of-day) and report how many DISTINCT USERS share each tuple —
+    * an event whose tuple is shared by k users hides in a crowd of k.
+    * Output: per k-band (k=1 unique, 2-5, 6-20, 21+), the class count,
+    * event count, and share of all events — the "what fraction of this
+    * data singles someone out" number (Sweeney 2002's k-anonymity
+    * measured, not enforced; enforcement = suppress/coarsen the k=1
+    * band and re-audit).
+    *
+    * Scale shape: one map-side-combining (QI → events, distinct-user)
+    * aggregate — the QI space is |types|×7×24-bounded so the class
+    * frame is tiny; the band rollup and the 1-row total broadcast are
+    * free. Exact-count distinct per class is the point of the audit
+    * (a sketch that UNDERCOUNTS users would overstate anonymity);
+    * shares are exact int/int divisions (rule 3).
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(s, dir)
+      .select(col("event_type"), weekday(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"), col("user_id"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(countDistinct("user_id").as("k_users"),
+        count(lit(1)).as("n_events"))
+    val banded = classes
+      .withColumn("k_band",
+        when(col("k_users") === 1, "1 (unique)")
+          .when(col("k_users") <= 5, "2-5")
+          .when(col("k_users") <= 20, "6-20")
+          .otherwise("21+"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_classes"), sum("n_events").as("n_events"),
+        min("k_users").as("min_k"))
+    val tot = banded.agg(sum("n_events").as("te"))
+    banded.crossJoin(broadcast(tot))
+      .select(col("k_band"), col("n_classes"), col("n_events"),
+        (col("n_events") * lit(1.0) / col("te")).as("event_share"))
+      .orderBy("min_k")
+      .select("k_band", "n_classes", "n_events", "event_share")
+  }
+
+  private val kAnonymitySql =
+    """WITH c AS (
+      |  SELECT event_type, (dayofweek(ts) + 6) % 7 AS dow, hour(ts) AS hod,
+      |    count(DISTINCT user_id) AS k_users, count(*) AS n_events
+      |  FROM events GROUP BY event_type, dow, hod),
+      |b AS (SELECT CASE WHEN k_users = 1 THEN '1 (unique)'
+      |             WHEN k_users <= 5 THEN '2-5'
+      |             WHEN k_users <= 20 THEN '6-20'
+      |             ELSE '21+' END AS k_band,
+      |        count(*) AS n_classes,
+      |        CAST(sum(n_events) AS BIGINT) AS n_events,
+      |        min(k_users) AS min_k
+      |      FROM c GROUP BY k_band),
+      |t AS (SELECT sum(n_events) AS te FROM b)
+      |SELECT k_band, n_classes, n_events,
+      |  n_events * 1.0 / te AS event_share
+      |FROM b, t ORDER BY min_k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2239,5 +2300,6 @@ object Temporal {
     QueryDef("t50_seasonal_strength", seasonalStrength,
       Some(seasonalStrengthSql)),
     QueryDef("t51_changepoint", changepoint, Some(changepointSql)),
+    QueryDef("t52_k_anonymity", kAnonymity, Some(kAnonymitySql)),
   )
 }

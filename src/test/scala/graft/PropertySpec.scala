@@ -267,6 +267,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q46 basket lift: support floor holds, lift matches its own counts") {
+    val rows = graft.operators.Relational.basketLift(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nOrders = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      val (a, b2) = (r.getLong(0), r.getLong(1))
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b2, "pairs are ordered")
+      assert(nab >= 2, "support floor")
+      assert(nab <= na && nab <= nb, "pair support bounded by part supports")
+      assert(r.getDouble(6) == nab.toDouble * nOrders / (na.toDouble * nb),
+        "lift restates its own counts")
+    }
+    // ranking is by lift descending
+    rows.map(_.getDouble(6)).sliding(2).foreach { case Array(x, y) =>
+      assert(y <= x)
+    }
+  }
+
+  test("t52 k-anonymity bands partition all events and respect their bounds") {
+    val rows = graft.operators.Temporal.kAnonymity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == total, "bands partition the events")
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val vocab = Set("1 (unique)", "2-5", "6-20", "21+")
+    assert(rows.map(_.getString(0)).toSet.subsetOf(vocab))
+  }
+
   test("q45 Lorenz curve is convex, ends at 1, and the Gini matches its trapezoids") {
     val rows = graft.operators.Relational.lorenzGini(spark, sf0001)
       .orderBy("decile").collect()
