@@ -4671,6 +4671,75 @@ object TextOps {
        |ORDER BY rows_per_band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d75
+
+  /** Source × language independence audit — Pearson's chi-square over
+    * the (source, lang) contingency table: does language composition
+    * depend on source? A large standardized residual on one cell
+    * localizes the finding (a monolingual crawl, a mislabeling
+    * scraper) the way d59's JSD localizes vocabulary drift; together
+    * they are the metadata-level and content-level halves of the same
+    * provenance review. Emits every cell with observed, expected
+    * (under independence), and the standardized residual
+    * (O−E)/√E, plus the table-wide χ² and degrees of freedom.
+    *
+    * Scale shape: ONE map-side-combining (source, lang) count over the
+    * metadata columns (text is never read — the heavy-column sweep
+    * pins it), margins and the 1-row total derive from the
+    * |sources|×|langs|-bounded cell frame and broadcast back. Floats:
+    * E = (row·col)/N is one double-promoted product of exact ints over
+    * an exact int; residual and χ² involve √E (irrational — rule 6),
+    * so both carry 6-dp display rounding; the χ² cell sum order
+    * differs across engines, same rule.
+    */
+  def sourceLangIndependence(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy("source").agg(sum("o").as("row_n"))
+    val colM = cells.groupBy("lang").agg(sum("o").as("col_n"))
+    val tot = cells.agg(sum("o").as("n"),
+      ((countDistinct("source") - 1) * (countDistinct("lang") - 1))
+        .as("dof"))
+    // the full margin grid, not just observed cells: an ABSENT
+    // (source, lang) combination still contributes E to the statistic
+    // ((0 − E)²/E = E) — summing observed cells only would undercount
+    val scored = rowM.crossJoin(broadcast(colM))
+      .join(cells, Seq("source", "lang"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("row_n") * lit(1.0) * col("col_n") / col("n"))
+      .withColumn("cellchi", (col("o") - col("e")) * (col("o") - col("e"))
+        / col("e"))
+    val chi2 = scored.agg(round(sum("cellchi"), 6).as("chi2"))
+    scored.crossJoin(broadcast(chi2))
+      .select(col("source"), col("lang"), col("o").as("observed"),
+        round(col("e"), 6).as("expected"),
+        round((col("o") - col("e")) / sqrt(col("e")), 6).as("std_residual"),
+        col("chi2"), col("dof"))
+      .orderBy("source", "lang")
+  }
+
+  private val sourceLangIndependenceSql =
+    """WITH cells AS (SELECT source, lang, count(*) AS o
+      |        FROM documents GROUP BY source, lang),
+      |rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS row_n
+      |       FROM cells GROUP BY source),
+      |cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS col_n
+      |       FROM cells GROUP BY lang),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |        CAST((count(DISTINCT source) - 1)
+      |          * (count(DISTINCT lang) - 1) AS BIGINT) AS dof
+      |      FROM cells),
+      |sc AS (SELECT rm.source, cm.lang, coalesce(cells.o, 0) AS o,
+      |         row_n * 1.0 * col_n / n AS e
+      |       FROM rm CROSS JOIN cm
+      |       LEFT JOIN cells ON cells.source = rm.source
+      |         AND cells.lang = cm.lang, t),
+      |x2 AS (SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2 FROM sc)
+      |SELECT source, lang, o AS observed, round(e, 6) AS expected,
+      |  round((o - e) / sqrt(e), 6) AS std_residual, chi2, dof
+      |FROM sc, x2, t ORDER BY source, lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -4775,5 +4844,7 @@ object TextOps {
       Some(thresholdSensitivitySql)),
     QueryDef("d74_lsh_band_sensitivity", lshBandSensitivity,
       Some(lshBandSensitivitySql)),
+    QueryDef("d75_source_lang_independence", sourceLangIndependence,
+      Some(sourceLangIndependenceSql)),
   )
 }

@@ -298,6 +298,25 @@ class PropertySpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet.subsetOf(vocab))
   }
 
+  test("d75 chi-square table: margins conserve, dof matches, residual signs agree") {
+    val rows = graft.ext.TextOps.sourceLangIndependence(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "observed sums to the corpus")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - nDocs) < 1e-3,
+      "expected sums to the corpus")
+    val (nr, nc) = (rows.map(_.getString(0)).distinct.length,
+      rows.map(_.getString(1)).distinct.length)
+    assert(rows.length == nr * nc, "full grid including zero cells")
+    assert(rows.head.getLong(6) == (nr - 1).toLong * (nc - 1))
+    assert(rows.head.getDouble(5) >= 0.0)
+    rows.foreach { r =>
+      val diff = r.getLong(2) - r.getDouble(3)
+      assert(math.signum(r.getDouble(4)) == math.signum(diff) ||
+        math.abs(diff) < 1e-9)
+    }
+  }
+
   test("q45 Lorenz curve is convex, ends at 1, and the Gini matches its trapezoids") {
     val rows = graft.operators.Relational.lorenzGini(spark, sf0001)
       .orderBy("decile").collect()
