@@ -4338,6 +4338,15 @@ object TextOps {
       .withColumn("tail2", sum(col("tf") * col("tf")).over(wTail))
       .filter(col("tail2") * 100 >= col("s2") * 81)
       .select("doc_id", "b")
+    // candidate pairs via a prefix×prefix self-join. The posting-list
+    // kernel (d05's shape) was tried and MEASURED WORSE here (6.8-12.5 s
+    // vs ~5-7 s): on this hashed-bucket space the heavy prefix buckets
+    // hold hundreds of docs, and a collect_list + pair_explode
+    // concentrates each bucket's df² pair generation in ONE task, where
+    // the join spreads the same pair volume across join partitions. The
+    // kernel wins when lists are bounded (d39's cap, q46's baskets,
+    // d74's near-unique band keys); an unbounded skewed key space is the
+    // join's territory.
     val cand = prefix.select(col("doc_id").as("da"), col("b"))
       .join(prefix.select(col("doc_id").as("db"), col("b")), Seq("b"))
       .filter(col("da") < col("db"))
