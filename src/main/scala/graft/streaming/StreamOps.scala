@@ -222,6 +222,80 @@ object StreamOps {
       }
   }
 
+  case class TrendState(lastUs: Long, users: Seq[Long], weights: Seq[Double])
+  case class TrendOut(event_type: String, asof_us: Long, rank: Int,
+                      user_id: Long, weight: Double)
+
+  /** Exponentially-decayed heavy hitters — the "trending now" monitor:
+    * per event type, which users dominate RECENT activity, where
+    * "recent" is a half-life, not a window edge. A tumbling-window MG
+    * ([[hourlyHeavyHitterUsers]]) forgets everything at each boundary
+    * and a global MG never forgets; the decayed counter
+    * w ← w·2^(−Δt/halfLife) + 1 is the standard middle ground
+    * (space-saving with decay), and the half-life is the knob a
+    * trending feed actually exposes.
+    *
+    * Determinism contract (what StreamingSpec pins): the decay clock is
+    * EVENT time and decay applies per event in event-time order, so the
+    * carried state after any prefix of the stream is INDEPENDENT of
+    * micro-batch boundaries — chunk the stream anyhow, the final
+    * snapshot is bit-identical to a single-batch run and to a driver
+    * recompute of the same sequential walk. Rows are sorted within a
+    * batch; per-type arrival must be in event-time order ACROSS batches
+    * (cusumStream's contract). Each batch emits the key's top-k
+    * snapshot (weight DESC, user ASC) stamped with the key's max event
+    * time in that batch.
+    *
+    * State is bounded: `capacity` (user, weight) pairs per key; on
+    * overflow the smallest weight is evicted (ties evict the LARGEST
+    * user id, so the kept set is deterministic). Eviction makes the
+    * monitor approximate — a returning evicted user restarts from
+    * zero — the same trade every bounded heavy-hitter structure makes;
+    * capacity ≫ k keeps the top-k reliable in practice.
+    */
+  def trendingUsersStream(events: Dataset[Event], halfLifeHours: Double = 6.0,
+      k: Int = 3, capacity: Int = 32): Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    require(halfLifeHours > 0 && k > 0 && capacity >= k)
+    val hlUs = halfLifeHours * 3600000000.0
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrendState, TrendOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[Event], state: GroupState[TrendState]) =>
+          val s0 = state.getOption.getOrElse(TrendState(Long.MinValue, Nil, Nil))
+          val w = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+          s0.users.zip(s0.weights).foreach { case (u, x) => w(u) = x }
+          var lastUs = s0.lastUs
+          def usOf(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          sorted.foreach { e =>
+            val us = usOf(e.ts)
+            if (lastUs != Long.MinValue && us > lastUs) {
+              val f = math.pow(2.0, -(us - lastUs) / hlUs)
+              w.keys.toSeq.foreach(u => w(u) = w(u) * f)
+            }
+            lastUs = math.max(lastUs, us)
+            w(e.user_id) = w.getOrElse(e.user_id, 0.0) + 1.0
+            if (w.size > capacity) {
+              // evict the smallest weight; ties drop the LARGEST user id
+              val (eu, _) = w.minBy { case (u, x) => (x, -u) }
+              w.remove(eu)
+              ()
+            }
+          }
+          // persist in a deterministic order so state round-trips stably
+          val kept = w.toSeq.sortBy { case (u, x) => (-x, u) }
+          state.update(TrendState(lastUs, kept.map(_._1), kept.map(_._2)))
+          if (sorted.isEmpty) Iterator.empty
+          else kept.take(k).zipWithIndex.map { case ((u, x), i) =>
+            TrendOut(et, lastUs, i + 1, u, x)
+          }.iterator
+      }
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of the
     * gaps-and-islands batch query Temporal.userSessions.
     */

@@ -1034,4 +1034,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == expect.toSeq,
       s"stream/batch drift: ${streamed.toSeq.diff(expect.toSeq).take(3)} vs ${expect.toSeq.diff(streamed.toSeq).take(3)}")
   }
+
+  test("trending monitor: final snapshot is batch-boundary-independent and matches a driver walk") {
+    implicit val ctx = spark.sqlContext
+    val data = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    def run(name: String, chunks: Seq[Seq[Event]]): Map[(String, Int), (Long, Double)] = {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.trendingUsersStream(ms.toDS(), halfLifeHours = 6.0,
+          k = 3, capacity = 512) // capacity > |users|: no eviction, exact
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      // final snapshot per type = the rows stamped with the type's max asof
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4)))
+      rows.groupBy(_._1).toSeq.flatMap { case (et, rs) =>
+        val last = rs.map(_._2).max
+        rs.filter(_._2 == last).toSeq.map(r => (et, r._3) -> ((r._4, r._5)))
+      }.toMap
+    }
+    val whole = run("trend_whole", Seq(data))
+    val perType = data.groupBy(_.event_type)
+    // chunked arbitrarily in event-time order (per-type order preserved)
+    val chunked = run("trend_chunks", data.grouped(500).toSeq)
+    assert(whole.nonEmpty)
+    assert(whole == chunked, "snapshot must not depend on batch boundaries")
+    // driver recompute of the identical sequential walk, per type
+    val hlUs = 6.0 * 3600000000.0
+    perType.foreach { case (et, evs) =>
+      val w = scala.collection.mutable.Map.empty[Long, Double]
+      var last = Long.MinValue
+      evs.foreach { e =>
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L
+        if (last != Long.MinValue && us > last) {
+          val f = math.pow(2.0, -(us - last) / hlUs)
+          w.keys.toSeq.foreach(u => w(u) = w(u) * f)
+        }
+        last = math.max(last, us)
+        w(e.user_id) = w.getOrElse(e.user_id, 0.0) + 1.0
+      }
+      val top = w.toSeq.sortBy { case (u, x) => (-x, u) }.take(3)
+      top.zipWithIndex.foreach { case ((u, x), i) =>
+        val got = whole((et, i + 1))
+        assert(got._1 == u && got._2 == x,
+          s"$et rank ${i + 1}: $got vs ($u, $x)")
+      }
+    }
+    // decayed weight of any user is bounded by the geometric-series cap
+    // only when gaps are uniform; the universal bound is the raw count
+    whole.values.foreach { case (_, x) => assert(x > 0.0) }
+  }
 }
