@@ -207,4 +207,62 @@ object Multimodal {
       count(lit(1)).as("n"),
       sum(isnull(col("payload")).cast("long")).as("null_payload"),
       sum((length(col("payload")) === 0).cast("long")).as("empty_payload"))
+
+  // ---------------------------------------------------------------- m01
+
+  /** Exact BINARY-payload dedup — the first media-dedup pass every
+    * multimodal pipeline runs (before any perceptual hash): group
+    * payloads by their SHA-256 content fingerprint, keep the lowest id
+    * per group, report copy counts and reclaimable bytes. This is d01's
+    * semantics lifted to `BinaryType` end-to-end: the hash, the byte
+    * length and the grouping all run on the binary column, which is how
+    * a 100 TB media table is actually deduped (hash-group the
+    * fingerprints; never ship or compare payloads — two payloads are
+    * equal iff their SHA-256s are, at any practical scale).
+    *
+    * The registry instance derives the payload deterministically from
+    * `documents.text` (UTF-8 bytes) because the testdata carries no
+    * media column — the point is that the BINARY path itself (cast,
+    * octet length, sha2-over-bytes, fingerprint grouping) sits under
+    * the cross-engine hash gate; a real media table swaps the source
+    * column, not the plan. Scale shape: one scan, one
+    * map-side-combining group on the 64-hex fingerprint, a slim
+    * keeper/copies table joined back by fingerprint. All outputs are
+    * exact ints or hex strings — no floats anywhere.
+    */
+  def binaryHashDedup(s: SparkSession, dir: String): DataFrame = {
+    val payloads = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+      .selectExpr("doc_id", "octet_length(payload) AS n_bytes",
+        "sha2(payload, 256) AS sha")
+    val groups = payloads.groupBy("sha")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+    payloads.join(groups, "sha")
+      .select(col("doc_id"), col("n_bytes"), col("sha"), col("n_copies"),
+        (col("doc_id") === col("keeper")).as("is_keeper"),
+        when(col("doc_id") === col("keeper"), 0L)
+          .otherwise(col("n_bytes")).as("reclaimable_bytes"))
+      .orderBy("doc_id")
+  }
+
+  private val binaryHashDedupSql =
+    """WITH p AS (SELECT doc_id,
+      |        octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |        sha256(text) AS sha
+      |      FROM documents),
+      |g AS (SELECT sha, count(*) AS n_copies, min(doc_id) AS keeper
+      |      FROM p GROUP BY sha)
+      |SELECT doc_id, n_bytes, sha, n_copies,
+      |  doc_id = keeper AS is_keeper,
+      |  CASE WHEN doc_id = keeper THEN 0 ELSE n_bytes END
+      |    AS reclaimable_bytes
+      |FROM p JOIN g USING (sha) ORDER BY doc_id""".stripMargin
+
+  /** Oracle-gated multimodal queries (the binary-column path under the
+    * driver's DuckDB hash compare; the codec-dependent ops stay
+    * spec-verified on fixtures — MultimodalSpec).
+    */
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("m01_binary_hash_dedup", binaryHashDedup,
+      Some(binaryHashDedupSql)))
 }
