@@ -1703,6 +1703,67 @@ object Relational {
       .limit(20)
   }
 
+  /** Supplier concentration per nation — the Herfindahl–Hirschman index
+    * (HHI = Σ shareᵢ², the antitrust concentration scalar; 1/HHI is the
+    * "effective number of suppliers"): how dependent is each nation's
+    * lineitem revenue on few suppliers? Complements q45's Gini — the
+    * Gini reads inequality of the whole distribution, HHI reads
+    * dominance at the top, and procurement-risk reviews quote both.
+    *
+    * Scale shape: one map-side-combining (nation, supplier) revenue
+    * aggregate of the fact table (supplier dimension broadcast onto the
+    * pre-reduced frame — never onto lineitem rows), then a per-nation
+    * reduction of the supplier-bounded frame. Floats: revenues are
+    * exact 2-dp restores (rule 1); each share is one division of exact
+    * values, HHI is the Σshare² over a per-nation supplier set whose
+    * sum order differs across engines — 6-dp display rounding (rule 6);
+    * the effective count is 1/HHI of that rounded value, same rule.
+    */
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("rev"))
+    val withNation = bySupp
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+    val natTot = withNation.groupBy("n_name")
+      .agg(round(sum("rev"), 2).as("nat_rev"),
+        count(lit(1)).as("n_suppliers"))
+    withNation.join(broadcast(natTot), "n_name")
+      .select(col("n_name"), col("n_suppliers"), col("nat_rev"),
+        ((col("rev") / col("nat_rev")) * (col("rev") / col("nat_rev")))
+          .as("s2"))
+      .groupBy("n_name", "n_suppliers", "nat_rev")
+      .agg(round(sum("s2"), 6).as("hhi"))
+      .withColumn("effective_suppliers", round(lit(1.0) / col("hhi"), 6))
+      .select("n_name", "n_suppliers", "nat_rev", "hhi",
+        "effective_suppliers")
+      .orderBy("n_name")
+  }
+
+  private val supplierHhiSql =
+    """WITH bs AS (SELECT l_suppkey,
+      |        round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |      FROM lineitem GROUP BY l_suppkey),
+      |wn AS (SELECT n_name, rev FROM bs
+      |       JOIN supplier ON l_suppkey = s_suppkey
+      |       JOIN nation ON s_nationkey = n_nationkey),
+      |nt AS (SELECT n_name, round(sum(rev), 2) AS nat_rev,
+      |         count(*) AS n_suppliers
+      |       FROM wn GROUP BY n_name)
+      |SELECT n_name, n_suppliers, nat_rev,
+      |  round(sum((rev / nat_rev) * (rev / nat_rev)), 6) AS hhi,
+      |  round(1.0 / round(sum((rev / nat_rev) * (rev / nat_rev)), 6), 6)
+      |    AS effective_suppliers
+      |FROM wn JOIN nt USING (n_name)
+      |GROUP BY n_name, n_suppliers, nat_rev
+      |ORDER BY n_name""".stripMargin
+
   private val basketLiftSql =
     """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
@@ -1822,5 +1883,6 @@ object Relational {
     QueryDef("q44_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q45_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
     QueryDef("q46_basket_lift", basketLift, Some(basketLiftSql)),
+    QueryDef("q47_supplier_hhi", supplierHhi, Some(supplierHhiSql)),
   )
 }

@@ -298,6 +298,18 @@ class PropertySpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet.subsetOf(vocab))
   }
 
+  test("q47 HHI is bounded by [1/n, 1] and effective suppliers by [1, n]") {
+    val rows = graft.operators.Relational.supplierHhi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, eff) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"${r.getString(0)}: hhi=$hhi n=$n")
+      assert(eff >= 1.0 - 1e-6 && eff <= n + 1e-6)
+      assert(math.abs(eff - 1.0 / hhi) < 1e-3)
+    }
+  }
+
   test("d75 chi-square table: margins conserve, dof matches, residual signs agree") {
     val rows = graft.ext.TextOps.sourceLangIndependence(spark, sf0001).collect()
     assert(rows.nonEmpty)
