@@ -2179,6 +2179,99 @@ object Temporal {
       |  round(delta, 6) AS delta_ss
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** Session-level event-type affinity — PMI between event types
+    * co-occurring in the same session (t12's 30-minute gap sessions):
+    * pmi(a,b) = ln(P(a,b)·N / (P(a)·P(b)·…)) computed over session
+    * baskets, the behavioral companion to q46's order baskets and
+    * d41's text-bigram PMI — "users who error also buy?" is this table.
+    * Types present in a session count ONCE (set semantics, like q46);
+    * the per-pair count, marginals, and total are session-level.
+    *
+    * Scale shape: sessionization is the user-partitioned window t12
+    * pins (parallel across users), the per-session DISTINCT type set is
+    * a tiny list (≤ |types| = 5), pairs stream via pair_explode over
+    * the slim (session, type-list) frame, and the |types|²-bounded
+    * affinity table joins two broadcast marginals. Floats: pmi = one
+    * ln of a ratio of exact ints (double-promoted products, one
+    * division) — ln is irrational, 6-dp display rounding (rule 6);
+    * supports are exact int/int.
+    *
+    * Type names map to a dense int code via a BROADCAST sorted
+    * vocabulary so pair_explode (typed Long) serves this plan too —
+    * codes join back to names for the report.
+    */
+  def sessionTypePmi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sess_id", "event_type")
+    val vocab = sess.select("event_type").distinct()
+      .withColumn("tc", row_number().over(
+        Window.orderBy("event_type")).cast("long") - 1)
+    val coded = sess.join(broadcast(vocab), "event_type")
+      .select(col("user_id"), col("sess_id"), col("tc")).distinct()
+    val nSess = coded.select("user_id", "sess_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = coded.groupBy("tc").agg(count(lit(1)).as("n_t"))
+    val pairs = coded.groupBy("user_id", "sess_id")
+      .agg(sort_array(collect_list(col("tc"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .selectExpr("pair_explode(ds) AS (x, y)")
+      .groupBy("x", "y").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("tc").as("x"), col("n_t").as("n_a"))), "x")
+      .join(broadcast(marg.select(col("tc").as("y"), col("n_t").as("n_b"))), "y")
+      .join(broadcast(vocab.select(col("tc").as("x"),
+        col("event_type").as("type_a"))), "x")
+      .join(broadcast(vocab.select(col("tc").as("y"),
+        col("event_type").as("type_b"))), "y")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both") * lit(1.0) / col("n_sessions")).as("support"),
+        round(log(col("n_both") * lit(1.0) * col("n_sessions") /
+          (col("n_a") * lit(1.0) * col("n_b"))), 6).as("pmi"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val sessionTypePmiSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sess_id
+      |  FROM flagged),
+      |coded AS (SELECT DISTINCT user_id, sess_id, event_type FROM sess),
+      |ns AS (SELECT count(*) AS n_sessions
+      |       FROM (SELECT DISTINCT user_id, sess_id FROM coded)),
+      |mg AS (SELECT event_type, count(*) AS n_t FROM coded
+      |       GROUP BY event_type),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n_both
+      |       FROM coded a JOIN coded b ON a.user_id = b.user_id
+      |         AND a.sess_id = b.sess_id AND a.event_type < b.event_type
+      |       GROUP BY type_a, type_b)
+      |SELECT type_a, type_b, n_both, x.n_t AS n_a, y.n_t AS n_b,
+      |  n_both * 1.0 / n_sessions AS support,
+      |  round(ln(n_both * 1.0 * n_sessions / (x.n_t * 1.0 * y.n_t)), 6)
+      |    AS pmi
+      |FROM pr JOIN mg x ON type_a = x.event_type
+      |JOIN mg y ON type_b = y.event_type, ns
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** k-anonymity audit over the behavioral quasi-identifier — the
     * privacy-risk histogram a dataset release (or a training-data
     * inclusion decision) is reviewed against, complementing text-side
@@ -2301,5 +2394,6 @@ object Temporal {
       Some(seasonalStrengthSql)),
     QueryDef("t51_changepoint", changepoint, Some(changepointSql)),
     QueryDef("t52_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("t53_session_type_pmi", sessionTypePmi, Some(sessionTypePmiSql)),
   )
 }

@@ -138,6 +138,7 @@ class PlanSpec extends SparkSpec {
       "q27_open_order_backlog" -> "day spine: ≤ one row per calendar day",
       "q35_decile_lift" -> "cum_capture over the 10-row decile aggregate",
       "q45_lorenz_gini" -> "Lorenz cum-share + trapezoid lag over the 10-row decile aggregate",
+      "t53_session_type_pmi" -> "vocabulary code assignment over the |types|-row distinct aggregate",
       "q37_percent_of_parent" -> "grand-total window over the 25-row nation aggregate",
       "q38_rank_metrics" -> "bucket-offset frame: ≤ nBuckets=1000 rows",
       "t01_hourly_value_ma" -> "centered MA over the hourly rollup: calendar-bounded",
