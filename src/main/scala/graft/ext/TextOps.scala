@@ -4680,6 +4680,132 @@ object TextOps {
        |ORDER BY rows_per_band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d76
+
+  /** d76's signature widths — prefixes of one 64-permutation family. */
+  val MinhashWidths: Seq[Int] = Seq(16, 32, 64)
+
+  /** MinHash signature-WIDTH sweep — the third LSH knob audited (d61
+    * audits the estimator at one width, d74 the banding of one
+    * signature; this sweeps how many permutations the signature buys):
+    * per width w ∈ {16, 32, 64}, the bias, mean absolute error and RMSE
+    * of the w-permutation Jaccard estimate against the exact Jaccard of
+    * every audited pair. Theory says per-pair σ = √(J(1−J)/w) — RMSE
+    * should fall ≈ √2 per doubling, and the measured table is what
+    * justifies paying 64 longs/doc instead of 16 at 100 TB (or not).
+    *
+    * ONE signing pass serves every width: the widths are PREFIXES of a
+    * single 64-permutation family, so estimate(w) = matches among the
+    * first w permutations / w — three conditional sums in one
+    * aggregate, no re-signing. The permutation family is formulaic
+    * (aₚ = 387420489·(2p+1) mod P, bₚ = 565656565·(p+1) mod P over the
+    * md5 base — both engines derive it from p directly), products
+    * bounded < 2⁶⁰ (d74's overflow discipline). Signing is
+    * pair-restricted (d61's audit posture: only docs in an audited
+    * pair are signed — corpus-wide signing to check 1k pairs would be
+    * absurd at scale). Floats: estimates are k/w exact binary
+    * rationals, err/bias are row arithmetic on exact inputs; the
+    * per-width means/RMSE aggregate pair-count-many such values (sum
+    * order differs across engines) — 6-dp display rounding (rule 6).
+    */
+  def minhashWidthSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val pairs = jaccardDupPairs(s, dir).localCheckpoint()
+    val pairDocs = pairs
+      .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
+      .distinct()
+    val sh = Tables.documents(s, dir)
+      .join(broadcast(pairDocs), "doc_id")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS shs""".stripMargin)
+    val sigs = sh.selectExpr("doc_id", "explode(shs) AS g")
+      .selectExpr("doc_id", s"md5_long60(g) % ${MinhashP}L AS h0")
+      .crossJoin(broadcast(s.range(0, 64).selectExpr("CAST(id AS INT) AS p")))
+      .selectExpr("doc_id", "p",
+        s"""(h0 * ((387420489L * (2 * p + 1)) % ${MinhashP}L)
+           |  + (565656565L * (p + 1)) % ${MinhashP}L) % ${MinhashP}L
+           |  AS h""".stripMargin)
+      .groupBy("doc_id", "p").agg(min("h").as("m"))
+      .localCheckpoint() // both sides of the pair join
+    val ks = pairs
+      .join(sigs.select(col("doc_id").as("doc_id_1"), col("p"),
+        col("m").as("m1")), "doc_id_1")
+      .join(sigs.select(col("doc_id").as("doc_id_2"), col("p"),
+        col("m").as("m2")), Seq("doc_id_2", "p"))
+      .groupBy("doc_id_1", "doc_id_2", "jaccard")
+      .agg(
+        sum(when(col("m1") === col("m2") && col("p") < 16, 1L)
+          .otherwise(0L)).as("k16"),
+        sum(when(col("m1") === col("m2") && col("p") < 32, 1L)
+          .otherwise(0L)).as("k32"),
+        sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("k64"))
+    val perWidth = MinhashWidths.map { w =>
+      ks.select(col("jaccard"), (col(s"k$w") / lit(w.toDouble)).as("est"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("est") - col("jaccard")), 6).as("sb"),
+          round(sum(abs(col("est") - col("jaccard"))), 6).as("sa"),
+          round(sum((col("est") - col("jaccard"))
+            * (col("est") - col("jaccard"))), 6).as("sq"))
+        .select(lit(w).as("n_perms"), col("n_pairs"),
+          (col("sb") / col("n_pairs")).as("mean_bias"),
+          (col("sa") / col("n_pairs")).as("mean_abs_err"),
+          round(sqrt(col("sq") / col("n_pairs")), 6).as("rmse"))
+    }
+    perWidth.reduce(_.unionByName(_)).orderBy("n_perms")
+  }
+
+  private val minhashWidthSweepSql = {
+    val widthRows = MinhashWidths.map(w => s"($w)").mkString(", ")
+    s"""WITH $shingleSqlCte,
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    len(list_intersect(a.sh, b.sh)) * 1.0
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      >= 0.5),
+       |pd AS (SELECT DISTINCT doc_id FROM
+       |       (SELECT d1 AS doc_id FROM pairs
+       |        UNION ALL SELECT d2 FROM pairs)),
+       |h0 AS (SELECT s.doc_id,
+       |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+       |           % $MinhashP AS h0
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM s) s
+       |       JOIN pd ON s.doc_id = pd.doc_id),
+       |sig AS (SELECT doc_id, pp.p,
+       |          min((h0 * ((387420489 * (2 * pp.p + 1)) % $MinhashP)
+       |            + (565656565 * (pp.p + 1)) % $MinhashP) % $MinhashP)
+       |            AS m
+       |        FROM h0 CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pp
+       |        GROUP BY doc_id, pp.p),
+       |ks AS (SELECT p.d1, p.d2, p.jaccard,
+       |         CAST(sum(CASE WHEN s1.m = s2.m AND s1.p < 16
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS k16,
+       |         CAST(sum(CASE WHEN s1.m = s2.m AND s1.p < 32
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS k32,
+       |         CAST(sum(CASE WHEN s1.m = s2.m
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS k64
+       |       FROM pairs p
+       |       JOIN sig s1 ON s1.doc_id = p.d1
+       |       JOIN sig s2 ON s2.doc_id = p.d2 AND s2.p = s1.p
+       |       GROUP BY p.d1, p.d2, p.jaccard),
+       |cfg AS (SELECT * FROM (VALUES $widthRows) AS t(w)),
+       |est AS (SELECT w, jaccard,
+       |          (CASE w WHEN 16 THEN k16 WHEN 32 THEN k32
+       |            ELSE k64 END) / (w * 1.0) AS est
+       |        FROM ks CROSS JOIN cfg)
+       |SELECT w AS n_perms, count(*) AS n_pairs,
+       |  round(sum(est - jaccard), 6) / count(*) AS mean_bias,
+       |  round(sum(abs(est - jaccard)), 6) / count(*) AS mean_abs_err,
+       |  round(sqrt(round(sum((est - jaccard) * (est - jaccard)), 6)
+       |    / count(*)), 6) AS rmse
+       |FROM est GROUP BY w ORDER BY n_perms""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d75
 
   /** Source × language independence audit — Pearson's chi-square over
@@ -4855,5 +4981,7 @@ object TextOps {
       Some(lshBandSensitivitySql)),
     QueryDef("d75_source_lang_independence", sourceLangIndependence,
       Some(sourceLangIndependenceSql)),
+    QueryDef("d76_minhash_width_sweep", minhashWidthSweep,
+      Some(minhashWidthSweepSql)),
   )
 }

@@ -1956,6 +1956,23 @@ class DedupSpec extends SparkSpec {
     assert(overall >= 0.0 && overall <= 1.0)
   }
 
+  test("d76 width sweep: error falls with width, and |bias| ≤ MAE ≤ RMSE throughout") {
+    val rows = TextOps.minhashWidthSweep(spark, sf0001)
+      .orderBy("n_perms").collect()
+    assert(rows.length == TextOps.MinhashWidths.length)
+    rows.foreach { r =>
+      // Jensen/Cauchy-Schwarz: E|X| ≤ √E[X²], and |E X| ≤ E|X| — universal
+      assert(math.abs(r.getDouble(2)) <= r.getDouble(3) + 1e-9)
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9)
+    }
+    // more permutations = tighter estimate (theory σ = √(J(1−J)/w);
+    // pinned empirically — measured ≈ √2 decay per doubling)
+    rows.map(_.getDouble(4)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"RMSE must not rise with width: $a -> $b")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("d74 band configs nest: fewer rows per band can only ADD candidates") {
     // The 16 permutations are shared and band boundaries align (each
     // (4,4) band is two adjacent (8,2) bands; each (2,8) band is two

@@ -221,6 +221,8 @@ class PlanSpec extends SparkSpec {
       "d68_intradoc_chunk_dedup", "d69_kn_bigram_score",
       "d71_source_overlap_matrix", "d72_sparse_cosine_dup_pairs",
       "d73_threshold_sensitivity", "d74_lsh_band_sensitivity",
+      // d61/d76 tokenize text too, but behind localCheckpoint frames that
+      // truncate lineage — no file scan survives into their final plans
       "m01_binary_hash_dedup",
       "e23_crossmodal_dup_confirm",
       // tokenizes text inside the unigram-LM subtree (the d42 pattern)
