@@ -139,6 +139,7 @@ class PlanSpec extends SparkSpec {
       "q35_decile_lift" -> "cum_capture over the 10-row decile aggregate",
       "q45_lorenz_gini" -> "Lorenz cum-share + trapezoid lag over the 10-row decile aggregate",
       "t53_session_type_pmi" -> "vocabulary code assignment over the |types|-row distinct aggregate",
+      "e39_pq_shortlist_sweep" -> "adc_rank over the TakeOrdered ≤50-row shortlist",
       "q37_percent_of_parent" -> "grand-total window over the 25-row nation aggregate",
       "q38_rank_metrics" -> "bucket-offset frame: ≤ nBuckets=1000 rows",
       "t01_hourly_value_ma" -> "centered MA over the hourly rollup: calendar-bounded",
@@ -245,7 +246,7 @@ class PlanSpec extends SparkSpec {
       "e27_knn_graph", "e30_hard_negatives", "e31_triplet_mining",
       "e32_cluster_balanced_resample", "e33_pq_codebook_train",
       "e34_silhouette", "e35_knn_label_eval", "e36_embedding_drift",
-      "e37_sq_bits_sweep", "e38_ivf_cells_sweep")
+      "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

@@ -346,6 +346,20 @@ class PropertySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // customer frame persist
   }
 
+  test("e39 shortlist sweep: recall is monotone in depth (nested prefixes)") {
+    val rows = graft.ext.VectorOps.pqShortlistSweep(spark, sf0001)
+      .orderBy("n_shortlist").collect()
+    assert(rows.length == graft.ext.VectorOps.PqShortlists.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) == r.getLong(1) / 5.0)
+    }
+    // depths are prefixes of ONE ADC ranking: recall cannot fall
+    rows.map(_.getLong(1)).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "deeper shortlist can only add hits")
+    }
+  }
+
   test("e38 cells sweep: partitions stay valid and balance tightens with k") {
     val rows = graft.ext.VectorOps.ivfCellsSweep(spark, sf0001)
       .orderBy("n_cells").collect()
