@@ -4217,9 +4217,14 @@ object TextOps {
     * cell's share of all dup pairs.
     *
     * Scale shape: the pair frame is the registry-shared d05 subtree
-    * (computed once in pipeline mode); each side then broadcast-joins the
-    * slim (doc_id, source) projection — the matrix itself is bounded by
-    * |sources|², so every aggregation lands on a tiny key space. The
+    * (computed once in pipeline mode); each side then joins the slim
+    * (doc_id, source) projection UNHINTED — row-narrow but corpus-ROW-
+    * COUNT sized, so a forced broadcast would collect the whole doc
+    * dimension to the driver at 100 TB. AQE broadcasts it at small SF
+    * and keeps a shuffle join at scale, where the PAIR frame (dup pairs,
+    * not docs) is the bounded side — d72's vector-side posture. The
+    * matrix itself is bounded by |sources|², so every aggregation after
+    * the joins lands on a tiny key space. The
     * distinct-doc count is a second aggregation over the exploded pair
     * ends rather than a collect_set payload, keeping agg state bounded
     * per QueryDef's no-unbounded-buffers discipline.
@@ -4228,10 +4233,10 @@ object TextOps {
     val pairs = jaccardDupPairs(s, dir).select("doc_id_1", "doc_id_2")
     val src = Tables.documents(s, dir).select("doc_id", "source")
     val m = pairs
-      .join(broadcast(src.select(col("doc_id").as("doc_id_1"),
-        col("source").as("s1"))), "doc_id_1")
-      .join(broadcast(src.select(col("doc_id").as("doc_id_2"),
-        col("source").as("s2"))), "doc_id_2")
+      .join(src.select(col("doc_id").as("doc_id_1"),
+        col("source").as("s1")), "doc_id_1")
+      .join(src.select(col("doc_id").as("doc_id_2"),
+        col("source").as("s2")), "doc_id_2")
       .select(least(col("s1"), col("s2")).as("source_a"),
         greatest(col("s1"), col("s2")).as("source_b"),
         col("doc_id_1"), col("doc_id_2"))
@@ -4301,9 +4306,17 @@ object TextOps {
     * collapses further), and each candidate is exact-verified by the
     * codegen'd [[graft.functions.SparseDot]] merge-intersect over the
     * doc's sorted posting arrays — O(|a|+|b|) per pair, no index
-    * re-join. The prefix cut is pure INTEGER arithmetic:
-    * 100·tail² ≥ 81·‖v‖² ⟺ tail ≥ 0.9·‖v‖, so the indexed set is
-    * bit-identical on any engine. The doc-vector side carries no
+    * re-join. The prefix cut is pure INTEGER arithmetic, and its
+    * threshold is the EFFECTIVE one the rounded gate admits: the final
+    * filter keeps round(cos, 6) ≥ 0.9, which admits true cosines down
+    * to t = 0.8999995 (half-up), so a cut at 0.9 exactly would be lossy
+    * for a pair in [0.8999995, 0.9) — present in the naive-join oracle,
+    * not guaranteed to collide in the prefixes. The cut therefore uses
+    * 10⁵·tail² ≥ 80999·‖v‖² ⟺ tail ≥ √0.80999·‖v‖, and
+    * 0.80999 < t² = 0.80999910000025 makes the prefix (negligibly)
+    * longer than the exact-t cut — lossless for EVERY admissible pair,
+    * still bit-identical on any engine, and overflow-safe (s2 ≤ 10¹³
+    * before the 10⁵ scale hits int64). The doc-vector side carries no
     * broadcast hint — AQE broadcasts it at this SF (≈4 MB) and keeps a
     * shuffle join at corpus scale, where the candidate set (not the
     * vector table) is the small side. All floats: tf products and dots
@@ -4336,7 +4349,7 @@ object TextOps {
     val prefix = posts.join(broadcast(dfr), "b")
       .withColumn("s2", sum(col("tf") * col("tf")).over(wDoc))
       .withColumn("tail2", sum(col("tf") * col("tf")).over(wTail))
-      .filter(col("tail2") * 100 >= col("s2") * 81)
+      .filter(col("tail2") * 100000L >= col("s2") * 80999L)
       .select("doc_id", "b")
     // candidate pairs via a prefix×prefix self-join. The posting-list
     // kernel (d05's shape) was tried and MEASURED WORSE here (6.8-12.5 s

@@ -35,12 +35,15 @@ case class SparseDot(
   override def nullable: Boolean = children.exists(_.nullable)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val bad = children.map(_.dataType).zipWithIndex.collectFirst {
-      case (ArrayType(LongType, _), _) => None
-      case (other, i) => Some(s"argument ${i + 1} must be array<bigint>, " +
-        s"got ${other.simpleString}")
-    }.flatten
-    bad.map(TypeCheckResult.TypeCheckFailure)
+    // validate EVERY child: a collectFirst over a total partial function
+    // only ever inspected argument 1, letting sparse_dot(ok, 'oops', x, y)
+    // slip past analysis into a runtime ClassCastException
+    val bad = children.map(_.dataType).zipWithIndex.collect {
+      case (other, i) if !other.isInstanceOf[ArrayType] ||
+          other.asInstanceOf[ArrayType].elementType != LongType =>
+        s"argument ${i + 1} must be array<bigint>, got ${other.simpleString}"
+    }
+    bad.headOption.map(TypeCheckResult.TypeCheckFailure)
       .getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 

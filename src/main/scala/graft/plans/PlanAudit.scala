@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -51,7 +51,7 @@ object PlanAudit {
       kind: String, operator: String, detail: String, caution: Boolean)
 
   def audit(df: Dataset[_]): Seq[Finding] =
-    walk(df.queryExecution.executedPlan)
+    walk(df.queryExecution.executedPlan, filterAbove = false)
 
   /** The findings as a DataFrame, for display/joins with metrics. */
   def auditDf(df: Dataset[_]): Dataset[Finding] = {
@@ -60,7 +60,7 @@ object PlanAudit {
     spark.createDataset(audit(df))
   }
 
-  private def walk(p: SparkPlan): Seq[Finding] = {
+  private def walk(p: SparkPlan, filterAbove: Boolean): Seq[Finding] = {
     val kids: Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
@@ -76,9 +76,20 @@ object PlanAudit {
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
         val nCols = s.requiredSchema.fieldNames.length
         val totCols = s.relation.dataSchema.fieldNames.length
+        // the advertised pushdown-failure flag: a Filter sits above this
+        // scan yet NOTHING reached the reader — neither a data filter
+        // (PushedFilters empty) nor a partition-pruning predicate. A
+        // filter on derived columns can trip this legitimately (flag,
+        // not verdict — the Finding contract), but a filter on source
+        // columns that stayed post-scan is exactly the regression a
+        // 100 TB review must not miss.
+        val nothingPushed = (pushed == "[]" || pushed.isEmpty) &&
+          s.partitionFilters.isEmpty
         Seq(Finding("scan", s"parquet $tbl",
-          s"reads $nCols/$totCols cols, PushedFilters: $pushed",
-          caution = false))
+          s"reads $nCols/$totCols cols, PushedFilters: $pushed" +
+            (if (filterAbove && nothingPushed)
+               " — filter in plan but NOTHING pushed to the reader" else ""),
+          caution = filterAbove && nothingPushed))
       case j: BroadcastHashJoinExec =>
         Seq(Finding("join", "BroadcastHashJoin",
           s"${j.joinType} ON ${j.leftKeys.map(_.sql).mkString(", ")} — no shuffle of the big side",
@@ -137,6 +148,7 @@ object PlanAudit {
           s"fuses $n operators", caution = false))
       case _ => Nil
     }
-    self ++ kids.flatMap(walk)
+    val below = filterAbove || p.isInstanceOf[FilterExec]
+    self ++ kids.flatMap(walk(_, below))
   }
 }

@@ -173,6 +173,27 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("sparse_dot rejects a mistyped NON-FIRST argument at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    // the old collectFirst-based check only ever inspected argument 1, so a
+    // bad later argument type-checked and blew up at eval with a
+    // ClassCastException instead of a named analysis error
+    Seq(
+      "sparse_dot(array(1L), 'oops', array(1L), array(1L))"      -> 2,
+      "sparse_dot(array(1L), array(1L), map(1, 2), array(1L))"   -> 3,
+      "sparse_dot(array(1L), array(1L), array(1L), array(1.5D))" -> 4
+    ).foreach { case (exprStr, argNo) =>
+      val e = intercept[Exception] { spark.sql(s"SELECT $exprStr").collect() }
+      assert(e.getMessage.contains(s"argument $argNo must be array<bigint>"),
+        s"arg $argNo: ${e.getMessage}")
+    }
+    // a fully well-typed call still analyzes and evaluates
+    val ok = spark.sql(
+      "SELECT sparse_dot(array(1L, 2L), array(3L, 4L), array(2L), array(5L)) AS d")
+      .head().getLong(0)
+    assert(ok == 20L)
+  }
+
   test("word_trigram_hashes arity and type errors are named") {
     graft.functions.GraftFunctions.register(spark)
     val e1 = intercept[Exception] {

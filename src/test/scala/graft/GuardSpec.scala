@@ -109,6 +109,30 @@ class GuardSpec extends SparkSpec {
     assert(bj.exists(x => x.kind == "join" && x.operator == "BroadcastHashJoin" && !x.caution))
   }
 
+  test("PlanAudit cautions a scan when a filter exists but nothing was pushed") {
+    import graft.plans.PlanAudit
+    val lf = graft.Tables.lineitem(spark, sf0001)
+    // xxhash64 is not a pushable predicate — the Filter stays post-scan,
+    // PushedFilters is empty, no partition pruning: the advertised
+    // pushdown-failure caution must fire
+    val blocked = lf.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("l_returnflag")),
+        org.apache.spark.sql.functions.lit(7)) === 0)
+    blocked.collect()
+    val fb = PlanAudit.audit(blocked)
+    assert(fb.exists(x => x.kind == "scan" && x.caution &&
+      x.detail.contains("NOTHING pushed")), fb.toString)
+    // same table, pushable filter: scan stays caution-free (regression
+    // guard for the filterAbove threading)
+    val pushed = lf.filter(
+      org.apache.spark.sql.functions.col("l_quantity") > 10)
+    pushed.collect()
+    val fp = PlanAudit.audit(pushed)
+    assert(fp.filter(_.kind == "scan").forall(!_.caution), fp.toString)
+  }
+
   test("PlanAudit flags the funnel window and the cartesian, auditDf round-trips") {
     import graft.plans.PlanAudit
     val funnel = spark.range(50)
