@@ -56,10 +56,11 @@ import org.apache.spark.sql.types._
   *
   * Cost: the input subtree is evaluated three times (span, bin counts,
   * final rank); a skewed bin adds the split round — the heavy-value
-  * scan, one quantile-boundary aggregate per heavy value, and the split
-  * partition count. Every pass is fully parallel; callers with an
-  * expensive upstream persist it first (Caching.withPersisted or the
-  * runner-owned registry contract).
+  * scan, ONE batched quantile-boundary aggregate covering every heavy
+  * value at once (a per-value loop would serialize one driver job per
+  * heavy value), and the split partition count. Every pass is fully
+  * parallel; callers with an expensive upstream persist it first
+  * (Caching.withPersisted or the runner-owned registry contract).
   *
   * Residual limitation (documented, one refinement level): an oversized
   * bin is split one level deep. A distribution that is still skewed
@@ -240,27 +241,61 @@ object Ranking {
           .map(r => (r.getLong(0), r.getDouble(1), r.get(3), r.get(4)))
           .groupBy(_._1)
 
-        // Key-bin expression for one heavy equal-score group: monotone
-        // projection of the tie key, split at its own quantile
-        // boundaries (one bounded aggregate per heavy value — skew path
-        // only). Boundaries affect only partition BALANCE, never the
-        // ranks, so the approximation is safe; determinism per run is
-        // what matters, and both consumers of the expression (the count
-        // pass and the rank pass) share the same collected literals.
+        // Key-bin boundaries for ALL heavy equal-score groups in ONE
+        // aggregate (skew path only): each group's tie key goes through
+        // its own monotone projection (string groups strip different
+        // common prefixes, so the projected key is a per-group CASE
+        // chain), then a single groupBy(__b, __s) computes every
+        // group's quantile boundaries together. A per-value driver loop
+        // here would serialize one tiny job per heavy value — bounded
+        // (heavy values ≤ Σcnt/maxBinRows) but pathological on a column
+        // with hundreds of heavy values. Boundaries affect only
+        // partition BALANCE, never the ranks, so the approximation is
+        // safe; determinism per run is what matters, and both consumers
+        // of the expression (the count pass and the rank pass) share
+        // the same collected literals.
         val kSub = math.min(nBuckets, 256)
         val qPoints = (1 until kSub).map(_.toDouble / kSub).toArray
+        val heavyGroups = heavy.values.flatten.toSeq
+        def sBits(v: Double): Long = java.lang.Double.doubleToLongBits(v)
+        val boundsByGroup: Map[(Long, Long), Seq[Double]] =
+          if (heavyGroups.isEmpty ||
+              keyProj(ties.head, tieDt, null, null).isEmpty) Map.empty
+          else {
+            def groupPred(b: Long, sVal: Double): Column =
+              col("__b") === b &&
+                (if (sVal.isNaN) isnan(col("__s")) else col("__s") === lit(sVal))
+            val anyHeavy = heavyGroups
+              .map { case (b, sVal, _, _) => groupPred(b, sVal) }
+              .reduce(_ || _)
+            val kp = heavyGroups.foldLeft(lit(null).cast("double")) {
+              case (acc, (b, sVal, klo, khi)) =>
+                keyProj(col("__k"), tieDt, klo, khi)
+                  .map(k => when(groupPred(b, sVal), k).otherwise(acc))
+                  .getOrElse(acc)
+            }
+            df.select(bin.as("__b"), d.as("__s"), ties.head.as("__k"))
+              .filter(anyHeavy)
+              .select(col("__b"), col("__s"), kp.as("__kp"))
+              .groupBy("__b", "__s")
+              .agg(percentile_approx(col("__kp"), lit(qPoints), lit(10000))
+                .as("qs"))
+              .collect()
+              .map { r =>
+                val bounds =
+                  if (r.isNullAt(2)) Seq.empty[Double]
+                  else r.getSeq[Any](2)
+                    .collect { case x: java.lang.Number => x.doubleValue() }
+                    .toSeq
+                ((r.getLong(0), sBits(r.getDouble(1))), bounds)
+              }.toMap
+          }
         def keyBinFor(b: Long, sVal: Double, minRaw: Any, maxRaw: Any): Column =
           keyProj(ties.head, tieDt, minRaw, maxRaw) match {
             case None => lit(0L)
             case Some(kcol) =>
-              val pred = if (sVal.isNaN) isnan(d) else d === lit(sVal)
-              val row = df.withColumn("__b", bin)
-                .filter(col("__b") === b && pred)
-                .agg(percentile_approx(kcol, lit(qPoints), lit(10000))).head()
               val bounds =
-                if (row.isNullAt(0)) Seq.empty[Double]
-                else row.getSeq[Any](0)
-                  .collect { case x: java.lang.Number => x.doubleValue() }.toSeq
+                boundsByGroup.getOrElse((b, sBits(sVal)), Seq.empty)
               if (bounds.isEmpty) lit(0L) else boundedBin(kcol, bounds)
           }
 

@@ -200,6 +200,46 @@ class RankingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.ansi.enabled")
   }
 
+  test("many heavy values cost ONE batched boundary aggregate, not one job each") {
+    // 900 rows concentrated on nHeavy exact values (all > maxBinRows) plus
+    // a 100-row spread tail. The boundary quantiles for ALL heavy groups
+    // must come from one batched groupBy(__b, __s) aggregate — the old
+    // per-value driver loop issued one extra job per heavy value, so the
+    // job count grew with nHeavy.
+    def mk(nHeavy: Int) = spark.range(1000).select(col("id"),
+      when(col("id") < 900, (col("id") % nHeavy).cast("double"))
+        .otherwise(col("id").cast("double")).as("s"))
+    def jobsDuring(nHeavy: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        // construction alone runs every driver-side pass (span, bin
+        // counts, heavy scan, boundary aggregate, split counts)
+        Ranking.exactNtileParts(mk(nHeavy), 10, col("s"), ascending = true,
+          ties = Seq(col("id")), out = "tile", nBuckets = 16, maxBinRows = 50)
+        org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val one = jobsDuring(1)
+    val five = jobsDuring(5)
+    assert(five <= one,
+      s"boundary jobs grew with heavy-value count: 1 heavy -> $one jobs, " +
+        s"5 heavy -> $five jobs")
+    // and the batched path stays bit-equal + bounded
+    val df = mk(5)
+    val (e, f) = both(df, 10, asc = true)
+    assert(e == f)
+    val mx = maxPartRows(df, 10, asc = true, nBuckets = 16, maxBinRows = 50)
+    assert(mx <= 50, s"a window partition received $mx rows (> maxBinRows)")
+  }
+
   test("descending skew: heavy value + NaNs still bit-equal and bounded") {
     val df = spark.range(900).select(col("id"),
       when(col("id") % 11 === 0, lit(Double.NaN))
