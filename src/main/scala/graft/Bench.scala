@@ -1,5 +1,81 @@
 package graft
 
+/** Noise-adjudication core of [[Bench]], separated so the degraded-window
+  * logic is unit-testable without a SparkSession (BenchSpec replays a
+  * synthetic degraded window against it).
+  *
+  * The problem it solves: this VM class suffers bursty host-contention
+  * windows (PERF.md rounds 5/7/9) that can inflate a contiguous block of
+  * queries 2-4× on UNCHANGED plans. A single pre/post floor probe
+  * brackets the whole run but cannot see a degraded window in the
+  * middle — round 9's d38-d51 block read 47.4 s in the driver file vs
+  * 17.7 s on a healthy re-run. The fix is three-part:
+  *
+  *  1. the ~40-char floor probe runs BETWEEN query segments (every
+  *     [[Bench.FloorEvery]] queries), so each query has a bracketing
+  *     pair of local floors;
+  *  2. a query is a SUSPECT when it measures >3× its own prior from the
+  *     last committed `bench_queries.json` AND its local floor window is
+  *     degraded (worse bracket ≥3× the run's best probe and above an
+  *     absolute grace) — a slow query on a HEALTHY floor is a genuine
+  *     regression and is never second-guessed;
+  *  3. each suspect is re-timed once after the run, only if the floor
+  *     has recovered, and the minimum is kept; rescued names are
+  *     reported in the file record so the adjudication is auditable.
+  */
+object BenchCore {
+
+  /** One timed query: `seg` is the index of the floor probe taken just
+    * before its segment, so its bracketing floors are `floors(seg)` and
+    * `floors(seg + 1)` (the post-run probe closes the last segment).
+    */
+  final case class Timing(name: String, secs: Double, seg: Int)
+
+  /** The worse of the two probes bracketing this query's segment — the
+    * conservative local VM-noise estimate for its window.
+    */
+  def localFloor(t: Timing, floors: IndexedSeq[Double]): Double =
+    math.max(floors(t.seg), floors(math.min(t.seg + 1, floors.length - 1)))
+
+  /** A window is degraded when its worse bracket is ≥3× the best probe
+    * of the whole run and above an absolute grace (healthy probes sit
+    * ~0.05-0.08 s on this VM; tripling a 0.03 s best is still healthy).
+    */
+  def degraded(local: Double, bestFloor: Double): Boolean =
+    local > math.max(3.0 * bestFloor, 0.15)
+
+  /** Names measuring >3× their prior INSIDE a degraded floor window —
+    * re-run candidates. Queries with no prior (new this round), failed
+    * queries (sentinel -1), and slow-on-healthy-floor genuine
+    * regressions all stay untouched.
+    */
+  def suspects(ts: Seq[Timing], floors: IndexedSeq[Double],
+               priors: Map[String, Double]): Seq[String] = {
+    val best = floors.min
+    ts.filter { t =>
+      t.secs >= 0 &&
+        priors.get(t.name).exists(p => p > 0 && t.secs > 3.0 * p) &&
+        degraded(localFloor(t, floors), best)
+    }.map(_.name)
+  }
+
+  /** Priors from a previous `bench_queries.json` line. The file is this
+    * repo's own single-line format (keys `[A-Za-z0-9_]+`, plain decimal
+    * values), so a regex over the "queries" object body is exact — no
+    * JSON library needed, and a missing/garbled file degrades to no
+    * priors (no re-runs) rather than an error.
+    */
+  def parsePriors(json: String): Map[String, Double] = {
+    val qIdx = json.indexOf("\"queries\":")
+    if (qIdx < 0) return Map.empty
+    val start = json.indexOf('{', qIdx)
+    val end = if (start < 0) -1 else json.indexOf('}', start)
+    if (start < 0 || end < 0) return Map.empty
+    val re = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+    re.findAllMatchIn(json.substring(start + 1, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+}
 
 /** Benchmark main — driver contract: one JSON line
   * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
@@ -12,12 +88,22 @@ package graft
   * this class of VM varies up to 2×, and round 5 showed bursty host
   * stalls can hit BOTH reps of min-of-2 (d18 read 6.9× on an unchanged
   * plan, fully recovered next session — see PERF.md "round-5 bench
-  * regression"); min-of-3 shrinks that window, and the `floor` field
-  * (a trivial in-memory aggregate probed before and after the timed
-  * section) calibrates the VM window itself so a cross-round comparison
-  * can discount a slow host rather than misread it as a plan change.
+  * regression"); min-of-3 shrinks that window. VM-noise calibration is
+  * [[BenchCore]]'s: floor probes interleave between query segments
+  * (every [[FloorEvery]] queries — the full per-segment series lands in
+  * `bench_queries.json`), and any query measuring >3× its committed
+  * prior inside a degraded window is re-timed once on a recovered
+  * floor, with rescued names reported. The stdout `floor` field keeps
+  * its [pre, post] shape (driver contract) — pre/post are the first
+  * and last entries of the full series.
   */
 object Bench {
+
+  /** Queries per floor-probe segment. 8 ≈ 27 probes over 216 queries —
+    * fine enough to localize a multi-minute degraded window, cheap
+    * enough (~0.05 s each, healthy) to not perturb the run.
+    */
+  val FloorEvery = 8
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -51,12 +137,52 @@ object Bench {
       spark.range(2000000L).selectExpr("sum(id) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Priors for the noise adjudication come from the PREVIOUS run's
+    // committed bench_queries.json (read before this run overwrites it);
+    // keys there are the compacted registry prefixes.
+    val priorsPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("GRAFT_BENCH_DIR", "."))
+      .resolve("bench_queries.json")
+    val priors: Map[String, Double] =
+      try BenchCore.parsePriors(new String(
+        java.nio.file.Files.readAllBytes(priorsPath), "UTF-8"))
+      catch { case _: Exception => Map.empty }
+
     queries.foreach { case (_, fn) => run(fn) } // warm-up pass, untimed
-    val floorPre = (1 to 3).map(_ => probe()).min
-    val results = queries.map { case (name, fn) =>
-      name -> Seq(run(fn), run(fn), run(fn)).min
+    val floors = scala.collection.mutable.ArrayBuffer[Double]()
+    floors += (1 to 3).map(_ => probe()).min
+    val timed = queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % FloorEvery == 0) floors += probe()
+      BenchCore.Timing(name, Seq(run(fn), run(fn), run(fn)).min,
+        floors.length - 1)
     }
-    val floorPost = (1 to 3).map(_ => probe()).min
+    floors += (1 to 3).map(_ => probe()).min
+    val floorSeries = floors.toIndexedSeq
+    val floorPre = floorSeries.head
+    val floorPost = floorSeries.last
+
+    // Outlier re-run: >3× the committed prior inside a degraded floor
+    // window → one more min-of-2 on a recovered floor; keep the min.
+    // Never rescues a slow-on-healthy-floor measurement (that is a real
+    // regression) and never makes any timing WORSE (min).
+    def shortName(name: String): String = name.takeWhile(_ != '_')
+    val suspectSet = BenchCore.suspects(
+      timed.map(t => t.copy(name = shortName(t.name))), floorSeries,
+      priors).toSet
+    val qByName = queries.toMap
+    val rescued = scala.collection.mutable.ArrayBuffer[String]()
+    val results = timed.map { t =>
+      if (!suspectSet.contains(shortName(t.name))) t.name -> t.secs
+      else if (BenchCore.degraded(probe(), floorSeries.min)) {
+        // the host is STILL contended — an immediate re-run would just
+        // re-measure the noise; keep the honest (flagged) timing
+        t.name -> t.secs
+      } else {
+        val again = math.min(run(qByName(t.name)), run(qByName(t.name)))
+        if (again >= 0 && again < t.secs) { rescued += shortName(t.name); () }
+        t.name -> (if (again >= 0) math.min(t.secs, again) else t.secs)
+      }
+    }
 
     // The harness captures only the last ~2000 chars of stdout, so the JSON
     // line must stay comfortably below that: per-query keys are compacted to
@@ -188,8 +314,15 @@ object Bench {
     // file record keeps the FULL sfDir path (no length budget applies):
     // two corpora with the same basename in different parents stay
     // distinguishable; only the stdout line uses the basename.
+    // The file record carries the FULL noise-adjudication evidence the
+    // stdout line cannot afford: the per-segment floor series (each
+    // query's bracket is floors[i/floor_every], floors[i/floor_every+1]
+    // in sorted-name order), and which suspect timings a recovered-floor
+    // re-run actually rescued.
+    val floorsJson = floorSeries.map(f => f"$f%.3f").mkString("[", ",", "]")
+    val rescuedJson = rescued.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(3)}$pipeline$vpipe$floor,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(3)}$pipeline$vpipe$floor,"floors":$floorsJson,"floor_every":$FloorEvery,"rescued":$rescuedJson,"sf":"$sfDir"}"""
     // Output dir is explicit — GRAFT_BENCH_DIR when set, else the process
     // CWD — and a failed write WARNS instead of silently leaving a stale
     // committed file that misrepresents the latest run.
