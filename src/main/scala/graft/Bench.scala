@@ -251,7 +251,7 @@ object Bench {
       "e20_pq_rerank_top5", "e21_bq_knn", "e22_semantic_dedup",
       "e23_crossmodal_dup_confirm", "e24_ivfpq_knn", "e25_kmeans_codebook",
       "e26_ivf_recall", "e27_knn_graph", "e28_pca_power_iteration",
-      "e30_hard_negatives", "e31_triplet_mining")
+      "e30_hard_negatives", "e31_triplet_mining", "e40_graph_walk_recall")
       .filter(n => only.forall(_.contains(n)))
     val vpipe = if (vfamily.nonEmpty &&
         vfamily.forall(n => resultMap.get(n).exists(_ >= 0))) {

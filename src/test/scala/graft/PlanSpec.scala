@@ -246,7 +246,8 @@ class PlanSpec extends SparkSpec {
       "e27_knn_graph", "e30_hard_negatives", "e31_triplet_mining",
       "e32_cluster_balanced_resample", "e33_pq_codebook_train",
       "e34_silhouette", "e35_knn_label_eval", "e36_embedding_drift",
-      "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep")
+      "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep",
+      "e40_graph_walk_recall")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
