@@ -79,6 +79,32 @@ object Multimodal {
     }
   }
 
+  /** Oracle-portable decoder: features are the first 60 hex nibbles of
+    * SHA-256(payload), affine-mapped to (nibble − 7.5)/8 ∈ [−0.9375,
+    * 0.9375] — every value a small-integer/2⁴ rational, exactly
+    * representable in Float, so the downstream sign signature (e17) is
+    * nibble ≥ 8, recomputable bit-identically by any engine with a
+    * sha256 function. This is the m02 decode stand-in: unlike
+    * [[DeterministicFakeDecoder]] (whose wrapping-int64 mix cannot be
+    * replayed in an overflow-checking SQL engine), it puts the REAL
+    * decode boundary — bytes in, fixed-width features out, once per
+    * row through the mapPartitions bridge — under the cross-engine
+    * oracle hash. A real perceptual feature extractor swaps the hash
+    * for pixels; the plumbing and the dedup plan stay identical.
+    */
+  class ShaSignatureDecoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      val bytes = if (payload == null) Array.emptyByteArray else payload
+      val dig = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      val feats = Array.tabulate(60) { i =>
+        val b = dig(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+        (nib - 7.5f) / 8.0f
+      }
+      DecodedMedia0(16, 16, 1, feats)
+    }
+  }
+
   /** Ingestion bridge from the binaryFile source
     * ([[graft.sources.Formats.readBinaryFiles]]) into the canonical media
     * table: one MediaRow per file. `media_id = xxhash64(path)` — a pure
@@ -258,11 +284,68 @@ object Multimodal {
       |    AS reclaimable_bytes
       |FROM p JOIN g USING (sha) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m02
+
+  /** Perceptual media near-dup pairs — the FULL media-dedup chain under
+    * the oracle gate: binary payload → per-partition decode
+    * ([[decodeAndFeaturize]] through the real [[MediaDecoder]] boundary)
+    * → feature table → e17's sign signature → 8-band LSH candidate
+    * pairs → exact hamming ≤ 7. m01 gates the exact-bytes rung of media
+    * dedup; this gates the perceptual rung on the SAME derived-payload
+    * trick: each document's first-8-token header bytes stand in for an
+    * asset payload (docs sharing boilerplate openings — 25 pairs at
+    * sf0.01 — become the planted duplicates; the decoder is
+    * [[ShaSignatureDecoder]], whose features any engine can recompute).
+    *
+    * The DuckDB oracle is deliberately the BRUTE-FORCE O(n²) hamming
+    * join over driver-recomputed signatures: the ≤ 7-of-8-bands
+    * pigeonhole guarantees banded ≡ brute force, so the hash compare
+    * pins that guarantee cross-engine — an algorithm-independent
+    * witness, d72's oracle discipline. Scale shape is e17's: signature
+    * is row-local, candidates come from band-bucket posting lists via
+    * the lazy pair_explode, hamming is one codegen'd bit_count.
+    */
+  def perceptualMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id AS media_id",
+        "'image' AS kind",
+        "CAST(concat_ws(' ', slice(split(text, ' '), 1, 8)) AS BINARY) AS payload",
+        """named_struct('mime', 'application/octet-stream',
+          |  'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT),
+          |  'sample_rate', CAST(NULL AS INT),
+          |  'duration_ms', CAST(NULL AS BIGINT)) AS meta""".stripMargin)
+      .as[MediaRow]
+    val feats = featureTable(decodeAndFeaturize(media, new ShaSignatureDecoder))
+    VectorOps.perceptualDupPairs(feats, hammingMax = 7)
+      .selectExpr("vec_id_1 AS media_id_1", "vec_id_2 AS media_id_2", "hamming")
+      .orderBy("media_id_1", "media_id_2")
+  }
+
+  private val perceptualMediaDedupSql =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |        sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS sha
+      |      FROM documents),
+      |sg AS (SELECT media_id,
+      |  CAST(list_sum(list_transform(range(1, 61),
+      |    i -> CASE WHEN ('0x' || substr(sha, i, 1))::BIGINT >= 8
+      |              THEN (CAST(1 AS BIGINT) << (i - 1))
+      |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      |  FROM p)
+      |SELECT a.media_id AS media_id_1, b.media_id AS media_id_2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sg a JOIN sg b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |ORDER BY media_id_1, media_id_2""".stripMargin
+
   /** Oracle-gated multimodal queries (the binary-column path under the
     * driver's DuckDB hash compare; the codec-dependent ops stay
     * spec-verified on fixtures — MultimodalSpec).
     */
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("m01_binary_hash_dedup", binaryHashDedup,
-      Some(binaryHashDedupSql)))
+      Some(binaryHashDedupSql)),
+    graft.QueryDef("m02_perceptual_media_dedup", perceptualMediaDedup,
+      Some(perceptualMediaDedupSql)))
 }

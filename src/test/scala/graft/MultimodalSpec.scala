@@ -164,6 +164,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ShaSignatureDecoder: sign signature equals a direct SHA-256 nibble recompute") {
+    // the m02 decode stand-in must be exactly recomputable from the
+    // payload bytes by ANY engine with sha256 — pin feature values and
+    // the induced e17 sign bits against a direct MessageDigest walk
+    val ds = spark.createDataset(fixture(24))
+    val dec = new ShaSignatureDecoder
+    val out = decodeAndFeaturize(ds, dec).collect().sortBy(_.media_id)
+    val byId = fixture(24).map(r => r.media_id -> r.payload).toMap
+    out.foreach { d =>
+      val dig = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(byId(d.media_id))
+      (0 until 60).foreach { i =>
+        val b = dig(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+        assert(d.features(i) == (nib - 7.5f) / 8.0f,
+          s"media ${d.media_id} feature $i")
+        // the sign bit the e17 signature will take is nibble >= 8
+        assert((d.features(i) > 0) == (nib >= 8))
+      }
+      assert(d.features.length == 60)
+    }
+    // identical payloads decode to identical features -> hamming-0 pairs
+    val twin = spark.createDataset(Seq(
+      MediaRow(100L, "image", byId(0L), MediaMeta("image/png", None, None, None, None)),
+      MediaRow(101L, "image", byId(0L), MediaMeta("image/png", None, None, None, None))))
+    val feats = featureTable(decodeAndFeaturize(ds.union(twin), dec))
+    val pairs = graft.ext.VectorOps.perceptualDupPairs(feats, hammingMax = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((0L, 100L, 0)) && pairs.contains((0L, 101L, 0)) &&
+      pairs.contains((100L, 101L, 0)), pairs.mkString(","))
+  }
+
   test("end-to-end: binary files -> media table -> decode -> cosine top-k") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("media")

@@ -224,7 +224,7 @@ class PlanSpec extends SparkSpec {
       "d73_threshold_sensitivity", "d74_lsh_band_sensitivity",
       // d61/d76 tokenize text too, but behind localCheckpoint frames that
       // truncate lineage — no file scan survives into their final plans
-      "m01_binary_hash_dedup",
+      "m01_binary_hash_dedup", "m02_perceptual_media_dedup",
       "e23_crossmodal_dup_confirm",
       // tokenizes text inside the unigram-LM subtree (the d42 pattern)
       "d70_isotonic_calibration",
