@@ -212,7 +212,8 @@ object Bench {
       "d18_contamination", "d20_crossdoc_ngram_dup",
       "d26_cross_split_leakage", "d29_apply_near_dup_removal",
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
-      "d39_capped_jaccard_pairs", "d45_ngram_novelty",
+      "d39_capped_jaccard_pairs", "d40_boilerplate_ngrams",
+      "d45_ngram_novelty",
       "d46_dup_substring_spans", "d48_apply_substring_removal",
       "d49_cluster_safe_split", "d50_bpe_merges",
       "d51_dup_graph_pagerank", "d53_apply_decontamination",

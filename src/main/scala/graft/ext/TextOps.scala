@@ -264,6 +264,12 @@ object TextOps {
     val gp = gramPos8(s, dir)
     gp.count()
     shared.put(s"gramPos8:$dir", gp)
+    // d40's (shingle TEXT, df) aggregate — the one dedup-family subtree
+    // the hash-keyed shingle frame cannot serve (the report needs the
+    // shingle STRING); tiny (distinct-shingle-count rows) once aggregated
+    val sdf = shingleTextDf(s, dir).persist(lvl)
+    sdf.count()
+    shared.put(s"shingleDf:$dir", sdf)
   }
 
   def clearSharedFrames(): Unit = {
@@ -385,16 +391,17 @@ object TextOps {
 
   // ---------------------------------------------------------------- d40
 
-  /** Boilerplate n-gram report — the top-20 trigram shingles by document
-    * frequency, WITH their text: the human-readable face of d39's
-    * hash-keyed dup-evidence channel (an operator inspects this list to
-    * confirm the df-cap drops headers/footers, not content, and to seed
-    * an explicit boilerplate-strip rule). One (shingle → df) aggregation
-    * with map-side combine, then TakeOrderedAndProject — the full
-    * shingle keyspace never sorts globally. Ties break on the shingle
-    * text so the top-20 is total-ordered on both engines.
+  /** Per-corpus (shingle TEXT, document frequency) aggregate — d40's
+    * pre-limit frame, registry-aware: in pipeline mode the tokenize +
+    * explode + agg runs once and d40 is a TakeOrdered over the cached
+    * result. Kept SEPARATE from [[shingleHashed]] deliberately: the
+    * hash-keyed frame every other dedup consumer shares cannot recover
+    * shingle strings, and re-tokenizing just for the report is exactly
+    * the duplicated work pipeline mode exists to remove.
     */
-  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+  private[ext] def shingleTextDf(s: SparkSession, dir: String): DataFrame = {
+    val pre = shared.get(s"shingleDf:$dir")
+    if (pre != null) return pre
     Tables.documents(s, dir)
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 3")
@@ -402,6 +409,20 @@ object TextOps {
         """explode(array_distinct(transform(sequence(1, size(toks)-2),
           |  i -> concat_ws(' ', slice(toks, i, 3))))) AS sh""".stripMargin)
       .groupBy("sh").agg(count(lit(1)).as("df"))
+  }
+
+  /** Boilerplate n-gram report — the top-20 trigram shingles by document
+    * frequency, WITH their text: the human-readable face of d39's
+    * hash-keyed dup-evidence channel (an operator inspects this list to
+    * confirm the df-cap drops headers/footers, not content, and to seed
+    * an explicit boilerplate-strip rule). One (shingle → df) aggregation
+    * with map-side combine ([[shingleTextDf]], shared in pipeline mode),
+    * then TakeOrderedAndProject — the full shingle keyspace never sorts
+    * globally. Ties break on the shingle text so the top-20 is
+    * total-ordered on both engines.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    shingleTextDf(s, dir)
       .orderBy(desc("df"), col("sh"))
       .limit(20)
 

@@ -100,7 +100,8 @@ class DedupSpec extends SparkSpec {
     val names = Seq("d05_jaccard_dup_pairs", "d12_edit_distance_dup_pairs",
       "d13_dup_clusters", "d18_contamination", "d29_apply_near_dup_removal",
       "d34_cluster_weighted_sample", "d37_best_of_cluster",
-      "d39_capped_jaccard_pairs", "d46_dup_substring_spans",
+      "d39_capped_jaccard_pairs", "d40_boilerplate_ngrams",
+      "d46_dup_substring_spans",
       "d48_apply_substring_removal", "d67_dup_mass_report")
     val isolated = names.map(n => n -> snap(n)).toMap
     TextOps.enableSharedFrames(spark, sf0001)
