@@ -1898,6 +1898,49 @@ object Temporal {
       | count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
 
+  /** Per-type CALENDAR-DENSE hourly counts — the shared input of the
+    * time-series trio t48/t49/t51: observed (type, hour) counts
+    * left-joined onto each type's full [min(h), max(h)] hour spine
+    * (t27's generator idiom), silent hours as explicit zeros. Without
+    * the spine, `lag(d, 24)` is 24 OBSERVED rows back — not 24 calendar
+    * hours — and a full-outage hour is INVISIBLE to the downward CUSUM,
+    * the one event it most needs to see. Per-type span (not global):
+    * interior gaps are outages; hours before a type's first event are
+    * unknowable, not zero. Scale shape: the fact table reduces to the
+    * hours-sized observed rollup once; the spine generates from a
+    * |types|-row min/max aggregate and the zero-fill join is
+    * spine-sized — nothing here rescans or reshuffles the fact table.
+    */
+  private def hourlyDenseCounts(s: SparkSession, dir: String): DataFrame = {
+    val observed = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n0"))
+    val spine = observed.groupBy("event_type")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(observed, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n0"), lit(0L)).as("n"))
+  }
+
+  /** The DuckDB twin of [[hourlyDenseCounts]] — CTEs ending in
+    * `hourly(event_type, h, n)`, shared verbatim by the t48/t49/t51
+    * oracles.
+    */
+  private val hourlyDenseSqlCte =
+    """hourly0 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM events GROUP BY event_type, h),
+      |sp AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+      |       FROM hourly0 GROUP BY event_type),
+      |spine AS (SELECT event_type,
+      |            unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |          FROM sp),
+      |hourly AS (SELECT s.event_type, s.h, coalesce(h0.n, CAST(0 AS BIGINT)) AS n
+      |           FROM spine s LEFT JOIN hourly0 h0 USING (event_type, h))""".stripMargin
+
   /** Page's CUSUM drift detector over each type's hourly event-rate series
     * — the sequential change-point monitor (Page 1954) that flags a
     * sustained rate shift long before a fixed z-threshold (t02/t31) fires:
@@ -1919,12 +1962,14 @@ object Temporal {
     * UNROUNDED (QueryDef rules 3-4; a windowed SUM of doubles would be
     * reassociation-unsafe — over ints it is exact). Scale shape: the raw
     * event stream feeds one map-side-combining bucket agg; every window
-    * runs per-type over the bounded hours series.
+    * runs per-type over the bounded hours series. The series is
+    * CALENDAR-DENSE ([[hourlyDenseCounts]]): a silent hour is an
+    * explicit zero, so a full outage drives the downward detector
+    * instead of silently vanishing from the series.
     */
   def cusumDrift(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n_events"))
+    val hourly = hourlyDenseCounts(s, dir)
+      .select(col("event_type"), col("h"), col("n").as("n_events"))
     val mu = hourly.groupBy(col("event_type").as("mt"))
       .agg((sum("n_events") * lit(1.0) / count(lit(1))).as("mu"))
     val w = Window.partitionBy("event_type").orderBy("h")
@@ -1944,15 +1989,14 @@ object Temporal {
   }
 
   private val cusumDriftSql =
-    """WITH hourly AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
-      |  FROM events GROUP BY event_type, h),
+    s"""WITH $hourlyDenseSqlCte,
+      |hd AS (SELECT event_type, h, n AS n_events FROM hourly),
       |m AS (SELECT event_type, sum(n_events) * 1.0 / count(*) AS mu
-      |      FROM hourly GROUP BY event_type),
+      |      FROM hd GROUP BY event_type),
       |pp AS (SELECT event_type, h, n_events, mu,
       |        CAST(sum(n_events) OVER wr AS DOUBLE)
       |          - row_number() OVER wo * mu AS p
-      |      FROM hourly JOIN m USING (event_type)
+      |      FROM hd JOIN m USING (event_type)
       |      WINDOW wo AS (PARTITION BY event_type ORDER BY h),
       |             wr AS (PARTITION BY event_type ORDER BY h
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -1983,13 +2027,15 @@ object Temporal {
     * the final ratio carries 6-dp rounding — sum reassociation noise
     * ~1e-12 against the 5e-7 boundary (e02's measured-noise argument).
     * Lag terms with no partner (series head) drop out of num/count via
-    * null propagation; the denominator spans the full series.
+    * null propagation; the denominator spans the full series. The
+    * series is CALENDAR-DENSE ([[hourlyDenseCounts]]): lag(d, 24) is 24
+    * calendar hours — the daily cycle the lag-24 peak claims to
+    * measure — not 24 observed rows, which on a gapped series would
+    * silently misalign every lag.
     */
   def acfHourly(s: SparkSession, dir: String): DataFrame = {
     val lags = Seq(1, 2, 3, 6, 12, 24)
-    val hourly = Tables.events(s, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyDenseCounts(s, dir)
     val mu = hourly.groupBy(col("event_type").as("mt"))
       .agg((sum("n") * lit(1.0) / count(lit(1))).as("mu"))
     val w = Window.partitionBy("event_type").orderBy("h")
@@ -2017,9 +2063,7 @@ object Temporal {
     val rows = lags.map(k =>
       s"SELECT event_type, $k AS lag_h, n$k AS n_pairs, round(num$k / den, 6) AS acf FROM a")
       .mkString("\n|", "\n|UNION ALL ", "")
-    s"""WITH hourly AS (
-       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-       |  FROM events GROUP BY event_type, h),
+    s"""WITH $hourlyDenseSqlCte,
        |m AS (SELECT event_type, sum(n) * 1.0 / count(*) AS mu
        |      FROM hourly GROUP BY event_type),
        |dv AS (SELECT event_type, h, n - mu AS d
@@ -2122,12 +2166,14 @@ object Temporal {
     * the three-term sum is written in the same fixed order on both
     * engines — bit-identical, so the argmax needs NO rounding; the
     * reported means are int/int divisions (rule 3) and only the
-    * reported Δ carries 6-dp display rounding.
+    * reported Δ carries 6-dp display rounding. The series is
+    * CALENDAR-DENSE ([[hourlyDenseCounts]]) so the split index k counts
+    * calendar hours and an outage window is localizable — the segments
+    * a root-cause review reads are wall-clock segments.
     */
   def changepoint(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    val hourly = hourlyDenseCounts(s, dir)
+      .select(col("event_type"), col("h"), col("n").as("cnt"))
     val w = Window.partitionBy("event_type").orderBy("h")
     val scored = hourly
       .withColumn("k", row_number().over(w))
@@ -2153,15 +2199,14 @@ object Temporal {
   }
 
   private val changepointSql =
-    """WITH hourly AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
-      |  FROM events GROUP BY event_type, h),
+    s"""WITH $hourlyDenseSqlCte,
+      |hd AS (SELECT event_type, h, n AS cnt FROM hourly),
       |sc AS (SELECT event_type, h,
       |         row_number() OVER w AS k,
       |         CAST(sum(cnt) OVER w AS BIGINT) AS sk,
       |         count(*) OVER (PARTITION BY event_type) AS n,
       |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS sn
-      |       FROM hourly
+      |       FROM hd
       |       WINDOW w AS (PARTITION BY event_type ORDER BY h)),
       |d AS (SELECT *,
       |        sk * 1.0 * sk / k
