@@ -266,6 +266,84 @@ object Bench {
       val isolated = vfamily.map(resultMap(_)).filter(_ >= 0).sum
       f""","vpipe":[$build%.2f,$sharedSec%.2f,$isolated%.2f]""" // same [b,s,i] shape
     } else ""
+    // Streaming segment: the stateful monitors are spec-verified but were
+    // never TIMED — a state-store regression was invisible to the bench.
+    // Fixed replay: the whole events table, ts-ordered, split into 8
+    // deterministic micro-batches through a MemoryStream into five
+    // representative stateful pipelines (watermarked tumbling agg,
+    // session windows, watermark dedup, CUSUM monitor, decayed trending
+    // heavy hitters) under the RocksDB state store (the production
+    // posture; the transformWithState monitors need its column
+    // families). Reported in bench_queries.json only ("stream" object) —
+    // the stdout line has no budget for it. Skipped under
+    // SPARK_GRAFT_ONLY (dev iteration) and on any failure (a WARN, not a
+    // lost bench line).
+    def streamSegment(): String = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      import graft.streaming.StreamOps.Event
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val data = graft.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+        val batches = data.grouped(math.max(1, data.length / 8)).toSeq
+        // per-type mean hourly count — the CUSUM in-control target,
+        // derived once from the replay data itself (deterministic)
+        val mu = data.groupBy(_.event_type).map { case (et, es) =>
+          et -> es.size.toDouble /
+            es.map(e => e.ts.getTime / 3600000L).distinct.size
+        }
+        def mem(df: org.apache.spark.sql.DataFrame, name: String,
+                mode: String) = df.writeStream.format("memory")
+          .queryName(s"bench_stream_$name").outputMode(mode).start()
+        def t(name: String)(
+            start: MemoryStream[Event] =>
+              org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
+          implicit val ctx = spark.sqlContext
+          val ms = MemoryStream[Event]
+          val t0 = System.nanoTime()
+          val q = start(ms)
+          try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+          finally q.stop()
+          spark.catalog.dropTempView(s"bench_stream_$name")
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        val timings = Seq(
+          t("tumble")(ms =>
+            mem(StreamOps.tumblingHourly(ms.toDF()), "tumble", "complete")),
+          t("session")(ms =>
+            mem(StreamOps.userSessionWindows(ms.toDF()), "session", "complete")),
+          t("dedup")(ms =>
+            mem(StreamOps.dedupEvents(ms.toDF()), "dedup", "append")),
+          t("cusum")(ms =>
+            mem(StreamOps.cusumStream(ms.toDS(), mu).toDF(), "cusum", "append")),
+          t("trend")(ms =>
+            mem(StreamOps.trendingUsersStream(ms.toDS()).toDF(), "trend",
+              "append")))
+        timings.map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" }
+          .mkString(""","stream":{""", ",", "}")
+      } catch {
+        case e: Exception =>
+          System.err.println("# WARN stream segment failed: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          ""
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // SPARK_GRAFT_STREAM=1 forces the segment under SPARK_GRAFT_ONLY
+    // (dev iteration on the streaming layer itself)
+    val streamSeg =
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_STREAM"))
+        streamSegment()
+      else ""
+
     // Failed queries (-1.0 sentinel) are excluded from the headline total —
     // summing them in would *lower* the metric on a regression — and
     // reported by name so a nonzero failure list is unmissable.
@@ -323,7 +401,7 @@ object Bench {
     val floorsJson = floorSeries.map(f => f"$f%.3f").mkString("[", ",", "]")
     val rescuedJson = rescued.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(3)}$pipeline$vpipe$floor,"floors":$floorsJson,"floor_every":$FloorEvery,"rescued":$rescuedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"n_failed":${failed.size},"failed":$failedJson,"queries":${qsAt(3)}$pipeline$vpipe$streamSeg$floor,"floors":$floorsJson,"floor_every":$FloorEvery,"rescued":$rescuedJson,"sf":"$sfDir"}"""
     // Output dir is explicit — GRAFT_BENCH_DIR when set, else the process
     // CWD — and a failed write WARNS instead of silently leaving a stale
     // committed file that misrepresents the latest run.
