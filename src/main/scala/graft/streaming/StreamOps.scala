@@ -173,6 +173,14 @@ object StreamOps {
     * watermark-buffered sorting upstream is the fix if the source
     * reorders. The final open hour emits only when a later event closes
     * it (a stream has no "end of series").
+    *
+    * CALENDAR-DENSE like its batch twin: when an arriving event skips
+    * hours, every silent hour in between closes with n = 0 — a full
+    * outage hour DRIVES the downward detector (the one event a rate
+    * monitor most needs to see) instead of silently vanishing from the
+    * series. Works across micro-batch boundaries (the open hour carries
+    * in state), and state stays O(1): the gap rows are emitted, never
+    * buffered.
     */
   def cusumStream(events: Dataset[Event],
                   mu: Map[String, Double]): Dataset[CusumOut] = {
@@ -191,29 +199,36 @@ object StreamOps {
               Double.PositiveInfinity, Double.NegativeInfinity))
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
           val band = 4.0 * math.sqrt(m)
-          def closeOpenHour(): Unit = if (s.openHourUs != Long.MinValue) {
-            // identical op order to the batch twin: cumulative INT sum,
-            // one multiply, one subtract — bit-identical cusum values
-            val cumN = s.cumN + s.openN
+          // identical op order to the batch twin: cumulative INT sum,
+          // one multiply, one subtract — bit-identical cusum values
+          def closeHour(hUs: Long, n: Long): Unit = {
+            val cumN = s.cumN + n
             val i = s.nClosed + 1
             val p = cumN.toDouble - i * m
             val runMin = math.min(s.runMinP, p)
             val runMax = math.max(s.runMaxP, p)
             val up = p - math.min(runMin, 0.0)
             val down = math.max(runMax, 0.0) - p
-            out += CusumOut(et, s.openHourUs, s.openN, up, down,
-              up > band, down > band)
+            out += CusumOut(et, hUs, n, up, down, up > band, down > band)
             s = CusumState(Long.MinValue, 0L, cumN, i, runMin, runMax)
           }
           def usOf(t: Timestamp): Long =
             t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          val HourUs = 3600000000L
           rows.toSeq
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             .foreach { e =>
-              val h = usOf(e.ts) / 3600000000L * 3600000000L
+              val h = usOf(e.ts) / HourUs * HourUs
               if (h == s.openHourUs) s = s.copy(openN = s.openN + 1)
               else if (h > s.openHourUs) {
-                closeOpenHour()
+                if (s.openHourUs != Long.MinValue) {
+                  val prev = s.openHourUs
+                  closeHour(prev, s.openN)
+                  // the dense spine: silent hours between the closed
+                  // hour and the arriving one emit as zero-count rows
+                  var g = prev + HourUs
+                  while (g < h) { closeHour(g, 0L); g += HourUs }
+                }
                 s = s.copy(openHourUs = h, openN = 1L)
               } // h < openHourUs: late into a decided bucket — dropped
             }

@@ -1009,11 +1009,15 @@ class StreamingSpec extends SparkSpec {
     val data = Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event].collect().toSeq
-    // sentinel per type, 2h past its max hour: closes the final bucket
-    // (the sentinel's own bucket stays open and must emit nothing)
+    // sentinel per type, exactly 1h past its max hour: closes the final
+    // bucket with NO silent hours in between (the dense stream emits
+    // zero rows for skipped hours, and the batch twin's spine ends at
+    // the max observed hour — a +2h sentinel would emit one zero hour
+    // past the batch's span); the sentinel's own bucket stays open and
+    // must emit nothing
     val sentinels = batch.groupBy(_._1).map { case (et, rows) =>
       Event(-1L, new java.sql.Timestamp(
-        (rows.map(_._2).max + 7200000000L) / 1000L), -1L, et, 0.0)
+        (rows.map(_._2).max + 3600000000L) / 1000L), -1L, et, 0.0)
     }.toSeq
     val ms = MemoryStream[Event]
     ms.addData(data) // one batch: rows are sorted inside the group fold
