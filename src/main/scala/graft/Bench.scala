@@ -14,7 +14,7 @@ package graft
   *  1. the ~40-char floor probe runs BETWEEN query segments (every
   *     [[Bench.FloorEvery]] queries), so each query has a bracketing
   *     pair of local floors;
-  *  2. a query is a SUSPECT when it measures >3× its own prior from the
+  *  2. a query is a SUSPECT when it measures >2× its own prior from the
   *     last committed `bench_queries.json` AND its local floor window is
   *     degraded (worse bracket ≥3× the run's best probe and above an
   *     absolute grace) — a slow query on a HEALTHY floor is a genuine
@@ -44,17 +44,22 @@ object BenchCore {
   def degraded(local: Double, bestFloor: Double): Boolean =
     local > math.max(3.0 * bestFloor, 0.15)
 
-  /** Names measuring >3× their prior INSIDE a degraded floor window —
+  /** Names measuring >2× their prior INSIDE a degraded floor window —
     * re-run candidates. Queries with no prior (new this round), failed
     * queries (sentinel -1), and slow-on-healthy-floor genuine
-    * regressions all stay untouched.
+    * regressions all stay untouched. 2× (not 3×): the round-10 full run
+    * recorded d72 at 2.07× its prior inside a ~0.2 s floor window and a
+    * targeted healthy-floor re-run read 1.0× — the observed artifact
+    * multiples are 2-4×, and the floor gate already keeps genuine
+    * regressions out (a truly slow query re-times slow and min() keeps
+    * the honest number).
     */
   def suspects(ts: Seq[Timing], floors: IndexedSeq[Double],
                priors: Map[String, Double]): Seq[String] = {
     val best = floors.min
     ts.filter { t =>
       t.secs >= 0 &&
-        priors.get(t.name).exists(p => p > 0 && t.secs > 3.0 * p) &&
+        priors.get(t.name).exists(p => p > 0 && t.secs > 2.0 * p) &&
         degraded(localFloor(t, floors), best)
     }.map(_.name)
   }
@@ -91,7 +96,7 @@ object BenchCore {
   * regression"); min-of-3 shrinks that window. VM-noise calibration is
   * [[BenchCore]]'s: floor probes interleave between query segments
   * (every [[FloorEvery]] queries — the full per-segment series lands in
-  * `bench_queries.json`), and any query measuring >3× its committed
+  * `bench_queries.json`), and any query measuring >2× its committed
   * prior inside a degraded window is re-timed once on a recovered
   * floor, with rescued names reported. The stdout `floor` field keeps
   * its [pre, post] shape (driver contract) — pre/post are the first
@@ -161,7 +166,7 @@ object Bench {
     val floorPre = floorSeries.head
     val floorPost = floorSeries.last
 
-    // Outlier re-run: >3× the committed prior inside a degraded floor
+    // Outlier re-run: >2× the committed prior inside a degraded floor
     // window → one more min-of-2 on a recovered floor; keep the min.
     // Never rescues a slow-on-healthy-floor measurement (that is a real
     // regression) and never makes any timing WORSE (min).
