@@ -382,6 +382,41 @@ class DedupSpec extends SparkSpec {
       s"graph walk avg recall@5 $avgRecall on the clustered fixture")
   }
 
+  test("e41 hybrid RRF: fused scores restate the reported ranks, shortlist membership holds") {
+    val rows = VectorOps.hybridRrfRetrieval(spark, sf0001).collect()
+    assert(rows.length == 50) // 10 queries x top-5
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"q$qid ranks")
+    }
+    rows.foreach { r =>
+      val qid = r.getLong(0); val doc = r.getLong(2)
+      assert(doc != qid, "query doc retrieved itself")
+      val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val den = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(lex.nonEmpty || den.nonEmpty,
+        s"q$qid doc $doc fused from neither shortlist")
+      (lex ++ den).foreach(x => assert(x >= 1 && x <= 20))
+      // the reported rrf must restate the reported ranks exactly
+      val want = BigDecimal(
+        lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          den.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"q$qid doc $doc rrf drift")
+    }
+    // consensus dominance, unconditional at shortlist 20 / k = 60: a doc
+    // on BOTH shortlists scores >= 2/80 = 0.025, a single-list doc at
+    // most 1/61 ≈ 0.0164 — RRF's defining property, so within any fused
+    // top-5 every both-lists doc outranks every single-list doc
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val both = rs.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+      val single = rs.filter(r => r.isNullAt(4) || r.isNullAt(5))
+      if (both.nonEmpty && single.nonEmpty) {
+        assert(both.map(_.getDouble(3)).min > single.map(_.getDouble(3)).max,
+          "a single-shortlist doc outranked a consensus doc")
+      }
+    }
+  }
+
   test("ANN-LSH results are a subset of brute-force ranking order") {
     val brute = VectorOps.knnBruteForce(spark, sf0001)
       .select("vec_id", "cos_sim").collect()

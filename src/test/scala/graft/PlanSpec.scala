@@ -225,7 +225,7 @@ class PlanSpec extends SparkSpec {
       // d61/d76 tokenize text too, but behind localCheckpoint frames that
       // truncate lineage — no file scan survives into their final plans
       "m01_binary_hash_dedup", "m02_perceptual_media_dedup",
-      "e23_crossmodal_dup_confirm",
+      "e23_crossmodal_dup_confirm", "e41_hybrid_rrf_retrieval",
       // tokenizes text inside the unigram-LM subtree (the d42 pattern)
       "d70_isotonic_calibration",
       // visible only THROUGH their internally-persisted build frames
@@ -247,7 +247,7 @@ class PlanSpec extends SparkSpec {
       "e32_cluster_balanced_resample", "e33_pq_codebook_train",
       "e34_silhouette", "e35_knn_label_eval", "e36_embedding_drift",
       "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep",
-      "e40_graph_walk_recall")
+      "e40_graph_walk_recall", "e41_hybrid_rrf_retrieval")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
