@@ -2143,6 +2143,60 @@ object TextOps {
       |  sum(p) * 1.0 / count(*) AS rule_pass_rate
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- d77
+
+  /** CCNet-style perplexity bucketing APPLIED (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): each document lands in the head / middle /
+    * tail tercile of the corpus's bigram cross-entropy distribution
+    * (d33's LM score — low xent = most in-domain), and the standard
+    * curation decision keeps head+middle and drops tail. d42 AUDITS
+    * whether the LM score agrees with the rule verdict; this is the
+    * downstream ACTION — the bucket column CCNet ships with every
+    * CommonCrawl snapshot and the `kept` flag a pipeline filters on.
+    *
+    * Scale shape: the per-doc score is d33's two count-table joins BY
+    * KEY (unbounded-vocab discipline), and tercile assignment is
+    * [[graft.operators.Ranking.exactNtile]] — the doc dimension never
+    * funnels through a partition-less window, the same posture q35/d42
+    * pinned. The scored frame persists (exactNtile's three passes;
+    * runner-owns-cleanup contract). Floats: xent is d33's 6-dp value;
+    * tercile boundaries come from exact ranking, not score arithmetic,
+    * so the bucket column is integer-exact cross-engine.
+    */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = bigramLogprob(s, dir).select("doc_id", "xent")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Ranking
+      .exactNtile(scored, 3, col("xent"),
+        ascending = true, ties = Seq(col("doc_id")), out = "t3")
+      .select(col("doc_id"), col("xent"),
+        when(col("t3") === 1, "head")
+          .when(col("t3") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("t3") =!= 3).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexityBucketsSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> {'w1': toks[i], 'w2': toks[i+1]})) AS e
+      |      FROM t WHERE len(toks) >= 2),
+      |bb AS (SELECT doc_id, e.w1 AS w1, e.w2 AS w2 FROM b),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY w1, w2),
+      |cf AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cf FROM cb GROUP BY w1),
+      |sc AS (SELECT doc_id, round(avg(ln(cf)) - avg(ln(cb)), 6) AS xent
+      |       FROM bb JOIN cb USING (w1, w2) JOIN cf USING (w1)
+      |       GROUP BY doc_id),
+      |d AS (SELECT doc_id, xent,
+      |        ntile(3) OVER (ORDER BY xent, doc_id) AS t3 FROM sc)
+      |SELECT doc_id, xent,
+      |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket,
+      |  t3 <> 3 AS kept
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d70
 
   /** Isotonic (monotone) calibration of the rule-pass probability against
@@ -5017,5 +5071,7 @@ object TextOps {
       Some(sourceLangIndependenceSql)),
     QueryDef("d76_minhash_width_sweep", minhashWidthSweep,
       Some(minhashWidthSweepSql)),
+    QueryDef("d77_perplexity_buckets", perplexityBuckets,
+      Some(perplexityBucketsSql)),
   )
 }

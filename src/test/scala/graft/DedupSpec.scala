@@ -380,6 +380,15 @@ class DedupSpec extends SparkSpec {
     val avgRecall = got.map(_._3).sum / got.length
     assert(avgRecall >= 0.5,
       s"graph walk avg recall@5 $avgRecall on the clustered fixture")
+    // ---- e42 depth sweep: hop snapshots are prefixes of the SAME walk,
+    // so the hop-3 aggregate must restate e40's per-query hits exactly
+    val sweep = VectorOps.graphWalkDepthSweepFrom(e, g, nQueries = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 3))
+    val hop3 = sweep.find(_._1 == 3).get
+    assert(hop3._2 == got.map(_._2).sum,
+      s"e42 hop-3 hits ${hop3._2} != e40 total ${got.map(_._2).sum}")
+    sweep.foreach { case (_, h, r) => assert(r == h / 50.0) }
   }
 
   test("e41 hybrid RRF: fused scores restate the reported ranks, shortlist membership holds") {
@@ -415,6 +424,25 @@ class DedupSpec extends SparkSpec {
           "a single-shortlist doc outranked a consensus doc")
       }
     }
+  }
+
+  test("d77 perplexity buckets: terciles partition the corpus, kept = not tail, monotone in xent") {
+    val rows = TextOps.perplexityBuckets(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    // NTILE semantics: tercile sizes differ by at most one
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    rows.foreach { case (id, _, b, kept) =>
+      assert(kept == (b != "tail"), s"doc $id kept flag")
+    }
+    // buckets respect the score order (ties split by doc_id, so <=)
+    def span(b: String) = {
+      val xs = rows.filter(_._3 == b).map(_._2); (xs.min, xs.max)
+    }
+    assert(span("head")._2 <= span("middle")._1)
+    assert(span("middle")._2 <= span("tail")._1)
   }
 
   test("ANN-LSH results are a subset of brute-force ranking order") {

@@ -222,6 +222,7 @@ class PlanSpec extends SparkSpec {
       "d68_intradoc_chunk_dedup", "d69_kn_bigram_score",
       "d71_source_overlap_matrix", "d72_sparse_cosine_dup_pairs",
       "d73_threshold_sensitivity", "d74_lsh_band_sensitivity",
+      "d77_perplexity_buckets",
       // d61/d76 tokenize text too, but behind localCheckpoint frames that
       // truncate lineage — no file scan survives into their final plans
       "m01_binary_hash_dedup", "m02_perceptual_media_dedup",
@@ -247,7 +248,8 @@ class PlanSpec extends SparkSpec {
       "e32_cluster_balanced_resample", "e33_pq_codebook_train",
       "e34_silhouette", "e35_knn_label_eval", "e36_embedding_drift",
       "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep",
-      "e40_graph_walk_recall", "e41_hybrid_rrf_retrieval")
+      "e40_graph_walk_recall", "e41_hybrid_rrf_retrieval",
+      "e42_graph_walk_depth_sweep")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
