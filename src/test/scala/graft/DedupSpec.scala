@@ -389,6 +389,14 @@ class DedupSpec extends SparkSpec {
     assert(hop3._2 == got.map(_._2).sum,
       s"e42 hop-3 hits ${hop3._2} != e40 total ${got.map(_._2).sum}")
     sweep.foreach { case (_, h, r) => assert(r == h / 50.0) }
+    // ---- e43 beam sweep: its beam-8 point IS e40's operating point
+    val bsweep = VectorOps.graphWalkBeamSweepFrom(e, g, nQueries = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(bsweep.map(_._1).toSeq == Seq(4, 8, 16))
+    val b8 = bsweep.find(_._1 == 8).get
+    assert(b8._2 == got.map(_._2).sum,
+      s"e43 beam-8 hits ${b8._2} != e40 total ${got.map(_._2).sum}")
+    bsweep.foreach { case (_, h, r) => assert(r == h / 50.0) }
   }
 
   test("e41 hybrid RRF: fused scores restate the reported ranks, shortlist membership holds") {
