@@ -889,7 +889,17 @@ object TextOps {
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"clusters:$dir")
     if (pre != null) return pre
-    val edges = dupEdges(s, dir)
+    connectedComponents(dupEdges(s, dir)).orderBy("doc_id")
+  }
+
+  /** Min-label-propagation connected components over a SYMMETRIC (src,
+    * dst) edge frame — d13's loop, factored so the approx-tier applied
+    * dedup (d78) can run it over d06's banded pairs. One join + agg job
+    * per round; labels localCheckpoint so lineage stays flat. Returns
+    * (doc_id, cluster_id) for every node WITH an edge (singletons are
+    * the caller's left-join concern).
+    */
+  private[ext] def connectedComponents(edges: DataFrame): DataFrame = {
     // Initialization folds the first propagation round in: every node
     // starts at min(own id, smallest neighbor) straight off the edge
     // aggregation, saving one join+count round trip.
@@ -915,7 +925,7 @@ object TextOps {
       labels = next.select("doc_id", "lbl")
       rounds += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
   // Symmetric near-dup edge CTE chain (shared by the d13/d49/d51
@@ -2142,6 +2152,59 @@ object TextOps {
       |  round(sum(xent), 6) / count(*) AS mean_xent,
       |  sum(p) * 1.0 / count(*) AS rule_pass_rate
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- d78
+
+  /** Approx-tier APPLIED dedup — the chain a 100 TB pipeline actually
+    * runs, end to end: d06's MinHash-banded pairs → connected components
+    * → one CANONICAL keeper (min doc_id) per cluster → the full-corpus
+    * verdict table (doc_id, cluster_id, n_members, is_keeper). This is
+    * stricter than d29's greedy pair-loser drop: on a path cluster
+    * {1–9, 5–9}, dropping every pair's larger end keeps {1, 5}, while
+    * the component-canonical rule keeps only 1 — the one-doc-per-cluster
+    * guarantee that makes dedup rates auditable (Σ kept = Σ clusters).
+    * Singleton docs are their own cluster and keeper.
+    *
+    * Scale shape: pair generation is the banded LSH path (never
+    * all-pairs), CC is d13's one-join-per-round min-label propagation,
+    * and the apply is two hash joins on cluster_id. The DuckDB oracle is
+    * the EXACT-pair recursive-CTE components — d06's own
+    * algorithm-independent-witness discipline: on this corpus banded
+    * recall is 1.0 (DedupSpec pins d06 ≡ d05 pair sets), so the oracle
+    * hash proves the whole approx chain loses nothing vs exact.
+    */
+  def applyMinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir).select(
+      col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val labels = connectedComponents(edges)
+    val lab = Tables.documents(s, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("keeper"))
+    lab.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("keeper")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  private val applyMinhashDedupSql =
+    s"""WITH RECURSIVE $ccReachCte,
+       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach
+       |       GROUP BY doc_id),
+       |lab AS (SELECT d.doc_id,
+       |          coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+       |sz AS (SELECT cluster_id, count(*) AS n_members,
+       |         min(doc_id) AS keeper
+       |       FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, n_members, doc_id = keeper AS is_keeper
+       |FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d77
 
@@ -5073,5 +5136,7 @@ object TextOps {
       Some(minhashWidthSweepSql)),
     QueryDef("d77_perplexity_buckets", perplexityBuckets,
       Some(perplexityBucketsSql)),
+    QueryDef("d78_apply_minhash_dedup", applyMinhashDedup,
+      Some(applyMinhashDedupSql)),
   )
 }

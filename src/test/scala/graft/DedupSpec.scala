@@ -434,6 +434,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d78 applied minhash dedup: one canonical keeper per cluster, agrees with d13, stricter than d29") {
+    val rows = TextOps.applyMinhashDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val corpus = Tables.documents(spark, sf0001).count()
+    assert(rows.length == corpus, "every doc gets a verdict row")
+    // exactly one keeper per cluster, and it is the cluster min
+    rows.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.count(_._4) == 1, s"cluster $cid keeper count")
+      assert(ms.filter(_._4).head._1 == ms.map(_._1).min, s"cluster $cid keeper not min")
+      ms.foreach { m => assert(m._3 == ms.length, s"cluster $cid n_members") }
+    }
+    // kept count restates the cluster count (the auditable dedup-rate identity)
+    assert(rows.count(_._4) == rows.map(_._2).distinct.length)
+    // clustered docs carry d13's exact-pair component labels (banded
+    // recall 1.0 on this corpus — the d06 ≡ d05 equality pinned above)
+    val d13 = TextOps.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => d13.contains(r._1)).foreach { r =>
+      assert(r._2 == d13(r._1), s"doc ${r._1} cluster drift vs d13")
+    }
+    // and every singleton is its own cluster
+    rows.filterNot(r => d13.contains(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._4 && r._3 == 1)
+    }
+    // component-canonical is at most as permissive as d29's greedy drop:
+    // every d78 keeper survives d29 too
+    val d29kept = TextOps.applyNearDupRemoval(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    rows.filter(_._4).foreach(r =>
+      assert(d29kept.contains(r._1), s"d78 keeper ${r._1} dropped by d29"))
+  }
+
   test("d77 perplexity buckets: terciles partition the corpus, kept = not tail, monotone in xent") {
     val rows = TextOps.perplexityBuckets(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getBoolean(3)))
