@@ -2378,6 +2378,44 @@ object Temporal {
       |  n_events * 1.0 / te AS event_share
       |FROM b, t ORDER BY min_k""".stripMargin
 
+  /** Burstiness (Fano factor) of each type's hourly arrival process —
+    * the dispersion diagnostic that decides which MODEL the monitoring
+    * queries should assume: F = Var(n)/E(n) over the CALENDAR-DENSE
+    * hourly counts ([[hourlyDenseCounts]] — silent hours are real zeros
+    * and excluding them would bias F down exactly when traffic is
+    * burstiest). A Poisson process gives F ≈ 1, so t48's 4·√μ decision
+    * band is calibrated; F ≫ 1 means overdispersion (bursts/batching —
+    * widen the band or switch to a negative-binomial model); F < 1
+    * means regularity (rate limiting upstream).
+    *
+    * Float discipline: with H hours and S = Σn, Q = Σn² (exact ints),
+    * population Var/mean = (H·Q − S²)/(H·S) — ONE division of exact
+    * integers (rule 3, emitted unrounded); mean_rate = S/H likewise.
+    * Products stay far under int64 at any realistic hour count
+    * (H·Q ≈ 10⁹ at sf0.1). Scale shape: the fact table reduces once to
+    * the hours-sized spine; everything after is a |types|-row aggregate.
+    */
+  def fanoBurstiness(s: SparkSession, dir: String): DataFrame =
+    hourlyDenseCounts(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("q"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s") * lit(1.0) / col("n_hours")).as("mean_rate"),
+        ((col("n_hours") * col("q") - col("s") * col("s")) * lit(1.0) /
+          (col("n_hours") * col("s"))).as("fano"))
+      .orderBy("event_type")
+
+  private val fanoBurstinessSql =
+    s"""WITH $hourlyDenseSqlCte,
+       |a AS (SELECT event_type, count(*) AS n_hours,
+       |        CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS q
+       |      FROM hourly GROUP BY event_type)
+       |SELECT event_type, n_hours,
+       |  s * 1.0 / n_hours AS mean_rate,
+       |  (n_hours * q - s * s) * 1.0 / (n_hours * s) AS fano
+       |FROM a ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2440,5 +2478,6 @@ object Temporal {
     QueryDef("t51_changepoint", changepoint, Some(changepointSql)),
     QueryDef("t52_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("t53_session_type_pmi", sessionTypePmi, Some(sessionTypePmiSql)),
+    QueryDef("t54_fano_burstiness", fanoBurstiness, Some(fanoBurstinessSql)),
   )
 }

@@ -398,6 +398,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t54 Fano factor restates a driver recompute over the dense hour spine") {
+    val rows = graft.operators.Temporal.fanoBurstiness(spark, sf0001).collect()
+    assert(rows.length == 5)
+    // driver recompute: per-type dense hourly counts (zero-filled span)
+    val obs = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "unix_micros(date_trunc('hour', ts)) AS h")
+      .groupBy("event_type", "h").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val byHour = obs(et).map(x => x._2 -> x._3).toMap
+      val hourUs = 3600000000L
+      val dense = (byHour.keys.min to byHour.keys.max by hourUs)
+        .map(h => byHour.getOrElse(h, 0L))
+      assert(r.getLong(1) == dense.length, s"$et hour count")
+      val s = dense.sum.toDouble; val q = dense.map(n => n * n).sum.toDouble
+      assert(r.getDouble(2) == s / dense.length, s"$et mean_rate")
+      assert(r.getDouble(3) ==
+        (dense.length * q - s * s) / (dense.length * s), s"$et fano")
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("e44 outlier audit: scores in [0,2], degree bounded by the graph, ordered") {
+    val rows = graft.ext.VectorOps.knnOutlierAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, k, sc) =>
+      assert(k >= 0 && k <= 3)
+      assert(sc >= 0.0 && sc <= 2.0) // cos in [-1,1] -> 1 - mean in [0,2]
+      // a neighborless vector must score exactly 1 (the loneliest point)
+      if (k == 0) assert(sc == 1.0)
+    }
+    // top-20 is ordered by (score desc, vec_id asc)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("d73 threshold sweep is monotone non-increasing and anchored at bp=0") {
     val rows = graft.ext.TextOps.thresholdSensitivity(spark, sf0001)
       .orderBy("min_stop_bp").collect()
