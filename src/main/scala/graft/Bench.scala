@@ -318,6 +318,11 @@ object Bench {
           spark.catalog.dropTempView(s"bench_stream_$name")
           name -> (System.nanoTime() - t0) / 1e9
         }
+        // bracket the segment with the same floor probe the query pass
+        // uses: the round-10 closing run recorded tumble at 24 s vs its
+        // 7.3 s baseline inside a contended window, and without a local
+        // floor nothing in the record said so
+        val sPre = probe()
         val timings = Seq(
           t("tumble")(ms =>
             mem(StreamOps.tumblingHourly(ms.toDF()), "tumble", "complete")),
@@ -330,7 +335,9 @@ object Bench {
           t("trend")(ms =>
             mem(StreamOps.trendingUsersStream(ms.toDS()).toDF(), "trend",
               "append")))
-        timings.map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" }
+        val sPost = probe()
+        (timings.map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" } ++
+          Seq(f""""floor":[$sPre%.3f,$sPost%.3f]"""))
           .mkString(""","stream":{""", ",", "}")
       } catch {
         case e: Exception =>
