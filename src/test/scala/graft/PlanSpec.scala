@@ -250,7 +250,7 @@ class PlanSpec extends SparkSpec {
       "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep",
       "e40_graph_walk_recall", "e41_hybrid_rrf_retrieval",
       "e42_graph_walk_depth_sweep", "e43_graph_walk_beam_sweep",
-      "e44_knn_outlier_audit")
+      "e44_knn_outlier_audit", "e45_matryoshka_recall_sweep")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

@@ -439,6 +439,19 @@ class PropertySpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("e45 matryoshka sweep: full width anchors at recall 1, hits bounded") {
+    val rows = graft.ext.VectorOps.matryoshkaRecallSweep(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(16, 32, 64))
+    rows.foreach { case (_, h, rec) =>
+      assert(h >= 0 && h <= 50)
+      assert(rec == h / 50.0)
+    }
+    // dim 64 IS the exact search: the anchor the sweep self-checks on
+    assert(rows.find(_._1 == 64).get._3 == 1.0)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("d73 threshold sweep is monotone non-increasing and anchored at bp=0") {
     val rows = graft.ext.TextOps.thresholdSensitivity(spark, sf0001)
       .orderBy("min_stop_bp").collect()
