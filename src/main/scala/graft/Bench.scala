@@ -16,9 +16,12 @@ package graft
   *     pair of local floors;
   *  2. a query is a SUSPECT when it measures >2× its own prior from the
   *     last committed `bench_queries.json` AND its local floor window is
-  *     degraded (worse bracket ≥3× the run's best probe and above an
-  *     absolute grace) — a slow query on a HEALTHY floor is a genuine
-  *     regression and is never second-guessed;
+  *     degraded (worse bracket ≥3× the run's MID-RUN MEDIAN probe and
+  *     above an absolute grace — mid-run probes sit ~3× the cold
+  *     pre/post brackets on a healthy host, so the best probe was the
+  *     wrong reference and left the gate almost always open) — a slow
+  *     query on a HEALTHY floor is a genuine regression and is never
+  *     second-guessed;
   *  3. each suspect is re-timed once after the run, only if the floor
   *     has recovered, and the minimum is kept; rescued names are
   *     reported in the file record so the adjudication is auditable.
@@ -37,12 +40,32 @@ object BenchCore {
   def localFloor(t: Timing, floors: IndexedSeq[Double]): Double =
     math.max(floors(t.seg), floors(math.min(t.seg + 1, floors.length - 1)))
 
-  /** A window is degraded when its worse bracket is ≥3× the best probe
-    * of the whole run and above an absolute grace (healthy probes sit
-    * ~0.05-0.08 s on this VM; tripling a 0.03 s best is still healthy).
+  /** Reference floor for the degraded gate: the MEDIAN of the mid-run
+    * probes (pre/post brackets excluded when any mid-run probe exists).
+    * The round-10 floors series showed mid-run probes sit ~3× the
+    * pre/post brackets on a HEALTHY host (they interleave with hot
+    * query work — JIT/GC pressure the cold brackets don't see), so
+    * gating against the whole-run BEST probe — usually a bracket —
+    * left the gate almost always open and reduced the adjudication to
+    * a bare ">2× prior". The median of the mid-run series is the
+    * typical local floor of THIS run's steady state; a window is only
+    * degraded relative to that. Lower median (index (n−1)/2) keeps the
+    * reference conservative when half the run is contended.
     */
-  def degraded(local: Double, bestFloor: Double): Boolean =
-    local > math.max(3.0 * bestFloor, 0.15)
+  def refFloor(floors: IndexedSeq[Double]): Double = {
+    val mid = if (floors.length > 2) floors.slice(1, floors.length - 1)
+              else floors
+    val sorted = mid.sorted
+    sorted((sorted.length - 1) / 2)
+  }
+
+  /** A window is degraded when its worse bracket is ≥3× the run's
+    * reference floor ([[refFloor]] — the mid-run median) and above an
+    * absolute grace (healthy probes sit ~0.05-0.15 s on this VM;
+    * tripling a 0.03 s reference is still healthy).
+    */
+  def degraded(local: Double, ref: Double): Boolean =
+    local > math.max(3.0 * ref, 0.15)
 
   /** Names measuring >2× their prior INSIDE a degraded floor window —
     * re-run candidates. Queries with no prior (new this round), failed
@@ -56,11 +79,11 @@ object BenchCore {
     */
   def suspects(ts: Seq[Timing], floors: IndexedSeq[Double],
                priors: Map[String, Double]): Seq[String] = {
-    val best = floors.min
+    val ref = refFloor(floors)
     ts.filter { t =>
       t.secs >= 0 &&
         priors.get(t.name).exists(p => p > 0 && t.secs > 2.0 * p) &&
-        degraded(localFloor(t, floors), best)
+        degraded(localFloor(t, floors), ref)
     }.map(_.name)
   }
 
@@ -74,8 +97,22 @@ object BenchCore {
     val qIdx = json.indexOf("\"queries\":")
     if (qIdx < 0) return Map.empty
     val start = json.indexOf('{', qIdx)
-    val end = if (start < 0) -1 else json.indexOf('}', start)
-    if (start < 0 || end < 0) return Map.empty
+    if (start < 0) return Map.empty
+    // brace-depth scan to the matching close (the current format is flat,
+    // but a nested object inside "queries" must FAIL VISIBLY via an
+    // unbalanced scan, not silently truncate the priors). Keys/values
+    // never contain braces (keys [A-Za-z0-9_], plain decimals), so depth
+    // counting is exact without string-literal tracking.
+    var i = start; var depth = 0; var end = -1
+    while (i < json.length && end < 0) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) return Map.empty
     val re = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
     re.findAllMatchIn(json.substring(start + 1, end))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -178,7 +215,7 @@ object Bench {
     val rescued = scala.collection.mutable.ArrayBuffer[String]()
     val results = timed.map { t =>
       if (!suspectSet.contains(shortName(t.name))) t.name -> t.secs
-      else if (BenchCore.degraded(probe(), floorSeries.min)) {
+      else if (BenchCore.degraded(probe(), BenchCore.refFloor(floorSeries))) {
         // the host is STILL contended — an immediate re-run would just
         // re-measure the noise; keep the honest (flagged) timing
         t.name -> t.secs

@@ -51,7 +51,7 @@ object PlanAudit {
       kind: String, operator: String, detail: String, caution: Boolean)
 
   def audit(df: Dataset[_]): Seq[Finding] =
-    walk(df.queryExecution.executedPlan, filterAbove = false)
+    walk(df.queryExecution.executedPlan, Nil)
 
   /** The findings as a DataFrame, for display/joins with metrics. */
   def auditDf(df: Dataset[_]): Dataset[Finding] = {
@@ -60,14 +60,27 @@ object PlanAudit {
     spark.createDataset(audit(df))
   }
 
-  private def walk(p: SparkPlan, filterAbove: Boolean): Seq[Finding] = {
-    val kids: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
+  /** `filtersAbove` carries the attribute references of every FilterExec
+    * condition on the path from the root — scoped per branch: descending
+    * into a child, only filters whose references overlap THAT child's
+    * output survive, so an unpushable filter on the probe side of a join
+    * can never flag a scan on the build side (whose columns the
+    * predicate never mentions). Wrapper nodes (AQE shells, query stages,
+    * cached subtrees) pass the set through unscoped — their inner plans
+    * may re-alias attributes, and dropping the filter there would
+    * silently disarm the pushdown caution for every AQE plan.
+    */
+  private def walk(p: SparkPlan,
+      filtersAbove: Seq[org.apache.spark.sql.catalyst.expressions.AttributeSet])
+      : Seq[Finding] = {
+    val filterAbove = filtersAbove.nonEmpty
+    val (kids, isWrapper): (Seq[SparkPlan], Boolean) = p match {
+      case a: AdaptiveSparkPlanExec => (Seq(a.executedPlan), true)
+      case q: QueryStageExec => (Seq(q.plan), true)
       // audit what a cached subtree WOULD read/shuffle when built — the
       // cost is real even if this run serves it from storage
-      case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
-      case o => o.children
+      case c: InMemoryTableScanExec => (Seq(c.relation.cachedPlan), true)
+      case o => (o.children, false)
     }
     val self: Seq[Finding] = p match {
       case s: FileSourceScanExec =>
@@ -148,7 +161,15 @@ object PlanAudit {
           s"fuses $n operators", caution = false))
       case _ => Nil
     }
-    val below = filterAbove || p.isInstanceOf[FilterExec]
-    self ++ kids.flatMap(walk(_, below))
+    val withSelf = p match {
+      case f: FilterExec => filtersAbove :+ f.condition.references
+      case _ => filtersAbove
+    }
+    self ++ kids.flatMap { c =>
+      val scoped =
+        if (isWrapper) withSelf
+        else withSelf.filter(refs => refs.intersect(c.outputSet).nonEmpty)
+      walk(c, scoped)
+    }
   }
 }

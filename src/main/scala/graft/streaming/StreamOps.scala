@@ -179,8 +179,14 @@ object StreamOps {
     * outage hour DRIVES the downward detector (the one event a rate
     * monitor most needs to see) instead of silently vanishing from the
     * series. Works across micro-batch boundaries (the open hour carries
-    * in state), and state stays O(1): the gap rows are emitted, never
-    * buffered.
+    * in state). STORED state stays O(1), but gap rows do pass through
+    * the group's output buffer before the iterator is drained — one
+    * CusumOut per silent hour, so a key silent for a year materializes
+    * ~8.8k rows (≈1 MB) inside the closing micro-batch. That
+    * hour-granularity bound is fine for a monitor's realistic horizons;
+    * a deployment expecting multi-year-dormant keys should age keys out
+    * upstream (or add a state timeout) rather than replay the dormancy
+    * as zeros.
     */
   def cusumStream(events: Dataset[Event],
                   mu: Map[String, Double]): Dataset[CusumOut] = {

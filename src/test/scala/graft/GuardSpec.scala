@@ -133,6 +133,25 @@ class GuardSpec extends SparkSpec {
     assert(fp.filter(_.kind == "scan").forall(!_.caution), fp.toString)
   }
 
+  test("PlanAudit scopes the filter caution to branches the predicate references") {
+    import graft.plans.PlanAudit
+    import org.apache.spark.sql.functions._
+    // a HAVING-shaped filter on an aggregate RESULT cannot push below the
+    // aggregation, so a FilterExec sits high in the plan — but its
+    // references are the agg output, not any scan column, and neither
+    // scan below the join may be flagged for it (the old unscoped
+    // propagation cautioned every descendant scan in such plans)
+    val lf = graft.Tables.lineitem(spark, sf0001)
+    val nt = graft.Tables.nation(spark, sf0001)
+    val having = lf.join(broadcast(nt), col("l_suppkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(sum("l_quantity").as("s"))
+      .filter(pmod(xxhash64(col("s")), lit(2)) === 0)
+    having.collect()
+    val fh = PlanAudit.audit(having)
+    assert(fh.exists(_.kind == "scan"), fh.toString)
+    assert(fh.filter(_.kind == "scan").forall(!_.caution), fh.toString)
+  }
+
   test("PlanAudit flags the funnel window and the cartesian, auditDf round-trips") {
     import graft.plans.PlanAudit
     val funnel = spark.range(50)
