@@ -1,0 +1,331 @@
+package graft.ext
+
+import graft.QueryDef
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index lifecycle — the step from "query library" to
+  * "serving system": e24 ([[VectorOps.ivfPqKnn]]) computes coarse cells
+  * and PQ codes inline per query, which is the right CORRECTNESS twin but
+  * the wrong deployment posture — at 100 TB the index IS the product, and
+  * rebuilding it per probe is what a real deployment rejects. This object
+  * makes the index a versioned ON-DISK ARTIFACT:
+  *
+  *   - `v<n>/codebook/` — the 16-row coarse codebook (cid, cv), the same
+  *     16-lowest-vec_id centroids every IVF op in this repo uses
+  *     (e07/e18/e24's deterministic stand-in; reference analytics/
+  *     anomaly_model.py:1 persists its trained artifact the same way —
+  *     model file beside the data, loaded at serve time);
+  *   - `v<n>/codes/cell=<c>/` — one 8-byte PQ code row per vector,
+  *     HIVE-PARTITIONED BY COARSE CELL, so a probe reads exactly nprobe
+  *     cell directories (partition-pruned scan — the e24 scaladoc's
+  *     "codes bucketed by cell" promise, made literal on disk);
+  *   - `_commit-<n>` — the atomic commit marker, flipped by the SAME
+  *     rename protocol as [[StreamOps.cdcApplyParquetSink]] /
+  *     [[StreamOps.optimizeCdcTable]]: readers resolve max(committed
+  *     version) and can never observe a torn build — a crash mid-write
+  *     leaves the previous version live and the partial `v<n>` invisible
+  *     (and reclaimed by the next successful commit's prune).
+  *
+  * The marker CONTENT doubles as the staleness guard: build commits
+  * stamp `(-3, "index:<fingerprint>")` where the fingerprint is a cheap
+  * deterministic aggregate of the indexed corpus (row count + vec_id
+  * sum). [[ensureIndex]] re-resolves the stamp and rebuilds as a NEW
+  * version only when the corpus fingerprint changed — the lakehouse
+  * REFRESH discipline on plain parquet.
+  *
+  * Incremental maintenance ([[appendBatch]] / [[indexAppendSink]]):
+  * micro-batches of new vectors are assigned against the COMMITTED
+  * codebook (never retrained — the FAISS add-with-fixed-quantizer
+  * contract), PQ-encoded with the identical 6-dp argmin discipline, and
+  * committed as `v<cur+1>` = old codes ∪ new codes through the same
+  * marker flip, with the CDC sink's (batch id, incarnation) stamp for
+  * exactly-once retry detection. A two-batch append is bit-identical to
+  * a batch build over the union (StreamingSpec pins it) because code
+  * assignment is a pure per-vector function of the fixed codebook.
+  *
+  * Scale shape: build cost is one corpus scan (broadcast 16-row codebook
+  * assign) plus one corpus×8-subspace×16-centroid broadcast join — the
+  * one-time cost serving amortizes; serve cost is nprobe partition
+  * directories of 8-int code rows + a 128-row broadcast ADC table, with
+  * the only shuffle the final per-candidate sum over the probed cells.
+  * Append cost is batch-sized, never corpus-sized, except the plain-
+  * parquet union rewrite (a deletion-vector format turns that into a
+  * metadata-only commit — cdcApplyParquetSink's documented trade).
+  */
+object VectorIndex {
+
+  /** Subspace slicing shared by build and serve — e24's layout: 8
+    * subspaces of 8 dims each over the 64-dim vectors.
+    */
+  private val subEx =
+    """explode(transform(sequence(0, 7),
+      |  j -> struct(j AS j, slice(v, 8 * j + 1, 8) AS sv))) AS s""".stripMargin
+
+  /** e24's subspace distance: 6-dp-rounded L2² BEFORE the argmin, so
+    * both engines (and the inline twin) hold identical codes.
+    */
+  private val l2 =
+    "round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6)"
+
+  /** Default on-disk root for a data directory's index — under the JVM
+    * temp dir, keyed by the full data path so two corpora never share an
+    * index. The registry entry (e46) serves through this root.
+    */
+  def defaultRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-index/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** Cheap deterministic corpus fingerprint for the staleness stamp:
+    * row count + vec_id sum (one parallel aggregate). Catches appends,
+    * deletions and id remaps; a same-count same-idsum content change is
+    * outside what a registry data dir does between rounds.
+    */
+  private def fingerprint(e: DataFrame): String = {
+    val r = e.agg(count(lit(1)), sum("vec_id")).head()
+    s"n=${r.getLong(0)};s=${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** Latest committed index version under `indexRoot`, None before the
+    * first commit — the same marker resolution every CDC reader uses.
+    */
+  def latestVersion(s: SparkSession, indexRoot: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    StreamOps.cdcLatestCommit(fs, root)
+  }
+
+  /** The 16-row coarse codebook (cid, cv) of the corpus — build-time
+    * only; serve loads the PERSISTED copy.
+    */
+  private def codebookOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16).selectExpr("vec_id AS cid", "v AS cv")
+
+  /** Coarse-assign `e` (vec_id, v) against an explicit codebook —
+    * e07's broadcast + max_by with the lowest-cid tie-break, but against
+    * a LOADED codebook rather than the corpus' own 16 lowest ids (the
+    * append path must never re-derive the quantizer from the batch).
+    */
+  private def assignAgainst(e: DataFrame, cb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .selectExpr("vec_id", "v", "cid", "cosine_similarity(v, cv) AS cs")
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("tb")))
+        .as("cell"), first(col("v")).as("v"))
+
+  /** PQ-encode an assigned frame (vec_id, cell, v) against `cb`: per
+    * subspace the 6-dp-rounded L2² argmin over the 16 centroid
+    * subvectors (ties to the lowest cid — e19/e24's discipline), packed
+    * to one array<int> of 8 codes per vector (8 bytes at storage scale).
+    */
+  private def encodeAgainst(assigned: DataFrame, cb: DataFrame): DataFrame = {
+    val psub = assigned.selectExpr("vec_id", "cell", subEx)
+      .select(col("vec_id"), col("cell"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    psub.join(broadcast(csub), col("j") === col("cj"))
+      .selectExpr("vec_id", "cell", "j", "cid", s"$l2 AS d2")
+      .groupBy("vec_id", "cell", "j")
+      .agg(max_by(col("cid"), struct((-col("d2")).as("nd"),
+        (-col("cid")).as("nc"))).as("code"))
+      .groupBy("vec_id", "cell")
+      .agg(expr("transform(sort_array(collect_list(struct(j, code))), p -> p.code)")
+        .as("codes"))
+  }
+
+  /** Write codebook + cell-partitioned codes as `v<ver>` and flip the
+    * commit marker — the single commit step both build and append end
+    * in. Data first, marker last: a crash anywhere before the rename
+    * leaves the previous version live (torn reads impossible).
+    */
+  private def commitVersion(s: SparkSession, indexRoot: String, ver: Long,
+      cb: DataFrame, codes: DataFrame, stampId: Long, stampTag: String,
+      retain: Int): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
+    cb.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
+    StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
+    StreamOps.pruneCdcVersions(fs, root, retain)
+    ver
+  }
+
+  /** Build (or rebuild) the index from `e` (vec_id, v) as a NEW version
+    * and commit it. Always writes — [[ensureIndex]] is the
+    * fingerprint-guarded wrapper the registry uses.
+    */
+  private[graft] def buildIndexFrom(e: DataFrame, indexRoot: String,
+      retain: Int = 2): Long = {
+    val s = e.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cb = codebookOf(e)
+    val codes = encodeAgainst(assignAgainst(e, cb), cb)
+    val ver = latestVersion(s, indexRoot).map(_ + 1).getOrElse(0L)
+    commitVersion(s, indexRoot, ver, cb, codes,
+      -3L, s"index:${fingerprint(e)}", retain)
+  }
+
+  /** Build the index of a data directory's embeddings table. */
+  def buildIndex(s: SparkSession, dataDir: String, indexRoot: String,
+      retain: Int = 2): Long =
+    buildIndexFrom(VectorOps.vecs(s, dataDir).select("vec_id", "v"),
+      indexRoot, retain)
+
+  /** Resolve-or-build: reuse the latest committed version when its
+    * stamped corpus fingerprint still matches, rebuild as a new version
+    * otherwise (data changed under the same dir, or the latest commit is
+    * an append trail from another writer — the registry's serving
+    * queries demand the exact full-corpus artifact).
+    */
+  def ensureIndex(s: SparkSession, dataDir: String,
+      indexRoot: String): Long = {
+    val e = VectorOps.vecs(s, dataDir).select("vec_id", "v")
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"index:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, root)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, root, v) == ((-3L, want)))
+      .getOrElse(buildIndexFrom(e, indexRoot))
+  }
+
+  /** Load the latest committed version's codebook — 16 rows. Throws with
+    * a clear message before the first commit (readers must never guess
+    * at an uncommitted directory).
+    */
+  def loadCodebook(s: SparkSession, indexRoot: String): DataFrame = {
+    val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
+      s"no committed index version under $indexRoot — build first"))
+    s.read.parquet(s"$indexRoot/v$v/codebook")
+  }
+
+  /** Load the latest committed version's code table (vec_id, codes,
+    * cell). The schema is DECLARED (not inferred): partition discovery
+    * would type `cell` from the directory names (int), and the
+    * downstream `isin(longs)` partition filter must compare the
+    * partition column directly — a cast in between can block pruning.
+    * With the declared long type the probe filter reaches the reader as
+    * a partition filter and only the probed cell directories are
+    * listed/read — the read path the IndexSpec audits file-by-file.
+    */
+  def loadCodes(s: SparkSession, indexRoot: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
+      s"no committed index version under $indexRoot — build first"))
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(LongType)),
+      StructField("cell", LongType)))
+    s.read.schema(sch).parquet(s"$indexRoot/v$v/codes")
+  }
+
+  /** IVF-PQ kNN served ENTIRELY off the loaded artifact — e24's query
+    * (vec_id 0, nprobe 2, top 5 by ADC distance) with the inline
+    * codebook/assignment/encode subtrees replaced by reads of the
+    * committed version: route the query on the loaded 16-row codebook,
+    * partition-prune the code table to the 2 probed cell directories,
+    * ADC-score 8 one-byte codes per candidate against the query's
+    * broadcast 8×16 lookup table. Bit-identical to [[VectorOps
+    * .ivfPqKnn]] (CORRECTNESS pins both against the same oracle)
+    * because build and inline twin share every rounding/tie discipline.
+    */
+  def serveIvfPqKnn(s: SparkSession, dataDir: String,
+      indexRoot: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, indexRoot)
+    val q = VectorOps.vecs(s, dataDir).filter(col("vec_id") === 0)
+      .selectExpr("v AS qv")
+    // coarse routing: 16 loaded centroids × 1 query — driver-bounded
+    val qcells = cb.crossJoin(broadcast(q))
+      .selectExpr("cid", "cosine_similarity(cv, qv) AS cs")
+      .orderBy(desc("cs"), col("cid")).limit(2)
+      .select(col("cid").as("qcell"))
+    // the probed cells as literals: isin() reaches the reader as a
+    // partition filter, so only nprobe cell directories are listed/read
+    // (a join would scan all partitions before filtering)
+    val probed = qcells.collect().map(_.getLong(0)).toSeq
+    val cand = loadCodes(s, indexRoot)
+      .filter(col("cell").isin(probed: _*))
+      .filter(col("vec_id") =!= 0)
+    // the query's 8×16 ADC lookup table from the LOADED codebook
+    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
+      .select(col("s.j").as("j"), col("s.sv").as("sv"))
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    cand.select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .groupBy("vec_id", "cell")
+      .agg(round(sum("qd2"), 6).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(5)
+  }
+
+  /** One incremental append commit: assign + encode `batch` (vec_id, v)
+    * against the COMMITTED codebook, commit old ∪ new codes as the next
+    * version. The (batchId, incarnation) stamp gives the CDC sink's
+    * exactly-once retry detection: a redelivered batch whose stamp IS
+    * the latest marker no-ops. Returns the live version after the call.
+    */
+  private[graft] def appendBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, incarnationId: String, retain: Int = 2): Long = {
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"appendBatch needs a committed index under $indexRoot — build first"))
+    if (StreamOps.cdcMarkerStamp(fs, root, cur) == ((batchId, incarnationId)))
+      return cur // genuine retry of the batch that produced the live version
+    val cb = loadCodebook(s, indexRoot)
+    val fresh = encodeAgainst(assignAgainst(batch, cb), cb)
+    val merged = loadCodes(s, indexRoot)
+      .select("vec_id", "cell", "codes").unionByName(fresh)
+    commitVersion(s, indexRoot, cur + 1, cb, merged, batchId, incarnationId,
+      retain)
+  }
+
+  /** Streaming maintenance sink: each micro-batch of new vectors
+    * appends through [[appendBatch]] — version re-resolved per batch,
+    * commit via the marker flip, retries detected by stamp
+    * ([[StreamOps.cdcApplyParquetSink]]'s exact discipline).
+    */
+  def indexAppendSink(vectors: DataFrame, indexRoot: String,
+      retain: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    vectors.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        appendBatch(b.toDF(), indexRoot, id, incarnation, retain)
+        ()
+    }
+  }
+
+  // ---------------------------------------------------------------- e46
+
+  /** The registry entry: ensure the committed index for `dir` (build on
+    * first touch, fingerprint-guarded reuse after), then serve e24's
+    * query off the loaded artifact. The oracle is the INLINE
+    * computation (e24's CTE chain verbatim) — the hash equality IS the
+    * build→commit→load→serve ≡ inline-build guarantee, cross-engine.
+    */
+  def ivfPqKnnServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultRoot(dir)
+    ensureIndex(s, dir, root)
+    serveIvfPqKnn(s, dir, root)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("e46_ivfpq_index_served", ivfPqKnnServed,
+      Some(VectorOps.ivfPqKnnOracle)))
+}

@@ -484,7 +484,7 @@ object StreamOps {
     * batch 0" does NOT prove this batch was applied), and the
     * incarnation alone says nothing about WHICH batch committed.
     */
-  private def cdcMarkerStamp(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def cdcMarkerStamp(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, ver: Long): (Long, String) =
     try {
       val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"$CdcCommitPrefix$ver"))
@@ -616,7 +616,7 @@ object StreamOps {
     * file, rename into `_commit-<ver>` — the single-filesystem-op flip
     * both the MERGE sink and [[optimizeCdcTable]] commit through.
     */
-  private def flipCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def flipCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, ver: Long, batchId: Long,
       incarnationId: String): Unit = {
     val tmpMarker = new org.apache.hadoop.fs.Path(root, s".commit-$ver.tmp")
@@ -635,7 +635,7 @@ object StreamOps {
     * and its data delete (or a failed attempt's partial dir) must not
     * leak an unreclaimable v<n> forever.
     */
-  private def pruneCdcVersions(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def pruneCdcVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, retain: Int): Unit = {
     val keep = fs.listStatus(root).iterator
       .map(_.getPath.getName)

@@ -1094,4 +1094,43 @@ class StreamingSpec extends SparkSpec {
     // only when gaps are uniform; the universal bound is the raw count
     whole.values.foreach { case (_, x) => assert(x > 0.0) }
   }
+
+  test("indexAppendSink: streamed two-batch append == batch-built index over the union") {
+    import graft.ext.{VectorIndex, VectorOps}
+    val e = VectorOps.vecs(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "v")
+    val n = e.count()
+    val cut = n / 2
+    assert(cut > 16)
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val rootS = java.nio.file.Files
+      .createTempDirectory("graft-index-stream").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-index-streambatch").toString
+    // seed: the committed codebook the stream appends against
+    VectorIndex.buildIndexFrom(e.filter(col("vec_id") < 16), rootS)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val sink = VectorIndex.indexAppendSink(
+      ms.toDF().toDF("vec_id", "v"), rootS)
+    val q = sink.start()
+    try {
+      // two micro-batches; the sink re-resolves the committed version
+      // at each and commits v1 then v2 through the marker flip
+      ms.addData(rows.filter(r => r._1 >= 16 && r._1 < cut))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, rootS).contains(1L))
+      ms.addData(rows.filter(_._1 >= cut))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, rootS).contains(2L))
+    } finally q.stop()
+    VectorIndex.buildIndexFrom(e, rootB)
+    def snap(root: String) = VectorIndex.loadCodes(spark, root)
+      .selectExpr("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(_._1).toSeq
+    assert(snap(rootS) == snap(rootB),
+      "streamed appends must converge to the batch-built index")
+  }
 }
