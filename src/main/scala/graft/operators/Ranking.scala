@@ -62,14 +62,16 @@ import org.apache.spark.sql.types._
   * parallel; callers with an expensive upstream persist it first
   * (Caching.withPersisted or the runner-owned registry contract).
   *
-  * Residual limitation (documented, one refinement level): an oversized
-  * bin is split one level deep. A distribution that is still skewed
-  * AFTER splitting — many distinct-but-ultra-clustered values inside one
-  * sub-interval, or a heavy exact value whose tie keys are themselves
-  * constant (a non-total order, outside the contract) — can leave a
-  * partition above `maxBinRows`. For adversarial low-entropy scores an
-  * approximate histogram-sketch quantile (t19) is the documented escape
-  * hatch.
+  * Residual limitation (documented, two refinement levels): an
+  * oversized bin splits into value intervals / heavy-value key bins,
+  * and a split partition that is STILL over `maxBinRows` (values
+  * clustered again inside one sub-interval) re-bins once more over its
+  * own observed span. What remains unbounded after both levels is a
+  * partition with a DEGENERATE span: a heavy exact value whose tie
+  * keys are themselves constant (a non-total order, outside the
+  * contract) or project to one point. For adversarial low-entropy
+  * scores an approximate histogram-sketch quantile (t19) is the
+  * documented escape hatch.
   */
 object Ranking {
 
@@ -369,7 +371,45 @@ object Ranking {
           "exactNtile internal error: split partitions lost rows")
         val normal = binStats.filterNot(s => oBins(s._1))
           .map(s => (s._1 * mult, s._2))
-        (pExpr, (normal ++ oCounts).toSeq)
+
+        // -- second refinement level: a split partition can STILL exceed
+        // maxBinRows when the bin's values cluster AGAIN inside one
+        // sub-interval (double-cluster skew: 1e-12-scale noise under a
+        // 1e-6-scale bin). Each such partition re-bins over its OWN
+        // observed u-span — monotone within the partition, so every
+        // final partition remains a contiguous slice of the global
+        // order and the driver cumsum stays exact. Partition ids scale
+        // uniformly by nSub (refined get their sub-bin, the rest sub 0)
+        // so relative order is untouched. Degenerate spans — a heavy
+        // exact value whose tie keys could not be subdivided, or
+        // all-NaN — keep one sub-bin: the residual documented above
+        // (a non-total order is outside the contract).
+        val still = oCounts.filter(_._2 > maxBinRows).map(_._1)
+        if (still.isEmpty) (pExpr, (normal ++ oCounts).toSeq)
+        else {
+          val uNN = when(isnan(d), lit(null).cast("double")).otherwise(u)
+          val spans = df.withColumn("__b", bin)
+            .filter(col("__b").isin(oBins.toSeq: _*))
+            .select(pExpr.as("__part"), uNN.as("__dv"))
+            .filter(col("__part").isin(still.toSeq: _*))
+            .groupBy("__part")
+            .agg(min("__dv").as("lo"), max("__dv").as("hi"))
+            .collect().map(r => (r.getLong(0),
+              (if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+               if (r.isNullAt(2)) 0.0 else r.getDouble(2)))).toMap
+          val p2 = still.foldLeft(pExpr * lit(nSub.toLong)) { (acc, p) =>
+            val (a, b2) = spans(p)
+            when(pExpr === lit(p), lit(p * nSub) + subBin(u, a, b2, nSub))
+              .otherwise(acc)
+          }
+          val oCounts2 = df.withColumn("__b", bin)
+            .filter(col("__b").isin(oBins.toSeq: _*))
+            .select(p2.as("__part")).groupBy("__part").count()
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          require(oCounts2.map(_._2).sum == oversized.map(_._2).sum,
+            "exactNtile internal error: refined partitions lost rows")
+          (p2, (normal.map { case (p, c) => (p * nSub, c) } ++ oCounts2).toSeq)
+        }
       }
 
     // Driver-side exact offsets: every partition is a contiguous rank

@@ -250,4 +250,35 @@ class RankingSpec extends SparkSpec {
     val mx = maxPartRows(df, 7, asc = false, nBuckets = 32, maxBinRows = 60)
     assert(mx <= 60, s"a window partition received $mx rows (> maxBinRows)")
   }
+
+  test("two-level cluster skew: the second refinement level bounds every partition") {
+    // 1000 distinct values at 1e-15 scale plus a [1, 81] tail: the whole
+    // cluster lands in bin 0, the FIRST split's interval re-bin (over
+    // bin 0's own [0, 2] span) still leaves it in one sub-interval, and
+    // only the second level — re-binning that partition over its own
+    // observed 1e-12-wide span — can spread it. One level deep this
+    // fixture fails the bound by construction.
+    val df = spark.range(1080).select(col("id"),
+      when(col("id") < 1000, col("id").cast("double") * lit(1e-15))
+        .otherwise((col("id") - lit(999)).cast("double")).as("s"))
+    def exactSmall(asc: Boolean) = Ranking
+      .exactNtile(df, 10, col("s"), ascending = asc,
+        ties = Seq(col("id")), out = "tile",
+        nBuckets = 32, maxBinRows = 100)
+      .select(col("id"), col("tile")).as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    def flat(asc: Boolean) = flatNtile(df, 10, asc)
+      .select(col("id"), col("tile")).as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    // bit-equality UNDER the small threshold (the refined partitioning
+    // must preserve the global order, not just the bound)...
+    assert(exactSmall(asc = true) == flat(asc = true))
+    // ...and the bound itself
+    val mxA = maxPartRows(df, 10, asc = true, nBuckets = 32, maxBinRows = 100)
+    assert(mxA <= 100, s"a window partition received $mxA rows (> maxBinRows)")
+    // the mirrored direction exercises the u-negated span bookkeeping
+    assert(exactSmall(asc = false) == flat(asc = false))
+    val mxD = maxPartRows(df, 10, asc = false, nBuckets = 32, maxBinRows = 100)
+    assert(mxD <= 100, s"a window partition received $mxD rows (> maxBinRows)")
+  }
 }
