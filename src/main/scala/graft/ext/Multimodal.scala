@@ -105,6 +105,65 @@ object Multimodal {
     }
   }
 
+  /** REAL-codec image decoder over the JDK's built-in `javax.imageio`
+    * readers (PNG / BMP / GIF — zero new dependencies): true pixel
+    * dimensions plus a genuine pixel feature — a gridSize×gridSize
+    * block-mean LUMINANCE map (the blockhash perceptual-feature family;
+    * Rec. 601 weights 0.299/0.587/0.114), row-major, each value in
+    * [0, 1]. Deterministic: PNG/BMP decode to exact pixel values and
+    * each block mean is an exact double sum over a bounded block, so
+    * the feature path is as replayable as the stubs. Undecodable
+    * payloads fail loudly (a silent zero-vector would poison the dedup
+    * signature downstream). n_frames is 1 — still images; animated
+    * containers surface frame 0 here (frame EXTRACTION stays behind
+    * [[sampleFrames]]'s grid).
+    *
+    * For an image smaller than the grid, block edges clamp so every
+    * cell covers ≥ 1 pixel (cells replicate pixels — still a pure
+    * function of the image). This decoder closes the "no real codec in
+    * the container" caveat for the formats the JDK itself ships;
+    * JPEG/video stay behind the same boundary with external codecs.
+    */
+  class ImageIoDecoder(gridSize: Int = 4) extends MediaDecoder {
+    require(gridSize > 0, s"gridSize must be positive, got $gridSize")
+    override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        if (payload == null) Array.emptyByteArray else payload))
+      require(img != null,
+        "payload is not an image the JDK can decode (ImageIO returned null)")
+      val w = img.getWidth; val h = img.getHeight
+      val feats = new Array[Float](gridSize * gridSize)
+      var gy = 0
+      while (gy < gridSize) {
+        val y0 = math.min(gy * h / gridSize, h - 1)
+        val y1 = math.max(y0 + 1, math.min((gy + 1) * h / gridSize, h))
+        var gx = 0
+        while (gx < gridSize) {
+          val x0 = math.min(gx * w / gridSize, w - 1)
+          val x1 = math.max(x0 + 1, math.min((gx + 1) * w / gridSize, w))
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >>> 16) & 0xff
+              val g = (rgb >>> 8) & 0xff
+              val b = rgb & 0xff
+              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          feats(gy * gridSize + gx) = (sum / n).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      DecodedMedia0(w, h, 1, feats)
+    }
+  }
+
   /** Ingestion bridge from the binaryFile source
     * ([[graft.sources.Formats.readBinaryFiles]]) into the canonical media
     * table: one MediaRow per file. `media_id = xxhash64(path)` — a pure

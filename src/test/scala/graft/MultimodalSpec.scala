@@ -227,4 +227,83 @@ class MultimodalSpec extends SparkSpec {
       .orderBy(desc("cos"), col("vec_id")).collect()
     assert(ranked.length == 5 && math.abs(ranked.head.getDouble(1) - 1.0) < 1e-6)
   }
+
+  // Checked-in 2×2 RGB8 PNG (75 bytes): row 0 = red, green; row 1 =
+  // blue, white. Hand-assembled IHDR/IDAT/IEND so the fixture is bytes,
+  // not an encoder's output — the decode assertion is pixel-EXACT.
+  private val png2x2: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00, 0x02,
+    0x08, 0x02, 0x00, 0x00, 0x00, 0xfd, 0xd4, 0x9a, 0x73, 0x00, 0x00, 0x00,
+    0x12, 0x49, 0x44, 0x41, 0x54, 0x78, 0xda, 0x63, 0xf8, 0xcf, 0xc0, 0xc0,
+    0x00, 0xc2, 0x0c, 0xff, 0x81, 0x00, 0x00, 0x1f, 0xee, 0x05, 0xfb, 0xf1,
+    0xab, 0xba, 0x77, 0x00, 0x00, 0x00, 0x00, 0x49, 0x45, 0x4e, 0x44, 0xae,
+    0x42, 0x60, 0x82).map(_.toByte)
+
+  private def lum(r: Int, g: Int, b: Int): Float =
+    ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+
+  test("ImageIoDecoder decodes the checked-in 2x2 PNG pixel-exactly; real luminance grid") {
+    // pixel-exact decode through the same JDK reader the decoder uses
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png2x2))
+    assert(img != null && img.getWidth == 2 && img.getHeight == 2)
+    assert(img.getRGB(0, 0) == 0xffff0000 && img.getRGB(1, 0) == 0xff00ff00)
+    assert(img.getRGB(0, 1) == 0xff0000ff && img.getRGB(1, 1) == 0xffffffff)
+    // the 2×2 grid: one block per pixel — features ARE the luminances
+    val d2 = new ImageIoDecoder(gridSize = 2).decode("image", png2x2)
+    assert(d2.width == 2 && d2.height == 2 && d2.n_frames == 1)
+    assert(d2.features.toSeq == Seq(
+      lum(255, 0, 0), lum(0, 255, 0), lum(0, 0, 255), lum(255, 255, 255)))
+    // a grid wider than the image clamps blocks to ≥1 pixel (replication)
+    val d4 = new ImageIoDecoder(gridSize = 4).decode("image", png2x2)
+    val Seq(r, g, b, w) = d2.features.toSeq
+    assert(d4.features.toSeq == Seq(r, r, g, g, r, r, g, g,
+      b, b, w, w, b, b, w, w))
+    // garbage fails loudly, never a silent zero-vector
+    val ex = intercept[IllegalArgumentException] {
+      new ImageIoDecoder().decode("image", Array[Byte](1, 2, 3))
+    }
+    assert(ex.getMessage.contains("ImageIO"))
+  }
+
+  test("real pixels through the Spark plumbing: PNG+BMP decode -> resize -> featureTable") {
+    // 8×8, left half black / right half white — block means are exactly
+    // 0 and lum(white) under a 4×4 grid, so the feature path's values
+    // are pinned, not just shaped
+    val src = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      src.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val meta = MediaMeta("image/png", None, None, None, None)
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "image", enc("png"), meta),
+      MediaRow(2L, "image", enc("bmp"), meta),
+      MediaRow(3L, "image", png2x2, meta))).repartition(2)
+    val decoded = decodeAndFeaturize(ds, new ImageIoDecoder(gridSize = 4))
+      .cache()
+    val byId = decoded.collect().map(d => d.media_id -> d).toMap
+    val expected = Seq.tabulate(16)(i =>
+      if (i % 4 < 2) lum(0, 0, 0) else lum(255, 255, 255))
+    assert(byId(1L).width == 8 && byId(1L).height == 8)
+    assert(byId(1L).features.toSeq == expected)
+    // the SAME pixels through a different REAL codec give the SAME
+    // features — the format boundary is codec metadata, not content
+    assert(byId(2L).features.toSeq == byId(1L).features.toSeq)
+    assert(byId(3L).width == 2)
+    // resize clamps genuine decoded dimensions (aspect preserved)
+    val resized = resize(decoded, 4, 4).collect().map(d => d.media_id -> d).toMap
+    assert(resized(1L).width == 4 && resized(1L).height == 4)
+    assert(resized(3L).width == 2 && resized(3L).height == 2)
+    // and the features flow into the similarity surface unchanged
+    val feats = featureTable(decoded)
+    assert(feats.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    assert(feats.count() == 3L)
+  }
 }
