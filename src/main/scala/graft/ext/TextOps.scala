@@ -898,8 +898,33 @@ object TextOps {
     * per round; labels localCheckpoint so lineage stays flat. Returns
     * (doc_id, cluster_id) for every node WITH an edge (singletons are
     * the caller's left-join concern).
+    *
+    * ROUND-COMPLEXITY BOUND (the assumption this formulation rides):
+    * plain min-label propagation moves a label ONE hop per round, so
+    * convergence takes exactly eccentricity(min-node) ≈ O(graph
+    * diameter) rounds — DedupSpec measures a 50-node path at its full
+    * 49 propagation hops, vs 2 rounds for a 20-node clique. That is
+    * the RIGHT trade for dup-cluster graphs, whose components are
+    * near-cliques of mutually-similar documents (diameter 2-4: every
+    * round is one cheap join + partial agg, and a star-contraction
+    * scheme would pay its extra alternating passes for nothing). It is
+    * the WRONG algorithm for path-shaped graphs (transitive chains
+    * thousands of hops long): there the alternating large-star /
+    * small-star contraction (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond" — O(log² n) rounds on any
+    * shape) is the documented replacement. The 64-round rail therefore
+    * FAILS LOUDLY rather than returning silently-wrong labels: a
+    * component with diameter ≥ 64 is outside this operator's posture,
+    * not a partial answer.
     */
-  private[ext] def connectedComponents(edges: DataFrame): DataFrame = {
+  private[ext] def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  /** [[connectedComponents]] plus the converged round count — the spec
+    * hook that pins the O(diameter) bound as a measurement.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame): (DataFrame, Int) = {
     // Initialization folds the first propagation round in: every node
     // starts at min(own id, smallest neighbor) straight off the edge
     // aggregation, saving one join+count round trip.
@@ -925,7 +950,12 @@ object TextOps {
       labels = next.select("doc_id", "lbl")
       rounds += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    require(changed == 0,
+      s"connectedComponents hit the 64-round rail with $changed labels " +
+        "still moving — a component's diameter exceeds the min-label-" +
+        "propagation posture (see the scaladoc bound; path-shaped graphs " +
+        "need the star-contraction variant, not a truncated answer)")
+    (labels.select(col("doc_id"), col("lbl").as("cluster_id")), rounds)
   }
 
   // Symmetric near-dup edge CTE chain (shared by the d13/d49/d51

@@ -2165,4 +2165,35 @@ class DedupSpec extends SparkSpec {
     }
     spark.sharedState.cacheManager.clearCache() // sigs persist (registry contract)
   }
+
+  test("connected components: the O(diameter) round bound, measured on both shapes") {
+    import spark.implicits._
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // 50-node PATH (the adversarial shape for min-label propagation):
+    // the min label travels one hop per round, so convergence takes the
+    // full eccentricity — init folds hop 1 in, 48 more moves, plus one
+    // certifying no-change round = 49. This is the measurement that
+    // pins the scaladoc's O(diameter) claim.
+    val path = sym((0L until 49L).map(k => (k, k + 1)))
+    val (lbl, rPath) = TextOps.connectedComponentsWithRounds(path)
+    val ls = lbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ls.size == 50 && ls.values.forall(_ == 0L))
+    assert(rPath == 49, s"expected the diameter-bound round count, got $rPath")
+    // 20-node CLIQUE (the dup-cluster shape the posture is tuned for):
+    // every node sees the minimum at init, one certifying round
+    val clique = sym(for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield (a, b))
+    val (cl, rClique) = TextOps.connectedComponentsWithRounds(clique)
+    assert(cl.collect().forall(_.getLong(1) == 0L))
+    assert(rClique <= 2, s"clique must converge in O(1) rounds, got $rClique")
+    // diameter past the 64-round rail fails LOUDLY — a truncated label
+    // table must never masquerade as an answer
+    val long = sym((0L until 80L).map(k => (k, k + 1)))
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.connectedComponentsWithRounds(long)
+    }
+    assert(ex.getMessage.contains("64-round rail"))
+  }
 }
