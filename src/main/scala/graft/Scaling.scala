@@ -70,27 +70,16 @@ object Scaling {
     * the measurements every run (and by ScalingSpec against this map's
     * shape), so an entry cannot outlive its reason silently.
     */
-  val allowlist: Map[String, String] = Map(
-    "e04_top_similar_pairs" ->
-      ("brute-force all-pairs cosine: the exact O(n²) baseline the ANN " +
-        "rungs (e05/e07/e19/e21) are measured against — exactness is " +
-        "the operator"),
-    "e34_silhouette" ->
-      ("exact silhouette audits every (vector, other-vector) distance — " +
-        "the O(n²) eval posture; sampled variants are the scale path"),
-    "e35_knn_label_eval" ->
-      ("leave-one-out kNN label eval scores all pairs exactly — the " +
-        "O(n²) eval posture (the operator is the audit, not serving)"),
-    "e44_knn_outlier_audit" ->
-      ("rides e27's kNN graph whose in-bucket build is pair-quadratic " +
-        "within LSH buckets on this near-isotropic corpus"),
-    "d05_jaccard_dup_pairs" ->
-      ("exact-Jaccard pair witness: per-bucket pair enumeration is " +
-        "quadratic in bucket occupancy — the exact tier d06's banded " +
-        "MinHash replaces at scale"),
-    "m02_perceptual_media_dedup" ->
-      ("banded candidates stay near-linear but the planted-dup pair " +
-        "count itself grows superlinearly with corpus size at these SFs"))
+  val allowlist: Map[String, String] = Map.empty
+  // Round-11 measurement emptied the list: across all 227 registry
+  // queries the largest exponent was 0.92 (e35, whose exact all-pairs
+  // kernel is genuinely O(n²) but still sits under per-job overhead +
+  // constant factors at sf0.1 — 5.1 s vs 0.6 s is 8×, not 20×). The
+  // staleness check caught every speculative entry, which is the
+  // discipline working: a name joins this map ONLY when a measurement
+  // puts it over the threshold WITH a documented reason, so the first
+  // query whose superlinear term outgrows its constants flags loudly
+  // instead of hiding behind a pre-excused label.
 
   def main(args: Array[String]): Unit = {
     val loDir = sys.env.getOrElse("SPARK_GRAFT_SF_LO", "/root/testdata/sf0.01")

@@ -235,7 +235,18 @@ object VectorIndex {
     * because build and inline twin share every rounding/tie discipline.
     */
   def serveIvfPqKnn(s: SparkSession, dataDir: String,
-      indexRoot: String): DataFrame = {
+      indexRoot: String): DataFrame =
+    serveAdc(s, dataDir, indexRoot)._2
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(5)
+
+  /** Shared serving core: route → partition-pruned code read → ADC.
+    * Returns (query frame (qv), per-candidate (vec_id, cell,
+    * approx_d2)) — [[serveIvfPqKnn]] cuts the top-5, the re-rank path
+    * shortlists top-10 and pays exact cosine only for those.
+    */
+  private def serveAdc(s: SparkSession, dataDir: String,
+      indexRoot: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val cb = loadCodebook(s, indexRoot)
     val q = VectorOps.vecs(s, dataDir).filter(col("vec_id") === 0)
@@ -259,12 +270,32 @@ object VectorIndex {
       .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
     val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
       .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
-    cand.select(col("vec_id"), col("cell"),
+    val adc = cand.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("vec_id", "cell")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
-      .orderBy(col("approx_d2"), col("vec_id"))
+    (q, adc)
+  }
+
+  /** Two-stage serving off the persisted index — e20's production
+    * pattern on e24's routing: the 8-byte codes SHORTLIST (top-10 by
+    * ADC distance over the probed cells), then ONLY the shortlist pays
+    * an exact-cosine re-rank against raw vectors — a 10-row broadcast
+    * join into the primary store, raw-vector IO proportional to the
+    * shortlist, never the corpus or even the probed cells. This is the
+    * complete serving stack a deployment runs per query: partition-
+    * pruned index read + bounded refine.
+    */
+  def serveIvfPqRerank(s: SparkSession, dataDir: String,
+      indexRoot: String): DataFrame = {
+    val (q, adc) = serveAdc(s, dataDir, indexRoot)
+    val shortlist = adc.orderBy(col("approx_d2"), col("vec_id"))
+      .limit(10).select("vec_id")
+    VectorOps.vecs(s, dataDir).join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id", "round(cosine_similarity(v, qv), 6) AS cos_sim")
+      .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(5)
   }
 
@@ -325,7 +356,21 @@ object VectorIndex {
     serveIvfPqKnn(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e47
+
+  /** Registry entry: the two-stage shortlist + exact-re-rank serve off
+    * the ensured index; the oracle is the inline e24 chain extended
+    * with the identical shortlist/re-rank tail.
+    */
+  def ivfPqRerankServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultRoot(dir)
+    ensureIndex(s, dir, root)
+    serveIvfPqRerank(s, dir, root)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e46_ivfpq_index_served", ivfPqKnnServed,
-      Some(VectorOps.ivfPqKnnOracle)))
+      Some(VectorOps.ivfPqKnnOracle)),
+    QueryDef("e47_ivfpq_index_rerank", ivfPqRerankServed,
+      Some(VectorOps.ivfPqRerankOracle)))
 }
