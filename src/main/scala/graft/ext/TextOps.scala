@@ -601,13 +601,13 @@ object TextOps {
     s"CAST(('0x' || substr(md5($arg),1,15)) AS BIGINT)"
 
   /** Deterministic doc bucket 0-99 (the d14 split key), Spark + oracle. */
-  private val docBucket = s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket"
+  private[ext] val docBucket = s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket"
 
   /** Train/val/test bucket boundaries — the single source of truth for
     * d14's split, d17/d24's base-vs-incoming cut, and d26's leakage
     * matrix (both the Spark plans and the oracle SQL interpolate these).
     */
-  private val TrainCut = 80
+  private[ext] val TrainCut = 80
   private val ValCut = 90
   private val splitCase =
     s"CASE WHEN bucket < $TrainCut THEN 'train' WHEN bucket < $ValCut THEN 'val' ELSE 'test' END AS split"
@@ -621,7 +621,7 @@ object TextOps {
       .selectExpr("doc_id", "text", docBucket)
     (docs.filter(col("bucket") < TrainCut), docs.filter(col("bucket") >= TrainCut))
   }
-  private val docBucketSql = s"${md5h60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket"
+  private[ext] val docBucketSql = s"${md5h60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket"
 
   /** SimHash(60) near-dup pairs: per-bit majority vote over the doc's
     * distinct trigram-shingle hashes (shingles, not unigrams — the corpus

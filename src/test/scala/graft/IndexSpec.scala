@@ -119,6 +119,71 @@ class IndexSpec extends SparkSpec {
       VectorIndex.serveIvfPqKnn(spark, sf0001, rootB).collect().map(_.toSeq).toSeq)
   }
 
+  // ------------------------------------------------------- TextIndex
+
+  /** Synthetic corpus for the admission tests: ≥3-token texts so the
+    * trigram shingles exist; near-dups share all but the tail token
+    * (Jaccard well over 0.5), novel docs share nothing.
+    */
+  private def docsDF(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+  private val tA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+  private val tB = (1 to 30).map(i => s"beta$i").mkString(" ")
+  private val tC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+  private def nearDup(t: String) =
+    t.split(' ').dropRight(1).mkString(" ") + " changed"
+
+  test("sequential admission: a batch-2 doc duplicating an ADMITTED batch-1 doc is rejected") {
+    import graft.ext.TextIndex
+    val root = tmpRoot("admit")
+    val base = docsDF(1L -> tA, 2L -> tB)
+    // the primary store holds every doc's text (verify-side fetches)
+    val primary = docsDF(1L -> tA, 2L -> tB, 10L -> tC,
+      20L -> nearDup(tC), 21L -> nearDup(tA))
+    TextIndex.buildIndexFrom(base, root)
+    // batch 1: doc 10 is novel — admitted, its signatures join the index
+    val v1 = TextIndex.admitBatch(docsDF(10L -> tC), primary, root, 0L, "inc")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v1 == Map(10L -> false))
+    assert(TextIndex.latestVersion(spark, root).contains(1L))
+    // batch 2: doc 20 near-dups the ADMITTED doc 10 (not in the base
+    // corpus at all — the property a static base-only probe cannot
+    // express); doc 21 near-dups base doc 1
+    val v2 = TextIndex.admitBatch(
+        docsDF(20L -> nearDup(tC), 21L -> nearDup(tA)), primary, root,
+        1L, "inc")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sortBy(_._1)
+    assert(v2 == Seq((20L, true, 10L), (21L, true, 1L)), v2.toString)
+    // rejected docs' signatures must NOT have joined the index
+    val indexed = TextIndex.loadPostings(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 10L))
+  }
+
+  test("admission verdicts are retry-stable; the append is exactly-once") {
+    import graft.ext.TextIndex
+    val root = tmpRoot("admit-retry")
+    val primary = docsDF(1L -> tA, 10L -> tC, 11L -> nearDup(tC))
+    TextIndex.buildIndexFrom(docsDF(1L -> tA), root)
+    // one batch admitting doc 10 and rejecting nothing; 11 dups 10
+    // WITHIN the batch — in-batch siblings are never probe targets, so
+    // both get base-only verdicts (admitted) deterministically
+    val batch = docsDF(10L -> tC, 11L -> nearDup(tC))
+    def verdicts() = TextIndex.admitBatch(batch, primary, root, 3L, "r")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val first = verdicts()
+    assert(first == Map(10L -> false, 11L -> false))
+    assert(TextIndex.latestVersion(spark, root).contains(1L))
+    // crash-after-flip redelivery: verdicts IDENTICAL (its own ids are
+    // excluded from the probe, so the just-appended signatures cannot
+    // flip the answer), and no new version commits
+    assert(verdicts() == first)
+    assert(TextIndex.latestVersion(spark, root).contains(1L))
+  }
+
   test("a redelivered append batch no-ops on its own stamp") {
     val root = tmpRoot("retry")
     VectorIndex.buildIndexFrom(fullVecs.filter(col("vec_id") < 100), root)

@@ -233,7 +233,10 @@ class PlanSpec extends SparkSpec {
       // (the InMemoryTableScan recursion below): all five tokenize text
       // inside the gram/persist subtree they are built on
       "d20_crossdoc_ngram_dup", "d42_quality_calibration",
-      "d45_ngram_novelty", "d46_dup_substring_spans", "d62_bm25_retrieval")
+      "d45_ngram_novelty", "d46_dup_substring_spans", "d62_bm25_retrieval",
+      // signature-index admission shingles the incoming split's text
+      // (and the base split's, on a cold index root / for the verify)
+      "d79_index_near_dedup")
     val embReaders = Set(
       "e01_knn_brute_force", "e02_label_centroids", "e03_lsh_buckets",
       "e04_top_similar_pairs", "e05_ann_lsh_top5", "e06_cosine_near_dup",
@@ -250,7 +253,10 @@ class PlanSpec extends SparkSpec {
       "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep",
       "e40_graph_walk_recall", "e41_hybrid_rrf_retrieval",
       "e42_graph_walk_depth_sweep", "e43_graph_walk_beam_sweep",
-      "e44_knn_outlier_audit", "e45_matryoshka_recall_sweep")
+      "e44_knn_outlier_audit", "e45_matryoshka_recall_sweep",
+      // persisted-index serving still reads the QUERY vector (and, on a
+      // cold index root, the build pass) from the embeddings table
+      "e46_ivfpq_index_served", "e47_ivfpq_index_rerank")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

@@ -1133,4 +1133,33 @@ class StreamingSpec extends SparkSpec {
     assert(snap(rootS) == snap(rootB),
       "streamed appends must converge to the batch-built index")
   }
+
+  test("admissionSink: streamed near-dup admission maintains the signature index per batch") {
+    import graft.ext.TextIndex
+    def mkText(stem: String) = (1 to 30).map(i => s"$stem$i").mkString(" ")
+    val (tA, tC) = (mkText("alpha"), mkText("gamma"))
+    def nd(t: String) = t.split(' ').dropRight(1).mkString(" ") + " x"
+    val base = Seq((1L, tA)).toDF("doc_id", "text")
+    val primary = Seq((1L, tA), (10L, tC), (20L, nd(tC)))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-text-index-stream").toString
+    TextIndex.buildIndexFrom(base, root)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = TextIndex.admissionSink(
+      ms.toDF().toDF("doc_id", "text"), primary, root).start()
+    try {
+      ms.addData(Seq((10L, tC))) // novel — admitted, indexed as v1
+      q.processAllAvailable()
+      assert(TextIndex.latestVersion(spark, root).contains(1L))
+      ms.addData(Seq((20L, nd(tC)))) // dups the batch-1 admit — rejected
+      q.processAllAvailable()
+      assert(TextIndex.latestVersion(spark, root).contains(2L))
+    } finally q.stop()
+    val indexed = TextIndex.loadPostings(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 10L),
+      s"the rejected near-dup must not enter the index: $indexed")
+  }
 }
