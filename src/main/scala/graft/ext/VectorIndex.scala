@@ -356,6 +356,53 @@ object VectorIndex {
     serveIvfPqKnn(s, dir, root)
   }
 
+  /** BATCHED-query serving off the persisted index — the throughput
+    * pattern a serving tier actually runs: route all `nQueries`
+    * queries on the loaded codebook at once, take the UNION of their
+    * probed cells as ONE partition-pruned read (each cell directory is
+    * read once no matter how many queries probe it), then fan the
+    * per-(query, candidate) ADC out from broadcast lookup tables
+    * (nQueries×8×16 rows). Per-query top-k is a window PARTITIONED by
+    * query id — parallel across queries, never a global funnel. e08 is
+    * this shape brute-force; this is it against the committed artifact.
+    */
+  def serveIvfPqKnnBatch(s: SparkSession, dataDir: String,
+      indexRoot: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, indexRoot)
+    val qs = VectorOps.vecs(s, dataDir).filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS qid", "v AS qv")
+    val qcells = qs.crossJoin(broadcast(cb))
+      .selectExpr("qid", "cid", "cosine_similarity(cv, qv) AS cs")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cs"), col("cid"))))
+      .filter(col("rn") <= 2).select(col("qid"), col("cid").as("qcell"))
+    // ≤16 distinct cells however many queries probe them — one read
+    val probed = qcells.select("qcell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = loadCodes(s, indexRoot)
+      .filter(col("cell").isin(probed: _*))
+    val candQ = cand.join(broadcast(qcells), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+    val qsub = qs.selectExpr("qid", "qv AS v").selectExpr("qid", subEx)
+      .select(col("qid"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+      .selectExpr("qid AS tqid", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    candQ.select(col("qid"), col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("qid") === col("tqid") &&
+        col("j") === col("qj") && col("code") === col("qcid"))
+      .groupBy("qid", "vec_id", "cell")
+      .agg(round(sum("qd2"), 6).as("approx_d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_d2"), col("vec_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy("qid", "approx_d2", "vec_id")
+  }
+
   // ---------------------------------------------------------------- e47
 
   /** Registry entry: the two-stage shortlist + exact-re-rank serve off
@@ -368,9 +415,22 @@ object VectorIndex {
     serveIvfPqRerank(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e48
+
+  /** Registry entry: the 10-query batch served off the ensured index;
+    * oracle = the inline chain generalized per query id.
+    */
+  def ivfPqBatchServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultRoot(dir)
+    ensureIndex(s, dir, root)
+    serveIvfPqKnnBatch(s, dir, root)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e46_ivfpq_index_served", ivfPqKnnServed,
       Some(VectorOps.ivfPqKnnOracle)),
     QueryDef("e47_ivfpq_index_rerank", ivfPqRerankServed,
-      Some(VectorOps.ivfPqRerankOracle)))
+      Some(VectorOps.ivfPqRerankOracle)),
+    QueryDef("e48_ivfpq_batch_served", ivfPqBatchServed,
+      Some(VectorOps.ivfPqBatchOracle)))
 }

@@ -119,6 +119,44 @@ class IndexSpec extends SparkSpec {
       VectorIndex.serveIvfPqKnn(spark, sf0001, rootB).collect().map(_.toSeq).toSeq)
   }
 
+  test("batched serving: one pruned read for all queries; the q0 slice equals the single-query serve") {
+    val root = tmpRoot("batchserve")
+    VectorIndex.buildIndex(spark, sf0001, root)
+    val batch = VectorIndex.serveIvfPqKnnBatch(spark, sf0001, root)
+    val rows = batch.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == 10, "5 answers per query")
+    assert(rows.length == 50)
+    // query 0 through the batch path ≡ the single-query serve
+    val single = VectorIndex.serveIvfPqKnn(spark, sf0001, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val q0 = rows.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(q0 == single)
+    // the code read still reaches the reader as a partition filter —
+    // the union of probed cells is ONE pruned scan, not one per query
+    // (walk through AQE wrappers: the executed plan nests the scan
+    // inside adaptive shells plain collect() does not traverse)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case o => o.children
+      }
+      val self = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.headOption
+            .exists(_.toString.contains("/codes")) => Seq(s)
+        case _ => Nil
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val codeScans = scans(batch.queryExecution.executedPlan)
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitionFilters.nonEmpty))
+  }
+
   // ------------------------------------------------------- TextIndex
 
   /** Synthetic corpus for the admission tests: ≥3-token texts so the
