@@ -912,7 +912,8 @@ object TextOps {
     * thousands of hops long): there the alternating large-star /
     * small-star contraction (Kiveris et al. 2014, "Connected
     * Components in MapReduce and Beyond" — O(log² n) rounds on any
-    * shape) is the documented replacement. The 64-round rail therefore
+    * shape) is the SHIPPED replacement: [[connectedComponentsStar]],
+    * label-identical on any graph. The 64-round rail here therefore
     * FAILS LOUDLY rather than returning silently-wrong labels: a
     * component with diameter ≥ 64 is outside this operator's posture,
     * not a partial answer.
@@ -954,8 +955,83 @@ object TextOps {
       s"connectedComponents hit the 64-round rail with $changed labels " +
         "still moving — a component's diameter exceeds the min-label-" +
         "propagation posture (see the scaladoc bound; path-shaped graphs " +
-        "need the star-contraction variant, not a truncated answer)")
+        "need connectedComponentsStar, not a truncated answer)")
     (labels.select(col("doc_id"), col("lbl").as("cluster_id")), rounds)
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") —
+    * the O(log² n)-round variant [[connectedComponents]]'s scaladoc
+    * names as the replacement for graphs whose diameter breaks the
+    * one-hop-per-round propagation bound. Each round is two
+    * edge-rewrites, each one groupBy + join over the CURRENT edge set
+    * (which only shrinks toward the star forest): large-star hangs
+    * every larger neighbor off its neighborhood minimum, small-star
+    * contracts the smaller neighbors; the fixpoint is a star per
+    * component centered at its minimum id, read off as the label
+    * table. Convergence is detected by the edge multiset's (count,
+    * hash-sum) signature repeating — a fixpoint re-derives itself, so
+    * one extra round is the worst a collision could cost, and the
+    * 64-round rail (≫ log² of any physical corpus) still fails loudly.
+    *
+    * Same contract as [[connectedComponents]]: symmetric (src, dst)
+    * edges in, (doc_id, cluster_id) out for every node WITH an edge,
+    * labels = component minimum — bit-identical to the propagation
+    * variant on any graph (DedupSpec pins both shapes plus an
+    * 80-node path the propagation rail rejects). The dedup registry
+    * keeps the propagation form (near-clique components converge in
+    * 2-3 cheap rounds; the star alternation pays two rewrites per
+    * round for a logarithm those graphs never need).
+    */
+  private[graft] def connectedComponentsStar(
+      edges: DataFrame): (DataFrame, Int) = {
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint()
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var e = canon(edges.select(col("src").as("u"), col("dst").as("v")))
+      .localCheckpoint()
+    def signature(d: DataFrame): (Long, Long) = {
+      // hash-sum mod p: ANSI-safe (raw 64-bit sums overflow) and still
+      // a sound multiset signature up to the harmless-collision caveat
+      val r = d.agg(count(lit(1)),
+        sum(expr("pmod(xxhash64(u, v), 1000000007L)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(d: DataFrame): DataFrame = {
+      val sym = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(d: DataFrame): DataFrame = {
+      val mins = d.groupBy("u").agg(min("v").as("m"))
+      val others = d.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      others.unionByName(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 64) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      rounds += 1
+    }
+    require(converged,
+      "connectedComponentsStar did not converge within 64 rounds — " +
+        "beyond the O(log² n) bound, this indicates a bug, not a graph")
+    val starLbl = e.select(col("u").as("doc_id"), col("v").as("lbl"))
+      .groupBy("doc_id").agg(min("lbl").as("lbl"))
+    val labels = nodes.join(starLbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   // Symmetric near-dup edge CTE chain (shared by the d13/d49/d51

@@ -2196,4 +2196,29 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("64-round rail"))
   }
+
+  test("star-contraction CC: label-identical to propagation, logarithmic on the path") {
+    import spark.implicits._
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // the two fixture shapes must agree label-for-label with propagation
+    for (g <- Seq(
+        sym((0L until 49L).map(k => (k, k + 1))), // 50-node path
+        sym(for { a <- 0L until 20L; b <- (a + 1) until 20L } yield (a, b)),
+        // two components + an isolated edge: ids deliberately non-dense
+        sym(Seq(5L -> 9L, 9L -> 12L, 40L -> 41L, 100L -> 7L, 7L -> 5L)))) {
+      val (prop, _) = TextOps.connectedComponentsWithRounds(g)
+      val (star, _) = TextOps.connectedComponentsStar(g)
+      assert(labelsOf(star) == labelsOf(prop))
+    }
+    // the 80-node path the propagation rail REJECTS: the star variant
+    // converges in a logarithmic round count with the right labels
+    val long = sym((0L until 80L).map(k => (k, k + 1)))
+    val (lbl, rounds) = TextOps.connectedComponentsStar(long)
+    assert(lbl.collect().forall(_.getLong(1) == 0L))
+    assert(rounds <= 12,
+      s"star contraction should need ~log rounds on an 80-path, got $rounds")
+  }
 }
