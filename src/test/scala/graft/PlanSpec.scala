@@ -256,7 +256,8 @@ class PlanSpec extends SparkSpec {
       "e44_knn_outlier_audit", "e45_matryoshka_recall_sweep",
       // persisted-index serving still reads the QUERY vector (and, on a
       // cold index root, the build pass) from the embeddings table
-      "e46_ivfpq_index_served", "e47_ivfpq_index_rerank")
+      "e46_ivfpq_index_served", "e47_ivfpq_index_rerank",
+      "e48_ivfpq_batch_served")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
