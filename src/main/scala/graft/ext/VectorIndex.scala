@@ -415,6 +415,71 @@ object VectorIndex {
     serveIvfPqRerank(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e49
+
+  /** The kNN GRAPH as a committed artifact — the third index family
+    * (after IVF-PQ codes and MinHash postings) through the same marker
+    * protocol: e27's in-bucket top-3 adjacency written as
+    * `v<n>/edges/` (src-sorted, so row-group min/max stats prune the
+    * per-hop probes), fingerprint-stamped for reuse. HNSW-family
+    * deployments persist exactly this: the graph build is the
+    * expensive corpus pass, the walk only ever probes adjacency.
+    */
+  def defaultGraphRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-graph/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  def ensureGraphIndex(s: SparkSession, dataDir: String,
+      root: String, retain: Int = 2): Long = {
+    val e = VectorOps.vecs(s, dataDir).select("vec_id", "v")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"index:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
+      .getOrElse {
+        val ver = StreamOps.cdcLatestCommit(fs, rootP)
+          .map(_ + 1).getOrElse(0L)
+        fs.mkdirs(rootP)
+        VectorOps.knnGraph(s, dataDir)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+          .sortWithinPartitions("src")
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
+        StreamOps.flipCommitMarker(fs, rootP, ver, -3L, want)
+        StreamOps.pruneCdcVersions(fs, rootP, retain)
+        ver
+      }
+  }
+
+  def loadGraph(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = StreamOps.cdcLatestCommit(
+      new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed graph index under $root — build first"))
+    val sch = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    s.read.schema(sch).parquet(s"$root/v$v/edges")
+  }
+
+  /** Registry entry: e40's beam-walk recall audit with the adjacency
+    * LOADED from the committed graph artifact instead of rebuilt —
+    * identical output by construction (the walk is a pure function of
+    * graph + vectors), pinned by e40's own oracle CTE chain.
+    */
+  def graphWalkServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultGraphRoot(dir)
+    ensureGraphIndex(s, dir, root)
+    // probed once per hop — persist; runner owns cleanup (e40's contract)
+    val g = loadGraph(s, root).persist()
+    VectorOps.graphWalkRecallFrom(
+      VectorOps.vecs(s, dir).select("vec_id", "label", "v"), g, nQueries = 10)
+  }
+
   // ---------------------------------------------------------------- e48
 
   /** Registry entry: the 10-query batch served off the ensured index;
@@ -432,5 +497,7 @@ object VectorIndex {
     QueryDef("e47_ivfpq_index_rerank", ivfPqRerankServed,
       Some(VectorOps.ivfPqRerankOracle)),
     QueryDef("e48_ivfpq_batch_served", ivfPqBatchServed,
-      Some(VectorOps.ivfPqBatchOracle)))
+      Some(VectorOps.ivfPqBatchOracle)),
+    QueryDef("e49_graph_walk_served", graphWalkServed,
+      Some(VectorOps.graphWalkRecallOracle)))
 }
