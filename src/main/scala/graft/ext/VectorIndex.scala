@@ -217,11 +217,98 @@ object VectorIndex {
     import org.apache.spark.sql.types._
     val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
       s"no committed index version under $indexRoot — build first"))
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cv = codesVersion(fs, indexRoot, v)
     val sch = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("codes", ArrayType(LongType)),
       StructField("cell", LongType)))
-    s.read.schema(sch).parquet(s"$indexRoot/v$v/codes")
+    val codes = s.read.schema(sch).parquet(s"$indexRoot/v$cv/codes")
+    // the LIVE view: a deletion-vector version shades ids out of every
+    // reader without touching the code files. Skipped entirely when the
+    // live version carries no tombstones, so the no-delete serve plan is
+    // byte-identical to the pre-DV one (and the anti-join, when present,
+    // broadcasts the small tombstone set UNDER the probe's partition
+    // filter — pruning still reaches the codes scan).
+    tombstonePath(fs, indexRoot, v) match {
+      case Some(p) =>
+        val ts = s.read.schema(StructType(Seq(StructField("vec_id", LongType))))
+          .parquet(p)
+        codes.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => codes
+    }
+  }
+
+  /** The version whose `codes/` directory backs version `v`: `v` itself
+    * for a build/append/compaction commit, the nearest lower version for
+    * a deletion-vector commit (which writes only tombstones + codebook —
+    * the metadata-only delete). The compaction rule in [[deleteIds]]
+    * keeps the referenced version inside the prune window.
+    */
+  private def codesVersion(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, v: Long): Long = {
+    var c = v
+    while (c >= 0 && !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$indexRoot/v$c/codes")))
+      c -= 1
+    if (c < 0) throw new IllegalStateException(
+      s"no codes directory reachable from v$v under $indexRoot — " +
+        "the referenced base version was pruned")
+    c
+  }
+
+  private def tombstonePath(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, v: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/v$v/tombstones")
+    if (fs.exists(p)) Some(p.toString) else None
+  }
+
+  /** Delete `ids` (a one-column vec_id frame) from the served index —
+    * the deletion-vector discipline on plain parquet: when the live
+    * version owns its code files, the delete commits METADATA ONLY
+    * (cumulative tombstones + the 16-row codebook copied forward; the
+    * big code table is referenced back via [[codesVersion]]) — at 100 TB
+    * this is the difference between an O(deleted) commit and an O(corpus)
+    * rewrite. A second delete on top of a DV version COMPACTS instead
+    * (codes minus every tombstone, rewritten cell-partitioned), both so
+    * DV chains never grow unbounded and so the prune window (retain=2)
+    * always contains the referenced codes version. Readers are never
+    * torn: the marker flips last, and [[loadCodes]] serves the live view
+    * (codes ∖ tombstones) whichever shape the live version has.
+    * Idempotent per (stampId, stampTag) — the CDC retry discipline.
+    */
+  private[graft] def deleteIds(s: SparkSession, indexRoot: String,
+      ids: DataFrame, stampId: Long, stampTag: String,
+      retain: Int = 2): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"deleteIds needs a committed index under $indexRoot — build first"))
+    if (StreamOps.cdcMarkerStamp(fs, root, cur) == ((stampId, stampTag)))
+      return cur // redelivery of the delete that produced the live version
+    val ver = cur + 1
+    val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
+    loadCodebook(s, indexRoot).coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/v$cur/codes"))) {
+      // metadata-only DV commit: cumulative tombstones, codes by reference
+      val prior = tombstonePath(fs, indexRoot, cur)
+        .map(p => s.read.parquet(p).select("vec_id"))
+      prior.foldLeft(ids.select("vec_id"))(_ unionByName _).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "tombstones").toString)
+    } else {
+      // live is already a DV version: compact (live view minus new ids)
+      loadCodes(s, indexRoot)
+        .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
+    }
+    StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
+    StreamOps.pruneCdcVersions(fs, root, retain)
+    ver
   }
 
   /** IVF-PQ kNN served ENTIRELY off the loaded artifact — e24's query
@@ -491,6 +578,55 @@ object VectorIndex {
     serveIvfPqKnnBatch(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e50
+
+  /** Own root for the delete-bearing index: e46-e48 serve the intact
+    * corpus artifact and must never observe e50's tombstones.
+    */
+  def defaultDeleteRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-index-del/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** The deterministic delete set e50 commits: every 7th vector —
+    * large enough to shade candidates out of real probe answers, and a
+    * pure id predicate both engines can restate exactly.
+    */
+  private[graft] def deletePred = "vec_id % 7 = 1"
+
+  /** Resolve-or-build the deleted-view index: a build commit followed
+    * by one DV delete commit, stamped `(-4, index+del:<fingerprint>)`
+    * so reruns on an unchanged corpus reuse the live version without
+    * re-deleting (and a changed corpus rebuilds the full chain).
+    */
+  private[graft] def ensureDeletedIndex(s: SparkSession, dataDir: String,
+      root: String): Long = {
+    val e = VectorOps.vecs(s, dataDir).select("vec_id", "v")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"index+del:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-4L, want)))
+      .getOrElse {
+        buildIndexFrom(e, root)
+        deleteIds(s, root, e.filter(expr(deletePred)).select("vec_id"),
+          -4L, want)
+      }
+  }
+
+  /** Registry entry: e24's probe served off the index AFTER a
+    * deletion-vector commit removed every 7th vector — the serve path
+    * is [[serveIvfPqKnn]] verbatim ([[loadCodes]] shades the tombstoned
+    * ids), the oracle is the inline e24 chain with the deleted ids
+    * excluded from the candidate set, so the hash equality pins the
+    * metadata-only delete ≡ rebuild-without-the-rows guarantee.
+    */
+  def ivfPqDeleteServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultDeleteRoot(dir)
+    ensureDeletedIndex(s, dir, root)
+    serveIvfPqKnn(s, dir, root)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e46_ivfpq_index_served", ivfPqKnnServed,
       Some(VectorOps.ivfPqKnnOracle)),
@@ -499,5 +635,7 @@ object VectorIndex {
     QueryDef("e48_ivfpq_batch_served", ivfPqBatchServed,
       Some(VectorOps.ivfPqBatchOracle)),
     QueryDef("e49_graph_walk_served", graphWalkServed,
-      Some(VectorOps.graphWalkRecallOracle)))
+      Some(VectorOps.graphWalkRecallOracle)),
+    QueryDef("e50_index_delete_served", ivfPqDeleteServed,
+      Some(VectorOps.ivfPqDeleteOracle)))
 }

@@ -157,6 +157,116 @@ class IndexSpec extends SparkSpec {
     assert(codeScans.nonEmpty && codeScans.forall(_.partitionFilters.nonEmpty))
   }
 
+  // ------------------------------------------- deletion vectors (e50)
+
+  test("delete on a codes version is metadata-only; the live view shades the ids") {
+    val root = tmpRoot("dv")
+    VectorIndex.buildIndexFrom(fullVecs, root)
+    val before = VectorIndex.loadCodes(spark, root).count()
+    import spark.implicits._
+    val ids = Seq(3L, 20L, 21L).toDF("vec_id")
+    val v1 = VectorIndex.deleteIds(spark, root, ids, 1L, "del-A")
+    assert(v1 == 1L)
+    // METADATA-ONLY: v1 has tombstones + codebook, codes stay in v0
+    val v1names = new java.io.File(root, "v1").list().toSet
+    assert(v1names.contains("tombstones") && !v1names.contains("codes"),
+      s"DV commit must not rewrite codes: $v1names")
+    assert(new java.io.File(root, "v0/codes").exists(),
+      "referenced codes version must survive the DV commit's prune")
+    // live view: exactly the tombstoned ids gone, everything else intact
+    val live = VectorIndex.loadCodes(spark, root)
+    assert(live.count() == before - 3)
+    assert(live.filter(col("vec_id").isin(3L, 20L, 21L)).count() == 0)
+    // and the codebook still loads from the DV version (copied forward)
+    assert(VectorIndex.loadCodebook(spark, root).count() == 16L)
+  }
+
+  test("delete serve equals the rebuild-without-the-rows witness") {
+    import spark.implicits._
+    val dvRoot = tmpRoot("dv-serve")
+    val rebuildRoot = tmpRoot("dv-rebuild")
+    // ids >= 16 only: the rebuild witness derives its codebook from
+    // vec_id < 16, so deleting a quantizer source would retrain the
+    // witness's codebook — the fixed-quantizer contract the DV side
+    // keeps by construction (e50's oracle pins the <16 case too, with
+    // the codebook held at the full corpus's)
+    val del = fullVecs.filter(expr("vec_id % 7 = 1 AND vec_id >= 16"))
+      .select("vec_id")
+    VectorIndex.buildIndexFrom(fullVecs, dvRoot)
+    VectorIndex.deleteIds(spark, dvRoot, del, 1L, "del")
+    VectorIndex.buildIndexFrom(
+      fullVecs.join(del, Seq("vec_id"), "left_anti"), rebuildRoot)
+    def snap(root: String) = VectorIndex.loadCodes(spark, root)
+      .selectExpr("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(_._1).toSeq
+    assert(snap(dvRoot) == snap(rebuildRoot))
+    assert(
+      VectorIndex.serveIvfPqKnn(spark, sf0001, dvRoot).collect().map(_.toSeq).toSeq ==
+      VectorIndex.serveIvfPqKnn(spark, sf0001, rebuildRoot).collect().map(_.toSeq).toSeq)
+  }
+
+  test("a second delete compacts: codes rewritten, tombstone chain reset") {
+    import spark.implicits._
+    val root = tmpRoot("dv-compact")
+    VectorIndex.buildIndexFrom(fullVecs, root)
+    val n = VectorIndex.loadCodes(spark, root).count()
+    VectorIndex.deleteIds(spark, root, Seq(3L, 20L).toDF("vec_id"), 1L, "a")
+    val v2 = VectorIndex.deleteIds(spark, root, Seq(21L, 22L).toDF("vec_id"), 2L, "b")
+    assert(v2 == 2L)
+    // compaction: v2 owns its codes, carries no tombstones
+    val v2names = new java.io.File(root, "v2").list().toSet
+    assert(v2names.contains("codes") && !v2names.contains("tombstones"),
+      s"a delete on a DV version must compact: $v2names")
+    // cumulative effect: all four ids gone from the live view
+    val live = VectorIndex.loadCodes(spark, root)
+    assert(live.count() == n - 4)
+    assert(live.filter(col("vec_id").isin(3L, 20L, 21L, 22L)).count() == 0)
+    // retain=2 keeps {v1, v2}; v2 is self-contained so v0's prune is safe
+    assert(!new java.io.File(root, "v0").exists())
+  }
+
+  test("a redelivered delete no-ops on its own stamp") {
+    import spark.implicits._
+    val root = tmpRoot("dv-retry")
+    VectorIndex.buildIndexFrom(fullVecs, root)
+    val ids = Seq(5L).toDF("vec_id")
+    assert(VectorIndex.deleteIds(spark, root, ids, 9L, "once") == 1L)
+    assert(VectorIndex.deleteIds(spark, root, ids, 9L, "once") == 1L)
+    assert(VectorIndex.latestVersion(spark, root).contains(1L))
+  }
+
+  test("the probe read stays partition-pruned with tombstones present") {
+    import spark.implicits._
+    val root = tmpRoot("dv-prune")
+    VectorIndex.buildIndexFrom(fullVecs, root)
+    VectorIndex.deleteIds(spark, root, Seq(3L).toDF("vec_id"), 1L, "d")
+    val pruned = VectorIndex.loadCodes(spark, root)
+      .filter(col("cell").isin(0L, 3L))
+    pruned.collect() // materialize through AQE so the final plan is real
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case o => o.children
+      }
+      val self = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.headOption
+            .exists(_.toString.contains("/codes")) => Seq(s)
+        case _ => Nil
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val codeScans = scans(pruned.queryExecution.executedPlan)
+    assert(codeScans.nonEmpty)
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      "the cell probe must reach the codes scan under the tombstone anti-join")
+  }
+
   // ------------------------------------------------------- TextIndex
 
   /** Synthetic corpus for the admission tests: ≥3-token texts so the

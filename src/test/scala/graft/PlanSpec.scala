@@ -257,7 +257,8 @@ class PlanSpec extends SparkSpec {
       // persisted-index serving still reads the QUERY vector (and, on a
       // cold index root, the build pass) from the embeddings table
       "e46_ivfpq_index_served", "e47_ivfpq_index_rerank",
-      "e48_ivfpq_batch_served", "e49_graph_walk_served")
+      "e48_ivfpq_batch_served", "e49_graph_walk_served",
+      "e50_index_delete_served")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
