@@ -627,6 +627,53 @@ object VectorIndex {
     serveIvfPqKnn(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e51
+
+  /** Quantization-health audit of the COMMITTED index — the operations
+    * counterpart to e14's balance audit: per coarse cell, how faithfully
+    * the stored 8-byte PQ codes reconstruct their vectors. A vector's
+    * reconstruction error is the L2² between it and its code-selected
+    * centroid subvectors, which (codes being the 6-dp argmin — e19/e24's
+    * discipline) equals the sum of its 8 chosen subspace distances. A
+    * cell whose mean/max error grows after appends is the "retrain the
+    * quantizer" signal a FAISS-style deployment watches (Jégou et al.
+    * 2011 §V: quantization error bounds the ADC ranking error) — this is
+    * the measurement that decides when [[appendBatch]]'s fixed-codebook
+    * contract has drifted too far from the data.
+    *
+    * Served OFF THE ARTIFACT: codes come from the committed version
+    * (never re-derived), vectors join in from the primary store, and the
+    * codebook's 8×16 subvector table broadcasts. Cost: one corpus join —
+    * the same class as the build pass it audits, run on the audit
+    * cadence, not per query.
+    *
+    * Determinism: d2 per subspace rounded at 6 dp (exact-decimal sums —
+    * QueryDef rule 1), per-vector err = round(sum, 6), per-cell mean =
+    * exact sum / exact count with no outer rounding (rule 2).
+    */
+  def pqReconAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultRoot(dir)
+    ensureIndex(s, dir, root)
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, root)
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    val perj = loadCodes(s, root)
+      .join(VectorOps.vecs(s, dir).select("vec_id", "v"), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")), col("v"))
+      .withColumn("sv", expr("slice(v, 8 * j + 1, 8)"))
+      .join(broadcast(csub), col("j") === col("cj") && col("code") === col("cid"))
+      .selectExpr("vec_id", "cell", s"$l2 AS d2")
+    perj.groupBy("vec_id", "cell")
+      .agg(round(sum("d2"), 6).as("err"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        (round(sum("err"), 6) / count(lit(1))).as("mean_err"),
+        max("err").as("max_err"))
+      .orderBy("cell")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e46_ivfpq_index_served", ivfPqKnnServed,
       Some(VectorOps.ivfPqKnnOracle)),
@@ -637,5 +684,7 @@ object VectorIndex {
     QueryDef("e49_graph_walk_served", graphWalkServed,
       Some(VectorOps.graphWalkRecallOracle)),
     QueryDef("e50_index_delete_served", ivfPqDeleteServed,
-      Some(VectorOps.ivfPqDeleteOracle)))
+      Some(VectorOps.ivfPqDeleteOracle)),
+    QueryDef("e51_pq_recon_audit", pqReconAudit,
+      Some(VectorOps.pqReconAuditOracle)))
 }

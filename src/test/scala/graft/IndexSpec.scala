@@ -267,6 +267,28 @@ class IndexSpec extends SparkSpec {
       "the cell probe must reach the codes scan under the tombstone anti-join")
   }
 
+  test("recon audit: covers the corpus, errors are sane, codebook sources reconstruct exactly") {
+    val audit = VectorIndex.pqReconAudit(spark, sf0001).collect()
+    val n = fullVecs.count()
+    assert(audit.map(_.getLong(1)).sum == n, "every vector audited exactly once")
+    audit.foreach { r =>
+      val (mean, max) = (r.getDouble(2), r.getDouble(3))
+      assert(mean >= 0 && max >= 0 && mean <= max, r.toString)
+    }
+    // real quantization error exists somewhere (the audit isn't vacuous)
+    assert(audit.exists(_.getDouble(3) > 0))
+    // a corpus that IS the codebook reconstructs with zero error: each
+    // vec_id<16 vector's chosen subspace centroid is itself
+    val root = tmpRoot("recon-zero")
+    VectorIndex.buildIndexFrom(fullVecs.filter(col("vec_id") < 16), root)
+    import spark.implicits._
+    val codes = VectorIndex.loadCodes(spark, root).collect()
+    assert(codes.length == 16)
+    codes.foreach(r => assert(
+      r.getSeq[Long](1).forall(_ == r.getLong(0)),
+      s"codebook source must self-code: $r"))
+  }
+
   // ------------------------------------------------------- TextIndex
 
   /** Synthetic corpus for the admission tests: ≥3-token texts so the

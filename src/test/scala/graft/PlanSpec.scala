@@ -258,7 +258,9 @@ class PlanSpec extends SparkSpec {
       // cold index root, the build pass) from the embeddings table
       "e46_ivfpq_index_served", "e47_ivfpq_index_rerank",
       "e48_ivfpq_batch_served", "e49_graph_walk_served",
-      "e50_index_delete_served")
+      "e50_index_delete_served",
+      // the recon audit joins the primary store's raw vectors by design
+      "e51_pq_recon_audit")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
