@@ -627,6 +627,161 @@ object VectorIndex {
     serveIvfPqKnn(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e52
+
+  /** Near-dup verdicts for a batch of vectors probed against the
+    * COMMITTED index — [[TextIndex]]'s admission discipline on the
+    * vector side: route each incoming vector on the loaded codebook
+    * (nprobe 2), ADC-shortlist the top 10 candidates from the probed
+    * cells' stored codes, and only the shortlist pays an exact-cosine
+    * verify against raw vectors fetched from `primary` (candidate-
+    * proportional vector IO — e47's two-stage serve run as a dedup
+    * gate). A vector is a near-dup when its best verified cosine ≥
+    * `tau`; the verdict carries the best match and its similarity.
+    * `excludeIds` anti-joins the code table before probing (the retry
+    * guard: a redelivered batch must not collide with its own
+    * just-appended codes).
+    */
+  private def admissionVerdicts(batch: DataFrame, primary: DataFrame,
+      indexRoot: String, tau: Double,
+      excludeIds: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, indexRoot)
+    val qs = batch.selectExpr("vec_id AS qid", "v AS qv")
+    val qcells = qs.crossJoin(broadcast(cb))
+      .selectExpr("qid", "cid", "cosine_similarity(cv, qv) AS cs")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cs"), col("cid"))))
+      .filter(col("rn") <= 2).select(col("qid"), col("cid").as("qcell"))
+    val probed = qcells.select("qcell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes0 = loadCodes(s, indexRoot).filter(col("cell").isin(probed: _*))
+    val cand = excludeIds.foldLeft(codes0)((c, ex) =>
+      c.join(broadcast(ex.select("vec_id")), Seq("vec_id"), "left_anti"))
+      .join(broadcast(qcells), col("cell") === col("qcell"))
+    val qsub = qs.selectExpr("qid", "qv AS v").selectExpr("qid", subEx)
+      .select(col("qid"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+      .selectExpr("qid AS tqid", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    val shortlist = cand
+      .select(col("qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("qid") === col("tqid") &&
+        col("j") === col("qj") && col("code") === col("qcid"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("qd2"), 6).as("approx_d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_d2"), col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select("qid", "vec_id")
+    val best = shortlist
+      .join(primary.selectExpr("vec_id", "v AS mv"), Seq("vec_id"))
+      .join(qs, Seq("qid"))
+      .selectExpr("qid", "vec_id AS match_id",
+        "cosine_similarity(mv, qv) AS c")
+      .filter(col("c") >= tau) // unrounded compare — e06's discipline
+      .groupBy("qid")
+      .agg(max_by(struct(col("match_id"), col("c")),
+        struct(col("c"), (-col("match_id")).as("tb"))).as("b"))
+      .select(col("qid"), col("b.match_id").as("match_id"),
+        round(col("b.c"), 6).as("cos_sim"))
+    batch.select(col("vec_id")).join(best,
+        col("vec_id") === col("qid"), "left")
+      .select(col("vec_id"), col("match_id").isNotNull.as("is_near_dup"),
+        col("match_id"), col("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** One admission commit — verdicts against the live version, then the
+    * ADMITTED vectors' codes appended as the next version (dedup-then-
+    * index, [[TextIndex.admitBatch]]'s order). Verdicts are retry-stable
+    * (own ids excluded from the probe); the append is exactly-once by
+    * the (batchId, incarnation) stamp.
+    */
+  private[graft] def vectorAdmitBatch(batch: DataFrame, primary: DataFrame,
+      indexRoot: String, batchId: Long, incarnationId: String,
+      tau: Double = 0.9, retain: Int = 2): DataFrame = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"vectorAdmitBatch needs a committed index under $indexRoot — build first"))
+    val verdicts = admissionVerdicts(batch, primary, indexRoot, tau,
+      Some(batch.select("vec_id"))).cache()
+    val isRetry =
+      StreamOps.cdcMarkerStamp(fs, root, cur) == ((batchId, incarnationId))
+    if (!isRetry) {
+      val admitted = batch.join(
+        verdicts.filter(col("is_near_dup")).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      val cb = loadCodebook(s, indexRoot)
+      val merged = loadCodes(s, indexRoot).select("vec_id", "cell", "codes")
+        .unionByName(encodeAgainst(assignAgainst(admitted, cb), cb))
+      commitVersion(s, indexRoot, cur + 1, cb, merged, batchId,
+        incarnationId, retain)
+    }
+    verdicts
+  }
+
+  /** Streaming admission sink: per micro-batch, [[vectorAdmitBatch]]
+    * against the re-resolved committed version — the vector ingest
+    * gate (only novel vectors enter the served index).
+    */
+  def vectorAdmissionSink(vectors: DataFrame, primary: DataFrame,
+      indexRoot: String, tau: Double = 0.9, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    vectors.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        vectorAdmitBatch(b.toDF(), primary, indexRoot, id, incarnation,
+          tau, retain).count()
+        ()
+    }
+  }
+
+  /** The registry's incoming/base split for e52: a deterministic id
+    * slice of the corpus plays the arriving batch, the rest is the
+    * already-admitted store (d79's arrangement on the vector side).
+    * `vec_id >= 16` keeps the quantizer sources in the base.
+    */
+  private[graft] def admitPred = "vec_id % 23 = 5 AND vec_id >= 16"
+
+  def defaultAdmitRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-admit/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** Registry entry: ensure the base split's committed index, probe the
+    * incoming split in one batch, emit per-vector verdicts. τ = 0.35
+    * sits inside this corpus's best-match cosine range so BOTH verdicts
+    * occur (the corpus plants no true near-dups — e06's demo-threshold
+    * note; production runs τ ≈ 0.95 with the identical shape). The oracle
+    * replays route → ADC shortlist → exact verify per incoming vector
+    * from raw data, so the hash pins build → commit → probe ≡ the
+    * inline two-stage computation.
+    */
+  def vectorAdmission(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val incoming = e.filter(expr(admitPred))
+    val base = e.filter(expr(s"NOT ($admitPred)"))
+    val root = defaultAdmitRoot(dir)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"index:${fingerprint(base)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
+      .getOrElse(buildIndexFrom(base, root))
+    admissionVerdicts(incoming, base, root, tau = 0.35, None)
+  }
+
   // ---------------------------------------------------------------- e51
 
   /** Quantization-health audit of the COMMITTED index — the operations
@@ -686,5 +841,7 @@ object VectorIndex {
     QueryDef("e50_index_delete_served", ivfPqDeleteServed,
       Some(VectorOps.ivfPqDeleteOracle)),
     QueryDef("e51_pq_recon_audit", pqReconAudit,
-      Some(VectorOps.pqReconAuditOracle)))
+      Some(VectorOps.pqReconAuditOracle)),
+    QueryDef("e52_vector_admission", vectorAdmission,
+      Some(VectorOps.vectorAdmissionOracle)))
 }

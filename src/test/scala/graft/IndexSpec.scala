@@ -289,6 +289,68 @@ class IndexSpec extends SparkSpec {
       s"codebook source must self-code: $r"))
   }
 
+  // --------------------------------------- vector admission (e52)
+
+  /** Deterministic 64-dim fixture: 16 base vectors (the quantizer
+    * sources), one novel admit, its scaled copy (cosine 1 — the dup),
+    * and a second novel vector.
+    */
+  private def admissionFixture = {
+    val rnd = new scala.util.Random(42)
+    def vec() = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val base = (0L until 16L).map(i => (i, vec()))
+    val v100 = vec()
+    (base, v100, v100.map(_ * 1.01), vec())
+  }
+
+  test("vector admission: a batch-2 vector duplicating an ADMITTED batch-1 vector is rejected") {
+    import spark.implicits._
+    val (baseVs, v100, v100dup, v201) = admissionFixture
+    val root = tmpRoot("vadmit")
+    val base = baseVs.toDF("vec_id", "v")
+    val primary = (baseVs ++ Seq((100L, v100), (200L, v100dup), (201L, v201)))
+      .toDF("vec_id", "v")
+    VectorIndex.buildIndexFrom(base, root)
+    // batch 1: novel direction — admitted, codes join the index as v1
+    val b1 = VectorIndex.vectorAdmitBatch(Seq((100L, v100)).toDF("vec_id", "v"),
+        primary, root, 0L, "inc")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(b1 == Map(100L -> false))
+    assert(VectorIndex.latestVersion(spark, root).contains(1L))
+    // batch 2: 200 is a scaled copy of the ADMITTED 100 (cosine 1 —
+    // a target only the maintained index can produce); 201 is novel
+    val b2 = VectorIndex.vectorAdmitBatch(
+        Seq((200L, v100dup), (201L, v201)).toDF("vec_id", "v"),
+        primary, root, 1L, "inc")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sortBy(_._1)
+    assert(b2 == Seq((200L, true, 100L), (201L, false, -1L)), b2.toString)
+    // the rejected dup's codes must NOT have joined the index
+    val indexed = VectorIndex.loadCodes(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == (0L until 16L).toSet ++ Set(100L, 201L))
+  }
+
+  test("vector admission verdicts are retry-stable; the append is exactly-once") {
+    import spark.implicits._
+    val (baseVs, v100, v100dup, _) = admissionFixture
+    val root = tmpRoot("vadmit-retry")
+    val primary = (baseVs ++ Seq((100L, v100), (101L, v100dup)))
+      .toDF("vec_id", "v")
+    VectorIndex.buildIndexFrom(baseVs.toDF("vec_id", "v"), root)
+    // 101 dups 100 WITHIN the batch — in-batch siblings are never probe
+    // targets (own ids excluded), so both verdicts are base-only
+    val batch = Seq((100L, v100), (101L, v100dup)).toDF("vec_id", "v")
+    def verdicts() = VectorIndex.vectorAdmitBatch(batch, primary, root, 3L, "r")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val first = verdicts()
+    assert(first == Map(100L -> false, 101L -> false))
+    assert(VectorIndex.latestVersion(spark, root).contains(1L))
+    // crash-after-flip redelivery: identical verdicts, no new version
+    assert(verdicts() == first)
+    assert(VectorIndex.latestVersion(spark, root).contains(1L))
+  }
+
   // ------------------------------------------------------- TextIndex
 
   /** Synthetic corpus for the admission tests: ≥3-token texts so the

@@ -260,7 +260,10 @@ class PlanSpec extends SparkSpec {
       "e48_ivfpq_batch_served", "e49_graph_walk_served",
       "e50_index_delete_served",
       // the recon audit joins the primary store's raw vectors by design
-      "e51_pq_recon_audit")
+      "e51_pq_recon_audit",
+      // admission reads the incoming split's vectors (and the base
+      // split's for the exact verify / cold-root build)
+      "e52_vector_admission")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

@@ -1134,6 +1134,36 @@ class StreamingSpec extends SparkSpec {
       "streamed appends must converge to the batch-built index")
   }
 
+  test("vectorAdmissionSink: streamed vector admission maintains the ANN index per batch") {
+    import graft.ext.VectorIndex
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val baseVs = (0L until 16L).map(i => (i, vec()))
+    val v100 = vec()
+    val primary = (baseVs ++ Seq((100L, v100), (200L, v100.map(_ * 1.01))))
+      .toDF("vec_id", "v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-admit-stream").toString
+    VectorIndex.buildIndexFrom(baseVs.toDF("vec_id", "v"), root)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = VectorIndex.vectorAdmissionSink(
+      ms.toDF().toDF("vec_id", "v"), primary, root).start()
+    try {
+      ms.addData(Seq((100L, v100))) // novel — admitted, coded as v1
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(1L))
+      // scaled copy of the batch-1 admit — rejected by the probe
+      ms.addData(Seq((200L, v100.map(_ * 1.01))))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(2L))
+    } finally q.stop()
+    val indexed = VectorIndex.loadCodes(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == (0L until 16L).toSet + 100L,
+      s"the rejected near-dup must not enter the index: $indexed")
+  }
+
   test("admissionSink: streamed near-dup admission maintains the signature index per batch") {
     import graft.ext.TextIndex
     def mkText(stem: String) = (1 to 30).map(i => s"$stem$i").mkString(" ")
