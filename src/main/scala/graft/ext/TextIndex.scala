@@ -108,17 +108,91 @@ object TextIndex {
 
   /** Committed postings (doc_id, bh, band) with a DECLARED schema (the
     * [[VectorIndex.loadCodes]] discipline: the band probe must reach
-    * the reader as a partition filter on the declared type).
+    * the reader as a partition filter on the declared type). Serves the
+    * LIVE view: a forget commit's tombstones shade a document's
+    * signatures out of every probe without rewriting the postings
+    * ([[VectorIndex.loadCodes]]'s deletion-vector arrangement — the
+    * anti-join is skipped when the live version has no tombstones).
     */
   def loadPostings(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
     val v = latestVersion(s, root).getOrElse(throw new IllegalStateException(
       s"no committed index version under $root — build first"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pv = postingsVersion(fs, root, v)
     val sch = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("bh", LongType),
       StructField("band", IntegerType)))
-    s.read.schema(sch).parquet(s"$root/v$v/postings")
+    val postings = s.read.schema(sch).parquet(s"$root/v$pv/postings")
+    val ts = new org.apache.hadoop.fs.Path(s"$root/v$v/tombstones")
+    if (fs.exists(ts))
+      postings.join(
+        broadcast(s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType)))).parquet(ts.toString)),
+        Seq("doc_id"), "left_anti")
+    else postings
+  }
+
+  /** The version whose `postings/` backs `v` — `v` itself except for a
+    * forget (DV) commit, which references the nearest lower version.
+    */
+  private def postingsVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Long = {
+    var c = v
+    while (c >= 0 && !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v$c/postings")))
+      c -= 1
+    if (c < 0) throw new IllegalStateException(
+      s"no postings directory reachable from v$v under $root — " +
+        "the referenced base version was pruned")
+    c
+  }
+
+  /** Forget documents — GDPR-style removal from the dedup index: a
+    * forget on a postings-owning version commits METADATA ONLY
+    * (cumulative doc-id tombstones; the posting files are referenced
+    * back), so unlearning a document costs O(forgotten), never an
+    * O(corpus-signatures) rewrite; a second forget on a DV version
+    * COMPACTS (postings ∖ all tombstones) so the referenced version
+    * stays inside the retain=2 prune window — [[VectorIndex.deleteIds]]'s
+    * exact discipline on the text family. After the commit the forgotten
+    * doc can never match an incoming probe (and, having lost its
+    * postings, will be re-admitted if resubmitted — the semantics
+    * "the index holds no trace of it"). Idempotent per (stampId, tag).
+    */
+  private[graft] def forgetDocs(s: SparkSession, root: String,
+      ids: DataFrame, stampId: Long, stampTag: String,
+      retain: Int = 2): Long = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, rootP).getOrElse(
+      throw new IllegalStateException(
+        s"forgetDocs needs a committed index under $root — build first"))
+    if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((stampId, stampTag)))
+      return cur
+    val ver = cur + 1
+    val vdir = new org.apache.hadoop.fs.Path(rootP, s"v$ver")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$cur/postings"))) {
+      val prior = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/v$cur/tombstones")
+        if (fs.exists(p)) Some(s.read.parquet(p.toString).select("doc_id"))
+        else None
+      }
+      prior.foldLeft(ids.select("doc_id"))(_ unionByName _).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "tombstones").toString)
+    } else {
+      loadPostings(s, root)
+        .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "band", "bh")
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "postings").toString)
+    }
+    StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
+    StreamOps.pruneCdcVersions(fs, rootP, retain)
+    ver
   }
 
   /** Probe + verify: per `incoming` doc (doc_id, text), the best
@@ -264,7 +338,82 @@ object TextIndex {
       |LEFT JOIN best USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d80
+
+  def defaultForgetRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-text-index-forget/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** The deterministic forget set d80 commits out of the base split. */
+  private[graft] def forgetPred = "doc_id % 11 = 2"
+
+  /** Registry entry: d79's probe AFTER a forget commit removed a
+    * deterministic slice of the base corpus from the index — the
+    * verdicts an incoming batch gets once those documents are unlearned
+    * (matches that pointed at a forgotten doc fall to the next-best
+    * or to novel). The serve path is d79's verbatim
+    * ([[loadPostings]] shades the tombstoned ids); the oracle is the
+    * exact cross-split Jaccard witness with the forgotten docs excluded
+    * from the base — hash equality pins the metadata-only forget ≡
+    * rebuild-without-the-docs guarantee on the text family.
+    */
+  def indexForgetProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", TextOps.docBucket)
+    val base = docs.filter(col("bucket") < TextOps.TrainCut)
+      .select("doc_id", "text")
+    val incoming = docs.filter(col("bucket") >= TextOps.TrainCut)
+      .select("doc_id", "text")
+    val root = defaultForgetRoot(dir)
+    // the stamp tag encodes the forget RULE too: a changed predicate on
+    // an unchanged corpus must rebuild, not reuse the old tombstone set
+    val want = s"index+forget[$forgetPred]:${fingerprint(base)}"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-4L, want)))
+      .getOrElse {
+        buildIndexFrom(base, root)
+        forgetDocs(s, root, base.filter(expr(forgetPred)).select("doc_id"),
+          -4L, want)
+      }
+    verdictsAgainst(incoming, base, loadPostings(s, root), None)
+  }
+
+  private def indexForgetProbeSql =
+    s"""WITH ${TextOps.shingleSqlCte},
+      |bk AS (SELECT doc_id, ${TextOps.docBucketSql} FROM documents),
+      |base AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
+      |         WHERE bk.bucket < ${TextOps.TrainCut}
+      |           AND NOT (s.doc_id % 11 = 2)),
+      |inc AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
+      |        WHERE bk.bucket >= ${TextOps.TrainCut}),
+      |pr AS (
+      |  SELECT i.doc_id, ba.doc_id AS base_id,
+      |    len(list_intersect(i.sh, ba.sh)) AS common,
+      |    len(i.sh) AS na, len(ba.sh) AS nb
+      |  FROM inc i CROSS JOIN base ba),
+      |j AS (
+      |  SELECT doc_id, base_id,
+      |    common * 1.0 / (na + nb - common) AS jaccard
+      |  FROM pr WHERE common * 1.0 / (na + nb - common) >= 0.5),
+      |best AS (
+      |  SELECT doc_id, base_id AS match_id, jaccard FROM (
+      |    SELECT doc_id, base_id, jaccard,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY jaccard DESC, base_id) AS rn
+      |    FROM j) WHERE rn = 1)
+      |SELECT i0.doc_id, best.match_id IS NOT NULL AS is_near_dup,
+      |  best.match_id, best.jaccard
+      |FROM (SELECT doc_id FROM bk WHERE bucket >= ${TextOps.TrainCut}) i0
+      |LEFT JOIN best USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d79_index_near_dedup", indexNearDedup,
-      Some(indexNearDedupSql)))
+      Some(indexNearDedupSql)),
+    QueryDef("d80_index_forget", indexForgetProbe,
+      Some(indexForgetProbeSql)))
 }

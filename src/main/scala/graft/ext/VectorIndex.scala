@@ -604,7 +604,9 @@ object VectorIndex {
     val e = VectorOps.vecs(s, dataDir).select("vec_id", "v")
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index+del:${fingerprint(e)}"
+    // the tag encodes the delete RULE: a changed predicate on an
+    // unchanged corpus must rebuild rather than reuse old tombstones
+    val want = s"index+del[$deletePred]:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-4L, want)))
       .getOrElse {

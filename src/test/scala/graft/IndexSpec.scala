@@ -416,6 +416,41 @@ class IndexSpec extends SparkSpec {
     assert(TextIndex.latestVersion(spark, root).contains(1L))
   }
 
+  test("forget is metadata-only; a forgotten doc stops matching and re-admits cleanly") {
+    import graft.ext.TextIndex
+    val root = tmpRoot("forget")
+    val base = docsDF(1L -> tA, 2L -> tB)
+    val primary = docsDF(1L -> tA, 2L -> tB, 21L -> nearDup(tA), 30L -> tA)
+    TextIndex.buildIndexFrom(base, root)
+    // before the forget: 21 near-dups base doc 1
+    def verdict(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      TextIndex.admitBatch(batch, primary, root, id, "f")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sortBy(_._1)
+    assert(verdict(docsDF(21L -> nearDup(tA)), 0L) == Seq((21L, true, 1L)))
+    import spark.implicits._
+    val v = TextIndex.forgetDocs(spark, root, Seq(1L).toDF("doc_id"), 5L, "gdpr")
+    // metadata-only: the forget version has tombstones, no postings
+    val names = new java.io.File(root, s"v$v").list().toSet
+    assert(names.contains("tombstones") && !names.contains("postings"), names.toString)
+    // the forgotten doc is invisible to probes
+    assert(TextIndex.loadPostings(spark, root)
+      .filter(col("doc_id") === 1L).count() == 0)
+    // a second forget on the DV version compacts: postings rewritten
+    // minus every tombstone, chain reset
+    val v2 = TextIndex.forgetDocs(spark, root, Seq(2L).toDF("doc_id"), 6L, "gdpr2")
+    val n2 = new java.io.File(root, s"v$v2").list().toSet
+    assert(n2.contains("postings") && !n2.contains("tombstones"), n2.toString)
+    assert(TextIndex.loadPostings(spark, root).count() == 0,
+      "both forgotten docs must be gone from the compacted postings")
+    // with doc 1 unlearned, its exact copy re-admits as novel — the
+    // index holds no trace (and the admit commits fresh postings)
+    assert(verdict(docsDF(30L -> tA), 9L) == Seq((30L, false, -1L)))
+    val live = TextIndex.loadPostings(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(live == Set(30L), s"only the re-admitted doc is indexed: $live")
+  }
+
   test("a redelivered append batch no-ops on its own stamp") {
     val root = tmpRoot("retry")
     VectorIndex.buildIndexFrom(fullVecs.filter(col("vec_id") < 100), root)

@@ -236,7 +236,7 @@ class PlanSpec extends SparkSpec {
       "d45_ngram_novelty", "d46_dup_substring_spans", "d62_bm25_retrieval",
       // signature-index admission shingles the incoming split's text
       // (and the base split's, on a cold index root / for the verify)
-      "d79_index_near_dedup")
+      "d79_index_near_dedup", "d80_index_forget")
     val embReaders = Set(
       "e01_knn_brute_force", "e02_label_centroids", "e03_lsh_buckets",
       "e04_top_similar_pairs", "e05_ann_lsh_top5", "e06_cosine_near_dup",
