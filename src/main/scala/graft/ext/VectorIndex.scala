@@ -629,6 +629,98 @@ object VectorIndex {
     serveIvfPqKnn(s, dir, root)
   }
 
+  // ---------------------------------------------------------------- e53
+
+  def defaultLabeledRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-index-lbl/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** Build/ensure the LABELED index: the same codebook + cell-
+    * partitioned codes, with each code row carrying the vector's label
+    * (4 bytes/row) — typed metadata IN the index, the layout every
+    * filtered-vector-search deployment uses so a metadata predicate can
+    * prune candidates at the index scan instead of after the distance
+    * math.
+    */
+  private[graft] def ensureLabeledIndex(s: SparkSession, dataDir: String,
+      root: String): Long = {
+    val e = VectorOps.vecs(s, dataDir).select("vec_id", "label", "v")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"index+lbl:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
+      .getOrElse {
+        val ev = e.select("vec_id", "v")
+        val cb = codebookOf(ev)
+        val codes = encodeAgainst(assignAgainst(ev, cb), cb)
+          .join(e.select("vec_id", "label"), Seq("vec_id"))
+        val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
+        commitVersion(s, root, ver, cb, codes, -3L, want, 2)
+      }
+  }
+
+  def loadLabeledCodes(s: SparkSession, indexRoot: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
+      s"no committed index version under $indexRoot — build first"))
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(LongType)),
+      StructField("label", IntegerType),
+      StructField("cell", LongType)))
+    s.read.schema(sch).parquet(s"$indexRoot/v$v/codes")
+  }
+
+  /** Registry entry: filtered vector search SERVED off the committed
+    * labeled index — e11's "nearest WHERE label = 3" pattern at index
+    * scale: route the query (nprobe 2), read ONLY the probed cell
+    * directories, and apply the label predicate AT THE CODE SCAN
+    * (a plain column filter Catalyst pushes into the parquet read —
+    * candidates prune before any distance math, the filter-then-rank
+    * order that wins whenever the predicate is selective), then ADC-
+    * shortlist 10 and exact-re-rank only the shortlist. The oracle
+    * replays the identical chain with the label restriction in the
+    * candidate CTE.
+    */
+  def filteredKnnServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = defaultLabeledRoot(dir)
+    ensureLabeledIndex(s, dir, root)
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, root)
+    val q = VectorOps.vecs(s, dir).filter(col("vec_id") === 0)
+      .selectExpr("v AS qv")
+    val qcells = cb.crossJoin(broadcast(q))
+      .selectExpr("cid", "cosine_similarity(cv, qv) AS cs")
+      .orderBy(desc("cs"), col("cid")).limit(2)
+      .select(col("cid").as("qcell"))
+    val probed = qcells.collect().map(_.getLong(0)).toSeq
+    val cand = loadLabeledCodes(s, root)
+      .filter(col("cell").isin(probed: _*))
+      .filter(col("label") === 3 && col("vec_id") =!= 0)
+    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
+      .select(col("s.j").as("j"), col("s.sv").as("sv"))
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    val shortlist = cand.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .groupBy("vec_id")
+      .agg(round(sum("qd2"), 6).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id")).limit(10)
+      .select("vec_id")
+    VectorOps.vecs(s, dir).join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id", "label",
+        "round(cosine_similarity(v, qv), 6) AS cos_sim")
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(5)
+  }
+
   // ---------------------------------------------------------------- e52
 
   /** Near-dup verdicts for a batch of vectors probed against the
@@ -845,5 +937,7 @@ object VectorIndex {
     QueryDef("e51_pq_recon_audit", pqReconAudit,
       Some(VectorOps.pqReconAuditOracle)),
     QueryDef("e52_vector_admission", vectorAdmission,
-      Some(VectorOps.vectorAdmissionOracle)))
+      Some(VectorOps.vectorAdmissionOracle)),
+    QueryDef("e53_filtered_knn_served", filteredKnnServed,
+      Some(VectorOps.filteredKnnServedOracle)))
 }

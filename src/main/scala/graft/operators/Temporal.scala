@@ -2416,6 +2416,82 @@ object Temporal {
        |  (n_hours * q - s * s) * 1.0 / (n_hours * s) AS fano
        |FROM a ORDER BY event_type""".stripMargin
 
+  /** Dominant-period detection — per event type, the single-frequency
+    * DFT power (Goertzel 1958's statistic, evaluated directly) of the
+    * demeaned hourly series at the candidate periods an hourly business
+    * series can plausibly carry (6/12/24 h), normalized by total
+    * variance × series length so scores compare across types and
+    * periods. This closes the model-selection loop t49/t50 open: the
+    * ACF says "SOME cycle exists" (a lag-24 peak also fires at 12's
+    * harmonics), t50 scores ONLY hour-of-day — this ranks the candidate
+    * periods directly and names the winner, the input t41's seasonal
+    * baseline and t48's μ actually need. A pure period-p sinusoid
+    * scores 0.25 at p and ≈0 elsewhere; white noise scores ≈1/n_hours
+    * everywhere.
+    *
+    * Scale/float shape: the fact table reduces ONCE to the
+    * calendar-dense hours-sized series ([[hourlyDenseCounts]] — on a
+    * gapped series the phase index t would misalign every angle); one
+    * type-partitioned window assigns t; the six trig aggregates ride
+    * ONE map-side-combined groupBy. Angles are computed from the
+    * REDUCED argument 2π(t mod p)/p — t mod p is exact integer math on
+    * both engines, keeping libm inputs small and identical, so the
+    * only cross-engine noise is sum reassociation (~1e-12 against the
+    * 5e-7 rounding boundary — t49's measured-noise argument). The
+    * winner flag ranks by the ROUNDED score (ties to the shortest
+    * period), so both engines pick identically.
+    */
+  def dominantPeriod(s: SparkSession, dir: String): DataFrame = {
+    val periods = Seq(6, 12, 24)
+    val hourly = hourlyDenseCounts(s, dir)
+    val mu = hourly.groupBy(col("event_type").as("mt"))
+      .agg((sum("n") * lit(1.0) / count(lit(1))).as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val dd = hourly.join(broadcast(mu), col("event_type") === col("mt"))
+      .withColumn("t", row_number().over(w) - 1)
+      .withColumn("d", col("n") - col("mu"))
+    val aggs = count(lit(1)).as("nh") +: sum(col("d") * col("d")).as("den") +:
+      periods.flatMap(p => Seq(
+        sum(expr(s"d * cos(2 * pi() * CAST(t % $p AS DOUBLE) / $p)")).as(s"c$p"),
+        sum(expr(s"d * sin(2 * pi() * CAST(t % $p AS DOUBLE) / $p)")).as(s"s$p")))
+    val byType = dd.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = periods.map(p =>
+      s"$p, CASE WHEN den > 0 THEN round((c$p * c$p + s$p * s$p) / (den * nh), 6) ELSE 0.0D END")
+      .mkString(", ")
+    byType.selectExpr("event_type", "nh AS n_hours",
+        s"stack(${periods.size}, $stackArgs) AS (period_h, score)")
+      .withColumn("dominant", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(desc("score"), col("period_h"))) === 1)
+      .select("event_type", "period_h", "n_hours", "score", "dominant")
+      .orderBy("event_type", "period_h")
+  }
+
+  private val dominantPeriodSql = {
+    val periods = Seq(6, 12, 24)
+    val trigCols = periods.map(p =>
+      s"sum(d * cos(2 * pi() * CAST(t % $p AS DOUBLE) / $p)) AS c$p, " +
+        s"sum(d * sin(2 * pi() * CAST(t % $p AS DOUBLE) / $p)) AS s$p")
+      .mkString(", ")
+    val rows = periods.map(p =>
+      s"SELECT event_type, $p AS period_h, nh AS n_hours, CASE WHEN den > 0 " +
+        s"THEN round((c$p * c$p + s$p * s$p) / (den * nh), 6) ELSE 0.0 END AS score FROM a")
+      .mkString("\n|", "\n|UNION ALL ", "")
+    s"""WITH $hourlyDenseSqlCte,
+       |m AS (SELECT event_type, sum(n) * 1.0 / count(*) AS mu
+       |      FROM hourly GROUP BY event_type),
+       |dv AS (SELECT event_type, n - mu AS d,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS t
+       |       FROM hourly JOIN m USING (event_type)),
+       |a AS (SELECT event_type, count(*) AS nh, sum(d * d) AS den, $trigCols
+       |      FROM dv GROUP BY event_type),
+       |sc AS ($rows)
+       |SELECT event_type, period_h, n_hours, score,
+       |  row_number() OVER (PARTITION BY event_type
+       |    ORDER BY score DESC, period_h) = 1 AS dominant
+       |FROM sc ORDER BY event_type, period_h""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2479,5 +2555,6 @@ object Temporal {
     QueryDef("t52_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("t53_session_type_pmi", sessionTypePmi, Some(sessionTypePmiSql)),
     QueryDef("t54_fano_burstiness", fanoBurstiness, Some(fanoBurstinessSql)),
+    QueryDef("t55_dominant_period", dominantPeriod, Some(dominantPeriodSql)),
   )
 }

@@ -289,6 +289,34 @@ class IndexSpec extends SparkSpec {
       s"codebook source must self-code: $r"))
   }
 
+  // ----------------------------------------- labeled index (e53)
+
+  test("labeled index: the label predicate reaches the code scan as a pushed filter") {
+    val root = tmpRoot("lbl")
+    graft.ext.VectorIndex.ensureLabeledIndex(spark, sf0001, root)
+    val probe = graft.ext.VectorIndex.loadLabeledCodes(spark, root)
+      .filter(col("cell").isin(0L, 3L))
+      .filter(col("label") === 3)
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // cell prunes partitions; label prunes INSIDE the scan (row groups)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the cell probe must stay a partition filter on the labeled index")
+    assert(scans.forall(_.metadata("PushedFilters").contains("label")),
+      s"label must push into the parquet read: ${scans.map(_.metadata("PushedFilters"))}")
+    // and the labeled rows agree with the primary store's labels
+    val fromIdx = graft.ext.VectorIndex.loadLabeledCodes(spark, root)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fromStore = VectorOps.vecs(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fromIdx == fromStore)
+  }
+
   // --------------------------------------- vector admission (e52)
 
   /** Deterministic 64-dim fixture: 16 base vectors (the quantizer

@@ -263,7 +263,9 @@ class PlanSpec extends SparkSpec {
       "e51_pq_recon_audit",
       // admission reads the incoming split's vectors (and the base
       // split's for the exact verify / cold-root build)
-      "e52_vector_admission")
+      "e52_vector_admission",
+      // filtered serve reads the query vector + the re-rank shortlist
+      "e53_filtered_knn_served")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
