@@ -721,6 +721,71 @@ object VectorIndex {
       .limit(5)
   }
 
+  // ---------------------------------------------------------------- e54
+
+  /** ADAPTIVE-nprobe serving — the fixed nprobe=2 of e46 is a knob, and
+    * the e43 beam sweep showed what a too-small knob does (starved
+    * answers); this entry makes the probe width SELF-SIZING: cells are
+    * taken in routing order (cosine to the query, lowest-cid ties)
+    * until the cumulative member count can satisfy k, so a query
+    * landing in dense cells probes 1-2 directories while one landing in
+    * sparse cells widens automatically — FAISS's "probe until the
+    * shortlist fills" operational rule, expressed DECLARATIVELY (a
+    * cumulative sum over the 16-row routing table — no driver loop, no
+    * re-planning round-trips). Cell populations are an index-metadata
+    * aggregate (at scale: kept with the artifact, here one count over
+    * the committed codes). The probed prefix then serves the standard
+    * partition-pruned ADC top-k.
+    */
+  def serveAdaptiveNprobe(s: SparkSession, dataDir: String,
+      indexRoot: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, indexRoot)
+    val q = VectorOps.vecs(s, dataDir).filter(col("vec_id") === 0)
+      .selectExpr("v AS qv")
+    val cellCounts = loadCodes(s, indexRoot).filter(col("vec_id") =!= 0)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    // the routing table: 16 rows — the unpartitioned running sum is
+    // bounded by the codebook size, never by data
+    val routed = cb.crossJoin(broadcast(q))
+      .selectExpr("cid", "cosine_similarity(cv, qv) AS cs")
+      .join(cellCounts, col("cid") === col("cell"), "left")
+      .select(col("cid"), col("cs"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wr = Window.orderBy(desc("cs"), col("cid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probed = routed
+      .withColumn("cum", sum("cnt").over(wr))
+      .filter(col("cum") - col("cnt") < k)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val cand = loadCodes(s, indexRoot)
+      .filter(col("cell").isin(probed: _*))
+      .filter(col("vec_id") =!= 0)
+    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
+      .select(col("s.j").as("j"), col("s.sv").as("sv"))
+    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
+      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
+    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    cand.select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .groupBy("vec_id", "cell")
+      .agg(round(sum("qd2"), 6).as("approx_d2"))
+      .withColumn("n_probed", lit(probed.length))
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Registry entry: the self-sizing probe off the ensured index; the
+    * oracle replays the cumulative routing-prefix rule inline.
+    */
+  def adaptiveNprobeServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultRoot(dir)
+    ensureIndex(s, dir, root)
+    serveAdaptiveNprobe(s, dir, root)
+  }
+
   // ---------------------------------------------------------------- e52
 
   /** Near-dup verdicts for a batch of vectors probed against the
@@ -939,5 +1004,7 @@ object VectorIndex {
     QueryDef("e52_vector_admission", vectorAdmission,
       Some(VectorOps.vectorAdmissionOracle)),
     QueryDef("e53_filtered_knn_served", filteredKnnServed,
-      Some(VectorOps.filteredKnnServedOracle)))
+      Some(VectorOps.filteredKnnServedOracle)),
+    QueryDef("e54_adaptive_nprobe", adaptiveNprobeServed,
+      Some(VectorOps.adaptiveNprobeOracle)))
 }

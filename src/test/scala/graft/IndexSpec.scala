@@ -289,6 +289,28 @@ class IndexSpec extends SparkSpec {
       s"codebook source must self-code: $r"))
   }
 
+  // -------------------------------------- adaptive nprobe (e54)
+
+  test("adaptive nprobe widens on sparse cells and still fills k") {
+    // dense corpus: the top routing cell alone can satisfy k
+    val dense = tmpRoot("anp-dense")
+    VectorIndex.buildIndexFrom(fullVecs, dense)
+    val d = VectorIndex.serveAdaptiveNprobe(spark, sf0001, dense).collect()
+    assert(d.length == 5)
+    val dProbe = d.head.getInt(3)
+    // sparse corpus (~2-3 members/cell): the prefix must widen
+    val sparse = tmpRoot("anp-sparse")
+    VectorIndex.buildIndexFrom(fullVecs.filter(col("vec_id") < 40), sparse)
+    val sp = VectorIndex.serveAdaptiveNprobe(spark, sf0001, sparse).collect()
+    assert(sp.length == 5, "the widened probe must still fill k")
+    val sProbe = sp.head.getInt(3)
+    assert(sProbe > dProbe,
+      s"sparse cells must probe wider: dense=$dProbe sparse=$sProbe")
+    // results stay sorted by ADC distance with the id tie-break
+    val ds = sp.map(r => (r.getDouble(2), r.getLong(0))).toSeq
+    assert(ds == ds.sorted)
+  }
+
   // ----------------------------------------- labeled index (e53)
 
   test("labeled index: the label predicate reaches the code scan as a pushed filter") {

@@ -265,7 +265,9 @@ class PlanSpec extends SparkSpec {
       // split's for the exact verify / cold-root build)
       "e52_vector_admission",
       // filtered serve reads the query vector + the re-rank shortlist
-      "e53_filtered_knn_served")
+      "e53_filtered_knn_served",
+      // adaptive routing reads the query vector (and builds cold roots)
+      "e54_adaptive_nprobe")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
