@@ -567,6 +567,133 @@ object VectorIndex {
       VectorOps.vecs(s, dir).select("vec_id", "label", "v"), g, nQueries = 10)
   }
 
+  // ---------------------------------------------------------------- e55
+
+  def defaultGraphInsRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-graph-ins/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** The deterministic incoming slice e55 inserts (0 stays in the base,
+    * so the walk's min-id entry point is a base vector).
+    */
+  private[graft] def graphInsertPred = "vec_id % 29 = 7"
+
+  /** INCREMENTAL graph-index maintenance — the HNSW insert primitive
+    * (Malkov & Yashunin 2016 §4, alg. 1 at one layer): a new vector is
+    * connected by SEARCHING the committed graph, never by rebuilding
+    * it. Per incoming vector: (1) beam-walk it as a query over the live
+    * adjacency (e40's exact walk — entry, hops, beam, 6-dp scores,
+    * vec_id ties); (2) its out-edges are the final beam's top-3;
+    * (3) each chosen neighbor gets a BACK-edge candidate and re-prunes
+    * its adjacency to top-3 by cosine among old ∪ new (the
+    * connect-and-prune that keeps degree bounded, so graph size stays
+    * O(3n) under any insert volume). The merged adjacency commits as
+    * the next version through the marker flip, exactly-once by stamp.
+    * Batch inserts connect against the COMMITTED version only —
+    * in-batch siblings are invisible to each other (e52's retry-stable
+    * discipline; sequential HNSW would see them, a documented
+    * difference that keeps verdicts replayable).
+    *
+    * Scale shape: per insert the walk probes O(hops · beam · degree)
+    * adjacency rows and the re-prune touches only the ≤3 chosen
+    * neighbors' lists — insert cost is corpus-size-INDEPENDENT, the
+    * property that makes graph indexes the mutable-serving default,
+    * while e27's batch build stays the bulk path.
+    */
+  private[graft] def graphInsertBatch(incoming: DataFrame,
+      baseVecs: DataFrame, root: String, batchId: Long,
+      incarnationId: String, retain: Int = 2): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val s = incoming.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, rootP).getOrElse(
+      throw new IllegalStateException(
+        s"graphInsertBatch needs a committed graph under $root — build first"))
+    if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((batchId, incarnationId)))
+      return cur
+    val g = loadGraph(s, root)
+    val q = incoming.selectExpr("vec_id AS qid", "v AS qv")
+    val beam = VectorOps.walkFinalBeam(baseVecs, g, q)
+    val outE = beam
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("vid"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid").as("src"), col("vid").as("dst"))
+    val vall = baseVecs.select("vec_id", "v")
+      .unionByName(incoming.select("vec_id", "v"))
+    def withCos(edges: DataFrame): DataFrame = edges
+      .join(vall.selectExpr("vec_id AS src", "v AS sv"), Seq("src"))
+      .join(vall.selectExpr("vec_id AS dst", "v AS dv"), Seq("dst"))
+      .selectExpr("src", "dst", "round(cosine_similarity(sv, dv), 6) AS c")
+    val bl = outE.select(col("dst").as("src"), col("src").as("dst"))
+    val touched = bl.select("src").distinct()
+    val pruned = withCos(g.join(touched, Seq("src"), "left_semi")
+        .unionByName(bl))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(desc("c"), col("dst"))))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val merged = g.join(touched, Seq("src"), "left_anti")
+      .unionByName(pruned).unionByName(outE)
+    val ver = cur + 1
+    merged.sortWithinPartitions("src").write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
+    StreamOps.flipCommitMarker(fs, rootP, ver, batchId, incarnationId)
+    StreamOps.pruneCdcVersions(fs, rootP, retain)
+    ver
+  }
+
+  /** Registry entry: build the BASE split's graph as a committed
+    * artifact, insert the incoming slice through [[graphInsertBatch]],
+    * then report every live edge incident to an inserted vector —
+    * its out-edges plus the back-edges that SURVIVED the neighbors'
+    * re-prune — with each edge's rank in its source's final adjacency.
+    * The oracle replays walk + connect + prune inline from raw data, so
+    * the hash pins search-based insert ≡ the declared HNSW semantics.
+    */
+  def graphInsertServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val incoming = e.filter(expr(graphInsertPred))
+    val base = e.filter(expr(s"NOT ($graphInsertPred)"))
+    val root = defaultGraphInsRoot(dir)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"graph+ins[$graphInsertPred]:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-5L, want)))
+      .getOrElse {
+        val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
+        fs.mkdirs(rootP)
+        VectorOps.knnGraphFrom(base)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+          .sortWithinPartitions("src")
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
+        StreamOps.flipCommitMarker(fs, rootP, ver, -3L,
+          s"graph:${fingerprint(base)}")
+        graphInsertBatch(incoming, base, root, -5L, want)
+      }
+    val adj = loadGraph(s, root)
+      .join(e.selectExpr("vec_id AS src", "v AS sv"), Seq("src"))
+      .join(e.selectExpr("vec_id AS dst", "v AS dv"), Seq("dst"))
+      .selectExpr("src", "dst", "round(cosine_similarity(sv, dv), 6) AS cos_sim")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy(desc("cos_sim"), col("dst"))))
+    val incIds = incoming.select("vec_id")
+    adj.join(broadcast(incIds.withColumnRenamed("vec_id", "src")),
+        Seq("src"), "left_semi")
+      .unionByName(
+        adj.join(broadcast(incIds.withColumnRenamed("vec_id", "dst")),
+          Seq("dst"), "left_semi"))
+      .selectExpr("src", "CAST(rnk AS INT) AS rnk", "dst", "cos_sim")
+      .orderBy("src", "rnk")
+  }
+
   // ---------------------------------------------------------------- e48
 
   /** Registry entry: the 10-query batch served off the ensured index;
@@ -1006,5 +1133,7 @@ object VectorIndex {
     QueryDef("e53_filtered_knn_served", filteredKnnServed,
       Some(VectorOps.filteredKnnServedOracle)),
     QueryDef("e54_adaptive_nprobe", adaptiveNprobeServed,
-      Some(VectorOps.adaptiveNprobeOracle)))
+      Some(VectorOps.adaptiveNprobeOracle)),
+    QueryDef("e55_graph_insert", graphInsertServed,
+      Some(VectorOps.graphInsertOracle)))
 }

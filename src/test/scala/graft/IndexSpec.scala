@@ -289,6 +289,37 @@ class IndexSpec extends SparkSpec {
       s"codebook source must self-code: $r"))
   }
 
+  // ------------------------------------ graph-insert maintenance (e55)
+
+  test("graph insert: degree stays bounded, inserts connect, the commit is exactly-once") {
+    import graft.ext.{VectorIndex, VectorOps}
+    val root = tmpRoot("gins")
+    val e = fullVecs
+    val incoming = e.filter(expr(s"vec_id % 29 = 7"))
+    val base = e.filter(expr(s"NOT (vec_id % 29 = 7)"))
+    // seed the committed base graph (e49's artifact shape)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorOps.knnGraphFrom(base)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .write.parquet(s"$root/v0/edges")
+    graft.streaming.StreamOps.flipCommitMarker(fs, rootP, 0L, -3L, "seed")
+    val nInc = incoming.count()
+    val v1 = VectorIndex.graphInsertBatch(incoming, base, root, 1L, "ins")
+    assert(v1 == 1L)
+    val live = VectorIndex.loadGraph(spark, root)
+    // HNSW's bounded-degree invariant survives the insert: connect-and-
+    // prune caps EVERY source (old, touched, new) at 3 out-edges
+    val deg = live.groupBy("src").count()
+    assert(deg.agg(max("count")).head().getLong(0) <= 3L)
+    // every inserted vector connected (beam 8 >= 3 candidates here)
+    val incSrc = live.join(incoming.select(col("vec_id").as("src")), Seq("src"))
+    assert(incSrc.select("src").distinct().count() == nInc)
+    // redelivery no-ops; a new stamp applies
+    assert(VectorIndex.graphInsertBatch(incoming, base, root, 1L, "ins") == 1L)
+    assert(VectorIndex.latestVersion(spark, root).contains(1L))
+  }
+
   // -------------------------------------- adaptive nprobe (e54)
 
   test("adaptive nprobe widens on sparse cells and still fills k") {

@@ -267,7 +267,9 @@ class PlanSpec extends SparkSpec {
       // filtered serve reads the query vector + the re-rank shortlist
       "e53_filtered_knn_served",
       // adaptive routing reads the query vector (and builds cold roots)
-      "e54_adaptive_nprobe")
+      "e54_adaptive_nprobe",
+      // graph insert re-scores live edges against raw vectors
+      "e55_graph_insert")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
