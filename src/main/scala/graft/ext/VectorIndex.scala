@@ -646,6 +646,29 @@ object VectorIndex {
     ver
   }
 
+  /** Streaming maintenance sink for the graph index: each micro-batch
+    * of new vectors inserts through [[graphInsertBatch]] against the
+    * re-resolved committed version — the third streaming maintenance
+    * path beside [[indexAppendSink]] (codes) and
+    * [[vectorAdmissionSink]] (gated codes). `primary` supplies the
+    * already-indexed vectors the walk scores against; at real scale
+    * that is the vector store the graph indexes.
+    */
+  def graphInsertSink(vectors: DataFrame, primary: DataFrame,
+      indexRoot: String, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    vectors.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        graphInsertBatch(b.toDF(), primary, indexRoot, id, incarnation,
+          retain)
+        ()
+    }
+  }
+
   /** Registry entry: build the BASE split's graph as a committed
     * artifact, insert the incoming slice through [[graphInsertBatch]],
     * then report every live edge incident to an inserted vector —

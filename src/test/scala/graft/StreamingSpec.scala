@@ -1134,6 +1134,46 @@ class StreamingSpec extends SparkSpec {
       "streamed appends must converge to the batch-built index")
   }
 
+  test("graphInsertSink: streamed inserts maintain the committed graph; later batches can reach earlier inserts") {
+    import graft.ext.{VectorIndex, VectorOps}
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val baseVs = (0L until 16L).map(i => (i, vec()))
+    val v100 = vec()
+    val base = baseVs.toDF("vec_id", "v")
+    // primary = every vector the graph may index (walk scoring store)
+    val primary = (baseVs ++ Seq((100L, v100), (200L, v100.map(_ * 1.01))))
+      .toDF("vec_id", "v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graph-ins-stream").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorOps.knnGraphFrom(base)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .write.parquet(s"$root/v0/edges")
+    graft.streaming.StreamOps.flipCommitMarker(fs, rootP, 0L, -3L, "seed")
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = VectorIndex.graphInsertSink(
+      ms.toDF().toDF("vec_id", "v"), primary, root).start()
+    try {
+      ms.addData(Seq((100L, v100)))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(1L))
+      ms.addData(Seq((200L, v100.map(_ * 1.01))))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(2L))
+    } finally q.stop()
+    val live = VectorIndex.loadGraph(spark, root)
+    // degree bound holds through streamed maintenance
+    assert(live.groupBy("src").count().agg(max("count")).head().getLong(0) <= 3L)
+    // the batch-2 insert reached the batch-1 insert THROUGH the live
+    // graph (cosine 1.0 — it must out-rank every base neighbor it saw)
+    val e200 = live.filter(col("src") === 200L).collect().map(_.getLong(1)).toSet
+    assert(e200.contains(100L),
+      s"batch-2 walk must reach the batch-1 insert via its back-edges: $e200")
+  }
+
   test("vectorAdmissionSink: streamed vector admission maintains the ANN index per batch") {
     import graft.ext.VectorIndex
     val rnd = new scala.util.Random(7)
