@@ -2492,6 +2492,70 @@ object Temporal {
        |FROM sc ORDER BY event_type, period_h""".stripMargin
   }
 
+  /** Drift-alarm EPISODES — the alert-fatigue layer over t48: a CUSUM
+    * that stays over its band for 30 consecutive hours is ONE incident,
+    * not 30 pages, so the monitor's deliverable is the episode
+    * (start, end, duration, peak severity), the unit an on-call rota
+    * actually consumes (t31 does this for point anomalies; drift flags
+    * are stickier and need it more). Consecutive flagged hours coalesce
+    * by the gaps-and-islands identity on the DENSE series — island id =
+    * hour index − rank among flagged hours, constant exactly while
+    * flagged hours are calendar-consecutive (the dense spine is what
+    * makes "consecutive" mean calendar hours, not observed rows).
+    *
+    * Scale/float shape: rides [[cusumDrift]]'s hours-sized frame (one
+    * more pair of type-partitioned windows + one episode-sized
+    * groupBy); cusum values are bit-identical cross-engine (t48's
+    * integer-prefix-sum discipline), so max-severity needs no display
+    * rounding, and episode boundaries are integer hour arithmetic.
+    */
+  def driftEpisodes(s: SparkSession, dir: String): DataFrame = {
+    val flags = cusumDrift(s, dir)
+      .select(col("event_type"), col("h_us"), col("cusum_up"),
+        col("up_drift"))
+    val w = Window.partitionBy("event_type").orderBy("h_us")
+    flags
+      .withColumn("t", row_number().over(w))
+      .filter(col("up_drift"))
+      .withColumn("island",
+        col("t") - row_number().over(w))
+      .groupBy(col("event_type"), col("island"))
+      .agg(min("h_us").as("start_us"), max("h_us").as("end_us"),
+        count(lit(1)).as("n_hours"), max("cusum_up").as("peak_cusum"))
+      .select(col("event_type"), col("start_us"), col("end_us"),
+        col("n_hours"), col("peak_cusum"))
+      .orderBy("event_type", "start_us")
+  }
+
+  private val driftEpisodesSql =
+    s"""WITH $hourlyDenseSqlCte,
+      |hd AS (SELECT event_type, h, n AS n_events FROM hourly),
+      |m AS (SELECT event_type, sum(n_events) * 1.0 / count(*) AS mu
+      |      FROM hd GROUP BY event_type),
+      |pp AS (SELECT event_type, h, mu,
+      |        CAST(sum(n_events) OVER wr AS DOUBLE)
+      |          - row_number() OVER wo * mu AS p,
+      |        row_number() OVER wo AS t
+      |      FROM hd JOIN m USING (event_type)
+      |      WINDOW wo AS (PARTITION BY event_type ORDER BY h),
+      |             wr AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cu AS (SELECT event_type, h, t,
+      |         p - least(min(p) OVER wr, 0.0) AS cusum_up,
+      |         p - least(min(p) OVER wr, 0.0) > 4.0 * sqrt(mu) AS up_drift
+      |       FROM pp
+      |       WINDOW wr AS (PARTITION BY event_type ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |fl AS (SELECT event_type, h, t, cusum_up,
+      |         t - row_number() OVER (PARTITION BY event_type ORDER BY h)
+      |           AS island
+      |       FROM cu WHERE up_drift)
+      |SELECT event_type, epoch_us(min(h)) AS start_us,
+      |  epoch_us(max(h)) AS end_us, count(*) AS n_hours,
+      |  max(cusum_up) AS peak_cusum
+      |FROM fl GROUP BY event_type, island
+      |ORDER BY event_type, start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_hourly_value_ma", hourlyValueMa, Some(hourlyValueMaSql)),
     QueryDef("t02_hour_baseline_zscore", hourBaselineZscore, Some(hourBaselineZscoreSql)),
@@ -2556,5 +2620,6 @@ object Temporal {
     QueryDef("t53_session_type_pmi", sessionTypePmi, Some(sessionTypePmiSql)),
     QueryDef("t54_fano_burstiness", fanoBurstiness, Some(fanoBurstinessSql)),
     QueryDef("t55_dominant_period", dominantPeriod, Some(dominantPeriodSql)),
+    QueryDef("t56_drift_episodes", driftEpisodes, Some(driftEpisodesSql)),
   )
 }
