@@ -205,39 +205,105 @@ object StreamOps {
               Double.PositiveInfinity, Double.NegativeInfinity))
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
           val band = 4.0 * math.sqrt(m)
-          // identical op order to the batch twin: cumulative INT sum,
-          // one multiply, one subtract — bit-identical cusum values
-          def closeHour(hUs: Long, n: Long): Unit = {
-            val cumN = s.cumN + n
-            val i = s.nClosed + 1
-            val p = cumN.toDouble - i * m
-            val runMin = math.min(s.runMinP, p)
-            val runMax = math.max(s.runMaxP, p)
-            val up = p - math.min(runMin, 0.0)
-            val down = math.max(runMax, 0.0) - p
+          s = cusumFoldHours(rows, s, m) { (hUs, n, up, down) =>
             out += CusumOut(et, hUs, n, up, down, up > band, down > band)
-            s = CusumState(Long.MinValue, 0L, cumN, i, runMin, runMax)
           }
-          def usOf(t: Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
-          val HourUs = 3600000000L
-          rows.toSeq
-            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-            .foreach { e =>
-              val h = usOf(e.ts) / HourUs * HourUs
-              if (h == s.openHourUs) s = s.copy(openN = s.openN + 1)
-              else if (h > s.openHourUs) {
-                if (s.openHourUs != Long.MinValue) {
-                  val prev = s.openHourUs
-                  closeHour(prev, s.openN)
-                  // the dense spine: silent hours between the closed
-                  // hour and the arriving one emit as zero-count rows
-                  var g = prev + HourUs
-                  while (g < h) { closeHour(g, 0L); g += HourUs }
-                }
-                s = s.copy(openHourUs = h, openN = 1L)
-              } // h < openHourUs: late into a decided bucket — dropped
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** The dense-hour CUSUM fold shared by [[cusumStream]] and
+    * [[driftEpisodesStream]]: sorts the micro-batch's rows, closes
+    * hourly buckets (silent hours as n = 0 — the calendar-dense spine),
+    * runs exactly the batch twin's arithmetic per closed hour
+    * (cumulative INT sum, one multiply, one subtract — bit-identical
+    * cusum values), and hands each closed hour to `onClose`. Returns
+    * the carried state (open hour + prefix extrema).
+    */
+  private def cusumFoldHours(rows: Iterator[Event], s0: CusumState,
+      m: Double)(onClose: (Long, Long, Double, Double) => Unit): CusumState = {
+    var s = s0
+    def closeHour(hUs: Long, n: Long): Unit = {
+      val cumN = s.cumN + n
+      val i = s.nClosed + 1
+      val p = cumN.toDouble - i * m
+      val runMin = math.min(s.runMinP, p)
+      val runMax = math.max(s.runMaxP, p)
+      val up = p - math.min(runMin, 0.0)
+      val down = math.max(runMax, 0.0) - p
+      onClose(hUs, n, up, down)
+      s = CusumState(Long.MinValue, 0L, cumN, i, runMin, runMax)
+    }
+    def usOf(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val HourUs = 3600000000L
+    rows.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      .foreach { e =>
+        val h = usOf(e.ts) / HourUs * HourUs
+        if (h == s.openHourUs) s = s.copy(openN = s.openN + 1)
+        else if (h > s.openHourUs) {
+          if (s.openHourUs != Long.MinValue) {
+            val prev = s.openHourUs
+            closeHour(prev, s.openN)
+            // the dense spine: silent hours between the closed
+            // hour and the arriving one emit as zero-count rows
+            var g = prev + HourUs
+            while (g < h) { closeHour(g, 0L); g += HourUs }
+          }
+          s = s.copy(openHourUs = h, openN = 1L)
+        } // h < openHourUs: late into a decided bucket — dropped
+      }
+    s
+  }
+
+  case class EpisodeState(cu: CusumState, epStartUs: Long, epEndUs: Long,
+                          epHours: Long, epPeak: Double)
+  case class EpisodeOut(event_type: String, start_us: Long, end_us: Long,
+                        n_hours: Long, peak_cusum: Double)
+
+  /** Streaming drift-alarm EPISODES — t56's coalescing run live: the
+    * same dense-hour CUSUM fold drives an episode tracker per key, and
+    * a row is emitted only when an over-band run CLOSES (the first
+    * under-band hour after it) — one incident per sustained drift,
+    * start/end/duration/peak, instead of a page per flagged hour.
+    * State stays O(1): the CUSUM carry plus the open episode's four
+    * fields. The final open episode never emits (a stream has no "end
+    * of series" — cusumStream's open-hour caveat, one level up);
+    * feed the same μ and events and every CLOSED episode is
+    * bit-identical to the batch twin's row (StreamingSpec pins it).
+    */
+  def driftEpisodesStream(events: Dataset[Event],
+      mu: Map[String, Double]): Dataset[EpisodeOut] = {
+    import events.sparkSession.implicits._
+    val targets = events.sparkSession.sparkContext.broadcast(mu)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EpisodeState, EpisodeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[Event], state: GroupState[EpisodeState]) =>
+          val m = targets.value.getOrElse(et,
+            throw new IllegalArgumentException(
+              s"driftEpisodesStream: no in-control target rate for key '$et'"))
+          var s = state.getOption.getOrElse(EpisodeState(
+            CusumState(Long.MinValue, 0L, 0L, 0L,
+              Double.PositiveInfinity, Double.NegativeInfinity),
+            Long.MinValue, Long.MinValue, 0L, Double.NegativeInfinity))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeOut]
+          val band = 4.0 * math.sqrt(m)
+          val cu = cusumFoldHours(rows, s.cu, m) { (hUs, _, up, _) =>
+            if (up > band) {
+              val start = if (s.epStartUs == Long.MinValue) hUs else s.epStartUs
+              s = s.copy(epStartUs = start, epEndUs = hUs,
+                epHours = s.epHours + 1, epPeak = math.max(s.epPeak, up))
+            } else if (s.epStartUs != Long.MinValue) {
+              out += EpisodeOut(et, s.epStartUs, s.epEndUs, s.epHours, s.epPeak)
+              s = s.copy(epStartUs = Long.MinValue, epEndUs = Long.MinValue,
+                epHours = 0L, epPeak = Double.NegativeInfinity)
             }
+          }
+          s = s.copy(cu = cu)
           state.update(s)
           out.iterator
       }

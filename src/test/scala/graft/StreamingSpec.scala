@@ -1039,6 +1039,45 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch drift: ${streamed.toSeq.diff(expect.toSeq).take(3)} vs ${expect.toSeq.diff(streamed.toSeq).take(3)}")
   }
 
+  test("streaming drift episodes: closed episodes are bit-identical to batch t56") {
+    implicit val ctx = spark.sqlContext
+    val t48 = graft.operators.Temporal.cusumDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val mu = t48.map(r => r._1 -> r._3).toMap
+    val lastHour = t48.groupBy(_._1).map { case (et, rs) =>
+      et -> rs.map(_._2).max }
+    val batch = graft.operators.Temporal.driftEpisodes(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // the stream can only emit an episode CLOSED by a later under-band
+    // hour; an episode still running at the series' final hour stays
+    // open in state (the open-hour caveat, one level up)
+    val expect = batch.filter(e => e._3 != lastHour(e._1)).sortBy(e => (e._1, e._2))
+    assert(expect.nonEmpty, "fixture must contain closed episodes")
+    val data = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val sentinels = lastHour.map { case (et, h) =>
+      Event(-1L, new java.sql.Timestamp((h + 3600000000L) / 1000L), -1L, et, 0.0)
+    }.toSeq
+    val ms = MemoryStream[Event]
+    ms.addData(data)
+    val q = StreamOps.driftEpisodesStream(ms.toDS(), mu).writeStream
+      .format("memory").queryName("drift_episodes").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(sentinels)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_episodes")
+      .orderBy("event_type", "start_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(streamed.toSeq == expect.toSeq,
+      s"episode drift: ${streamed.toSeq.diff(expect.toSeq).take(3)} vs ${expect.toSeq.diff(streamed.toSeq).take(3)}")
+  }
+
   test("trending monitor: final snapshot is batch-boundary-independent and matches a driver walk") {
     implicit val ctx = spark.sqlContext
     val data = Tables.events(spark, sf0001)
