@@ -677,13 +677,16 @@ object VectorIndex {
     * The oracle replays walk + connect + prune inline from raw data, so
     * the hash pins search-based insert ≡ the declared HNSW semantics.
     */
-  def graphInsertServed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Resolve-or-build the maintained graph: the base split's committed
+    * graph followed by one insert commit of the incoming slice — shared
+    * by e55 (edge report) and e56 (recall audit of the same artifact).
+    */
+  private[graft] def ensureInsertedGraph(s: SparkSession, dir: String,
+      root: String): Long = {
     graft.functions.GraftFunctions.register(s)
     val e = VectorOps.vecs(s, dir).select("vec_id", "v")
     val incoming = e.filter(expr(graphInsertPred))
     val base = e.filter(expr(s"NOT ($graphInsertPred)"))
-    val root = defaultGraphInsRoot(dir)
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val want = s"graph+ins[$graphInsertPred]:${fingerprint(e)}"
@@ -701,6 +704,14 @@ object VectorIndex {
           s"graph:${fingerprint(base)}")
         graphInsertBatch(incoming, base, root, -5L, want)
       }
+  }
+
+  def graphInsertServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val incoming = e.filter(expr(graphInsertPred))
+    val root = defaultGraphInsRoot(dir)
+    ensureInsertedGraph(s, dir, root)
     val adj = loadGraph(s, root)
       .join(e.selectExpr("vec_id AS src", "v AS sv"), Seq("src"))
       .join(e.selectExpr("vec_id AS dst", "v AS dv"), Seq("dst"))
@@ -1158,5 +1169,30 @@ object VectorIndex {
     QueryDef("e54_adaptive_nprobe", adaptiveNprobeServed,
       Some(VectorOps.adaptiveNprobeOracle)),
     QueryDef("e55_graph_insert", graphInsertServed,
-      Some(VectorOps.graphInsertOracle)))
+      Some(VectorOps.graphInsertOracle)),
+    QueryDef("e56_graph_maintained_recall", graphMaintainedRecall,
+      Some(VectorOps.graphMaintainedRecallOracle)))
+
+  // ---------------------------------------------------------------- e56
+
+  /** Registry entry: e40's recall gate run ON THE MAINTAINED GRAPH —
+    * the standard 10-query beam walk serves off the post-insert
+    * artifact (base build + one HNSW insert commit) and is audited
+    * against the exact top-5 over the FULL corpus, inserted vectors
+    * included. This is the measurement that closes the e55 loop: the
+    * insert path claims search-based maintenance preserves the graph's
+    * serving quality, and this query makes that an oracle-checked
+    * number instead of an argument (an insert that mangled adjacency —
+    * dropped back-edges, unpruned degree growth, wrong neighborhoods —
+    * shows up here as recall drift against the exact witness).
+    */
+  def graphMaintainedRecall(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultGraphInsRoot(dir)
+    ensureInsertedGraph(s, dir, root)
+    // probed once per hop — persist; runner owns cleanup (e40's contract)
+    val g = loadGraph(s, root).persist()
+    VectorOps.graphWalkRecallFrom(
+      VectorOps.vecs(s, dir).select("vec_id", "label", "v"), g,
+      nQueries = 10)
+  }
 }

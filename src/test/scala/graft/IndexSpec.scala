@@ -320,6 +320,43 @@ class IndexSpec extends SparkSpec {
     assert(VectorIndex.latestVersion(spark, root).contains(1L))
   }
 
+  test("maintained graph preserves clustered-fixture recall after inserts") {
+    import spark.implicits._
+    // the DedupSpec e40 fixture: 4 tight clusters, queries + entry in
+    // cluster 0 — data where the walk can actually navigate
+    val rnd = new scala.util.Random(11)
+    val protos = Array.fill(4, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val rows = (0 until 200).map { i =>
+      val c = if (i < 10) 0 else i % 4
+      (i.toLong, protos(c).map(_ + rnd.nextGaussian() * 0.25).toSeq)
+    }
+    val e = rows.toDF("vec_id", "v")
+    val incoming = e.filter(expr("vec_id % 29 = 7"))
+    val base = e.filter(expr("NOT (vec_id % 29 = 7)"))
+    val root = tmpRoot("gins-clustered")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorOps.knnGraphFrom(base)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .write.parquet(s"$root/v0/edges")
+    graft.streaming.StreamOps.flipCommitMarker(fs, rootP, 0L, -3L, "seed")
+    VectorIndex.graphInsertBatch(incoming, base, root, 1L, "c")
+    def avgRecall(g: org.apache.spark.sql.DataFrame): Double = {
+      val r = VectorOps.graphWalkRecallFrom(e, g, nQueries = 10).collect()
+        .map(_.getDouble(2))
+      r.sum / r.length
+    }
+    val maintained = avgRecall(VectorIndex.loadGraph(spark, root))
+    val rebuilt = avgRecall(VectorOps.knnGraphFrom(e)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
+    // the insert path must navigate (e40's gate) and stay within reach
+    // of the full rebuild — quality preserved, not just edges written
+    assert(maintained >= 0.5,
+      s"maintained-graph avg recall@5 $maintained on the clustered fixture")
+    assert(maintained >= rebuilt - 0.2,
+      s"insert-maintained recall $maintained trails the rebuilt graph's $rebuilt")
+  }
+
   // -------------------------------------- adaptive nprobe (e54)
 
   test("adaptive nprobe widens on sparse cells and still fills k") {

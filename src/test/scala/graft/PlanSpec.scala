@@ -269,7 +269,9 @@ class PlanSpec extends SparkSpec {
       // adaptive routing reads the query vector (and builds cold roots)
       "e54_adaptive_nprobe",
       // graph insert re-scores live edges against raw vectors
-      "e55_graph_insert")
+      "e55_graph_insert",
+      // the maintained-recall walk + exact witness score raw vectors
+      "e56_graph_maintained_recall")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
