@@ -93,7 +93,7 @@ object TextIndex {
     postings.write.mode("overwrite").partitionBy("band")
       .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/postings").toString)
     StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
-    StreamOps.pruneCdcVersions(fs, rootP, retain)
+    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
     ver
   }
 
@@ -191,7 +191,7 @@ object TextIndex {
         .parquet(new org.apache.hadoop.fs.Path(vdir, "postings").toString)
     }
     StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
-    StreamOps.pruneCdcVersions(fs, rootP, retain)
+    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
     ver
   }
 
@@ -256,10 +256,14 @@ object TextIndex {
       val admitted = batch.join(
         verdicts.filter(col("is_near_dup")).select("doc_id"),
         Seq("doc_id"), "left_anti")
-      val merged = loadPostings(s, root)
-        .select("doc_id", "band", "bh")
-        .unionByName(bandPostings(shinglesOf(admitted)))
-      commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
+      // an all-dup (or empty) batch admits nothing — skip the commit
+      // entirely rather than rewrite the index for no-op input
+      if (!admitted.isEmpty) {
+        val merged = loadPostings(s, root)
+          .select("doc_id", "band", "bh")
+          .unionByName(bandPostings(shinglesOf(admitted)))
+        commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
+      }
     }
     verdicts
   }
@@ -277,7 +281,11 @@ object TextIndex {
         val incarnation = Option(b.sparkSession.sparkContext
             .getLocalProperty("sql.streaming.queryId"))
           .getOrElse(fallbackIncarnation)
-        admitBatch(b.toDF(), primary, root, id, incarnation, retain).count()
+        val v = admitBatch(b.toDF(), primary, root, id, incarnation, retain)
+        v.count()
+        // drop the per-batch verdict cache — a long-running sink must
+        // not accrete one cached plan per micro-batch in storage memory
+        v.unpersist()
         ()
     }
   }

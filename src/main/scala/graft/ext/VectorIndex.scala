@@ -12,11 +12,10 @@ import org.apache.spark.sql.functions._
   * rebuilding it per probe is what a real deployment rejects. This object
   * makes the index a versioned ON-DISK ARTIFACT:
   *
-  *   - `v<n>/codebook/` — the 16-row coarse codebook (cid, cv), the same
-  *     16-lowest-vec_id centroids every IVF op in this repo uses
-  *     (e07/e18/e24's deterministic stand-in; reference analytics/
-  *     anomaly_model.py:1 persists its trained artifact the same way —
-  *     model file beside the data, loaded at serve time);
+  *   - `v<n>/codebook/` — the 16-row coarse codebook (cid, cv)
+  *     (the reference persists its own trained artifact the same way —
+  *     data/models/next_hour_congestion.joblib, a model file beside the
+  *     data, loaded at serve time);
   *   - `v<n>/codes/cell=<c>/` — one 8-byte PQ code row per vector,
   *     HIVE-PARTITIONED BY COARSE CELL, so a probe reads exactly nprobe
   *     cell directories (partition-pruned scan — the e24 scaladoc's
@@ -152,7 +151,7 @@ object VectorIndex {
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
     StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
-    StreamOps.pruneCdcVersions(fs, root, retain)
+    StreamOps.pruneChainVersions(fs, root, retain, Seq("codes"))
     ver
   }
 
@@ -307,7 +306,7 @@ object VectorIndex {
         .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
     }
     StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
-    StreamOps.pruneCdcVersions(fs, root, retain)
+    StreamOps.pruneChainVersions(fs, root, retain, Seq("codes"))
     ver
   }
 
@@ -403,6 +402,9 @@ object VectorIndex {
         s"appendBatch needs a committed index under $indexRoot — build first"))
     if (StreamOps.cdcMarkerStamp(fs, root, cur) == ((batchId, incarnationId)))
       return cur // genuine retry of the batch that produced the live version
+    // streaming sinks regularly deliver empty micro-batches — an empty
+    // append must not cost a commit (version churn + a full write)
+    if (batch.isEmpty) return cur
     val cb = loadCodebook(s, indexRoot)
     val fresh = encodeAgainst(assignAgainst(batch, cb), cb)
     val merged = loadCodes(s, indexRoot)
@@ -535,7 +537,7 @@ object VectorIndex {
           .write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
         StreamOps.flipCommitMarker(fs, rootP, ver, -3L, want)
-        StreamOps.pruneCdcVersions(fs, rootP, retain)
+        StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
         ver
       }
   }
@@ -614,6 +616,9 @@ object VectorIndex {
         s"graphInsertBatch needs a committed graph under $root — build first"))
     if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((batchId, incarnationId)))
       return cur
+    // empty micro-batch: nothing to connect — returning the live version
+    // avoids an O(graph) rewrite + version churn for no-op input
+    if (incoming.isEmpty) return cur
     val g = loadGraph(s, root)
     val q = incoming.selectExpr("vec_id AS qid", "v AS qv")
     val beam = VectorOps.walkFinalBeam(baseVecs, g, q)
@@ -642,7 +647,7 @@ object VectorIndex {
     merged.sortWithinPartitions("src").write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
     StreamOps.flipCommitMarker(fs, rootP, ver, batchId, incarnationId)
-    StreamOps.pruneCdcVersions(fs, rootP, retain)
+    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
     ver
   }
 
@@ -1039,11 +1044,15 @@ object VectorIndex {
       val admitted = batch.join(
         verdicts.filter(col("is_near_dup")).select("vec_id"),
         Seq("vec_id"), "left_anti")
-      val cb = loadCodebook(s, indexRoot)
-      val merged = loadCodes(s, indexRoot).select("vec_id", "cell", "codes")
-        .unionByName(encodeAgainst(assignAgainst(admitted, cb), cb))
-      commitVersion(s, indexRoot, cur + 1, cb, merged, batchId,
-        incarnationId, retain)
+      // an all-dup (or empty) batch admits nothing — skip the commit
+      // entirely rather than rewrite the index for no-op input
+      if (!admitted.isEmpty) {
+        val cb = loadCodebook(s, indexRoot)
+        val merged = loadCodes(s, indexRoot).select("vec_id", "cell", "codes")
+          .unionByName(encodeAgainst(assignAgainst(admitted, cb), cb))
+        commitVersion(s, indexRoot, cur + 1, cb, merged, batchId,
+          incarnationId, retain)
+      }
     }
     verdicts
   }
@@ -1061,8 +1070,12 @@ object VectorIndex {
         val incarnation = Option(b.sparkSession.sparkContext
             .getLocalProperty("sql.streaming.queryId"))
           .getOrElse(fallbackIncarnation)
-        vectorAdmitBatch(b.toDF(), primary, indexRoot, id, incarnation,
-          tau, retain).count()
+        val v = vectorAdmitBatch(b.toDF(), primary, indexRoot, id,
+          incarnation, tau, retain)
+        v.count()
+        // drop the per-batch verdict cache — a long-running sink must
+        // not accrete one cached plan per micro-batch in storage memory
+        v.unpersist()
         ()
     }
   }

@@ -60,9 +60,15 @@ class IndexSpec extends SparkSpec {
     assert(!names.contains("v0") && !names.contains("_commit-0"),
       s"retain=2 must prune v0: $names")
     assert(names.contains("v1") && names.contains("v2"), names.toString)
+    // an EMPTY append is a no-op: no commit, no version churn (streams
+    // deliver empty micro-batches routinely)
+    VectorIndex.appendBatch(fullVecs.filter(col("vec_id") < 0), root, 6L, "x")
+    assert(VectorIndex.latestVersion(spark, root).contains(2L))
     // an append trail (non-build stamp) does not satisfy ensureIndex:
     // it rebuilds to a full-corpus artifact rather than trusting it
-    VectorIndex.appendBatch(fullVecs.filter(col("vec_id") < 0), root, 7L, "x")
+    VectorIndex.appendBatch(
+      fullVecs.limit(1).selectExpr("vec_id + 1000000 AS vec_id", "v"),
+      root, 7L, "x")
     assert(VectorIndex.latestVersion(spark, root).contains(3L))
     assert(VectorIndex.ensureIndex(spark, sf0001, root) == 4L)
   }
@@ -206,6 +212,32 @@ class IndexSpec extends SparkSpec {
       VectorIndex.serveIvfPqKnn(spark, sf0001, rebuildRoot).collect().map(_.toSeq).toSeq)
   }
 
+  test("delete-then-append keeps the DV version's referenced base inside the prune window") {
+    val root = tmpRoot("dv-append")
+    import spark.implicits._
+    VectorIndex.buildIndexFrom(fullVecs, root)                     // v0: codes
+    VectorIndex.deleteIds(spark, root, Seq(3L).toDF("vec_id"), 1L, "del") // v1: DV → v0
+    val fresh = fullVecs.limit(1).selectExpr("vec_id + 1000000 AS vec_id", "v")
+    val v2 = VectorIndex.appendBatch(fresh, root, 2L, "app")       // v2: self-contained
+    assert(v2 == 2L)
+    // retain=2 keeps markers {v1, v2}; a reader that resolved v1 just
+    // before the flip still needs v0's codes — the chain-aware prune
+    // must keep the referenced base (the naive newest-2 sweep deleted it)
+    assert(new java.io.File(root, "v0/codes").exists(),
+      "DV version v1 references v0's codes — v0 must survive v2's prune")
+    // the live view (v2) already resolved the tombstone: id 3 stays gone
+    assert(VectorIndex.loadCodes(spark, root)
+      .filter(col("vec_id") === 3L).count() == 0)
+    // one more self-contained commit retires v1; v0 is then unreferenced
+    VectorIndex.appendBatch(
+      fullVecs.limit(1).selectExpr("vec_id + 2000000 AS vec_id", "v"),
+      root, 3L, "app")                                             // v3
+    val names = new java.io.File(root).list().toSet
+    assert(!names.contains("v0") && !names.contains("v1"),
+      s"unreferenced chain must prune once the lease expires: $names")
+    assert(names.contains("v2") && names.contains("v3"), names.toString)
+  }
+
   test("a second delete compacts: codes rewritten, tombstone chain reset") {
     import spark.implicits._
     val root = tmpRoot("dv-compact")
@@ -222,8 +254,16 @@ class IndexSpec extends SparkSpec {
     val live = VectorIndex.loadCodes(spark, root)
     assert(live.count() == n - 4)
     assert(live.filter(col("vec_id").isin(3L, 20L, 21L, 22L)).count() == 0)
-    // retain=2 keeps {v1, v2}; v2 is self-contained so v0's prune is safe
-    assert(!new java.io.File(root, "v0").exists())
+    // retain=2 keeps markers {v1, v2}, and v1 (a DV version) references
+    // v0's codes — the chain-aware prune must keep v0 alive for readers
+    // that resolved v1 just before the compaction flip
+    assert(new java.io.File(root, "v0/codes").exists(),
+      "v0 is still referenced by the retained DV version v1")
+    // one more commit retires v1; only then is v0 unreferenced and swept
+    VectorIndex.deleteIds(spark, root, Seq(23L).toDF("vec_id"), 3L, "c")
+    val names = new java.io.File(root).list().toSet
+    assert(!names.contains("v0") && !names.contains("v1"),
+      s"expired chain must prune: $names")
   }
 
   test("a redelivered delete no-ops on its own stamp") {
