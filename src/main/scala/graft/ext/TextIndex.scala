@@ -125,14 +125,58 @@ object TextIndex {
       StructField("doc_id", LongType),
       StructField("bh", LongType),
       StructField("band", IntegerType)))
-    val postings = s.read.schema(sch).parquet(s"$root/v$pv/postings")
-    val ts = new org.apache.hadoop.fs.Path(s"$root/v$v/tombstones")
-    if (fs.exists(ts))
-      postings.join(
+    val base0 = s.read.schema(sch).parquet(s"$root/v$pv/postings")
+    // the chain invariant ([[forgetDocs]] compacts whenever the live
+    // chain already carries deltas or tombstones) keeps at most one
+    // tombstones version, directly on the base — so a forget shades
+    // ONLY the base segment and a re-admitted doc's delta stays live
+    val ts = ((pv + 1) to v).reverseIterator
+      .map(i => new org.apache.hadoop.fs.Path(s"$root/v$i/tombstones"))
+      .find(fs.exists)
+    val base = ts match {
+      case Some(p) => base0.join(
         broadcast(s.read.schema(StructType(Seq(
-          StructField("doc_id", LongType)))).parquet(ts.toString)),
+          StructField("doc_id", LongType)))).parquet(p.toString)),
         Seq("doc_id"), "left_anti")
-    else postings
+      case None => base0
+    }
+    // O(batch) admission deltas since the base ([[admitBatch]])
+    val deltas = ((pv + 1) to v).filter(i => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v$i/postings-delta")))
+      .map(i => s.read.schema(sch).parquet(s"$root/v$i/postings-delta"))
+    (base +: deltas).reduce(_ unionByName _)
+  }
+
+  /** Deltas tolerated before an admission append auto-folds. */
+  private val AppendFoldThreshold = 8
+
+  /** Commit already-banded `fresh` postings as the next version — an
+    * O(batch) `postings-delta/` segment, auto-folding into one postings
+    * table once the chain holds [[AppendFoldThreshold]] deltas
+    * ([[VectorIndex]]'s append discipline on the text family).
+    */
+  private def appendPostings(s: SparkSession, root: String, cur: Long,
+      fresh: DataFrame, batchId: Long, incarnationId: String,
+      retain: Int): Long = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pv = postingsVersion(fs, root, cur)
+    val nDeltas = ((pv + 1) to cur).count(i => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/v$i/postings-delta")))
+    if (nDeltas >= AppendFoldThreshold) {
+      val merged = loadPostings(s, root).select("doc_id", "band", "bh")
+        .unionByName(fresh.select("doc_id", "band", "bh"))
+      commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
+    } else {
+      val ver = cur + 1
+      fresh.select("doc_id", "bh", "band").write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(new org.apache.hadoop.fs.Path(rootP,
+          s"v$ver/postings-delta").toString)
+      StreamOps.flipCommitMarker(fs, rootP, ver, batchId, incarnationId)
+      StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
+      ver
+    }
   }
 
   /** The version whose `postings/` backs `v` — `v` itself except for a
@@ -175,15 +219,14 @@ object TextIndex {
     val ver = cur + 1
     val vdir = new org.apache.hadoop.fs.Path(rootP, s"v$ver")
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$cur/postings"))) {
-      val prior = {
-        val p = new org.apache.hadoop.fs.Path(s"$root/v$cur/tombstones")
-        if (fs.exists(p)) Some(s.read.parquet(p.toString).select("doc_id"))
-        else None
-      }
-      prior.foldLeft(ids.select("doc_id"))(_ unionByName _).distinct()
+      // live is a clean base (a postings-owning version starts a fresh
+      // chain): metadata-only forget — tombstones only
+      ids.select("doc_id").distinct()
         .coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "tombstones").toString)
     } else {
+      // chain already carries tombstones and/or deltas: COMPACT so the
+      // chain keeps at most one tombstones version on a clean base
       loadPostings(s, root)
         .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti")
         .select("doc_id", "band", "bh")
@@ -258,12 +301,9 @@ object TextIndex {
         Seq("doc_id"), "left_anti")
       // an all-dup (or empty) batch admits nothing — skip the commit
       // entirely rather than rewrite the index for no-op input
-      if (!admitted.isEmpty) {
-        val merged = loadPostings(s, root)
-          .select("doc_id", "band", "bh")
-          .unionByName(bandPostings(shinglesOf(admitted)))
-        commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
-      }
+      if (!admitted.isEmpty)
+        appendPostings(s, root, cur, bandPostings(shinglesOf(admitted)),
+          batchId, incarnationId, retain)
     }
     verdicts
   }

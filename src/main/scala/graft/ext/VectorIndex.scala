@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   * rebuilding it per probe is what a real deployment rejects. This object
   * makes the index a versioned ON-DISK ARTIFACT:
   *
-  *   - `v<n>/codebook/` — the 16-row coarse codebook (cid, cv)
-  *     (the reference persists its own trained artifact the same way —
-  *     data/models/next_hour_congestion.joblib, a model file beside the
-  *     data, loaded at serve time);
+  *   - `v<n>/codebook/` — the TRAINED coarse codebook (cid, cv):
+  *     e25's two deterministic Lloyd rounds ([[trainCoarse]]) run at
+  *     BUILD time, so the committed artifact serves a trained
+  *     quantizer, not the structural 16-lowest-vec_id stand-in the
+  *     inline twins keep (the reference persists its own trained
+  *     artifact the same way — data/models/next_hour_congestion.joblib,
+  *     a model file beside the data, loaded at serve time);
+  *   - `v<n>/pqcodebook/` — the TRAINED per-subspace PQ codebooks
+  *     (cid, cj, cv): e33's per-subspace Lloyd ([[trainPq]]); stored
+  *     codes index into THIS table and serve-time ADC tables are built
+  *     against it (e57 measures the payoff: recall@5 at depth 10
+  *     doubles vs the structural seed at sf0.01);
   *   - `v<n>/codes/cell=<c>/` — one 8-byte PQ code row per vector,
   *     HIVE-PARTITIONED BY COARSE CELL, so a probe reads exactly nprobe
   *     cell directories (partition-pruned scan — the e24 scaladoc's
@@ -36,22 +44,26 @@ import org.apache.spark.sql.functions._
   *
   * Incremental maintenance ([[appendBatch]] / [[indexAppendSink]]):
   * micro-batches of new vectors are assigned against the COMMITTED
-  * codebook (never retrained — the FAISS add-with-fixed-quantizer
-  * contract), PQ-encoded with the identical 6-dp argmin discipline, and
-  * committed as `v<cur+1>` = old codes ∪ new codes through the same
-  * marker flip, with the CDC sink's (batch id, incarnation) stamp for
-  * exactly-once retry detection. A two-batch append is bit-identical to
-  * a batch build over the union (StreamingSpec pins it) because code
-  * assignment is a pure per-vector function of the fixed codebook.
+  * trained quantizers (never retrained — the FAISS
+  * add-with-fixed-quantizer contract), PQ-encoded with the identical
+  * 6-dp argmin discipline, and committed as an O(batch)
+  * `v<cur+1>/codes-delta/` segment through the same marker flip, with
+  * the CDC sink's (batch id, incarnation) stamp for exactly-once retry
+  * detection; [[loadCodes]] unions base + deltas (cell filter pushed
+  * into every segment scan), and chains fold back to one codes table on
+  * the OPTIMIZE cadence ([[compactIndex]] / the append auto-fold). A
+  * two-batch append is bit-identical to encoding the union against the
+  * committed quantizers (StreamingSpec pins it) because code assignment
+  * is a pure per-vector function of the fixed codebooks.
   *
-  * Scale shape: build cost is one corpus scan (broadcast 16-row codebook
-  * assign) plus one corpus×8-subspace×16-centroid broadcast join — the
-  * one-time cost serving amortizes; serve cost is nprobe partition
-  * directories of 8-int code rows + a 128-row broadcast ADC table, with
-  * the only shuffle the final per-candidate sum over the probed cells.
-  * Append cost is batch-sized, never corpus-sized, except the plain-
-  * parquet union rewrite (a deletion-vector format turns that into a
-  * metadata-only commit — cdcApplyParquetSink's documented trade).
+  * Scale shape: build cost is one training pass (two Lloyd rounds,
+  * map-side-combined centroid aggregates — e25/e33's cost model) plus
+  * one corpus encode — the one-time cost serving amortizes; serve cost
+  * is nprobe partition directories of 8-int code rows + a ≤128-row
+  * broadcast ADC table, with the only shuffle the final per-candidate
+  * sum over the probed cells. Append cost is batch-sized, never
+  * corpus-sized — the delta commit writes |batch| code rows plus the
+  * two tiny codebooks; deletes are metadata-only tombstone commits.
   */
 object VectorIndex {
 
@@ -96,11 +108,58 @@ object VectorIndex {
     StreamOps.cdcLatestCommit(fs, root)
   }
 
-  /** The 16-row coarse codebook (cid, cv) of the corpus — build-time
-    * only; serve loads the PERSISTED copy.
+  /** TRAINED coarse codebook (cid, cv) — e25's two deterministic Lloyd
+    * rounds ([[VectorOps.kmeansCodebook]]'s exact chain: spherical
+    * assignment with the lowest-cid tie-break, per-dimension
+    * round(sum,6)/count mean update) seeded from the 16 lowest-id
+    * vectors. The committed index serves a TRAINED quantizer, not the
+    * structural stand-in the inline twins (e07/e18/e24) keep for their
+    * correctness role; e39's sweep measured the structural codebook's
+    * cost (recall@5 of 0.4 at depth 10) and this is the fix. Empty
+    * cells drop, exactly as in e25.
     */
-  private def codebookOf(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 16).selectExpr("vec_id AS cid", "v AS cv")
+  private[graft] def trainCoarse(e: DataFrame): DataFrame = {
+    def centroids(a: DataFrame): DataFrame =
+      a.selectExpr("cell", "posexplode(v) AS (i, x)")
+        .groupBy("cell", "i")
+        .agg((round(sum("x"), 6) / count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(i, m))), p -> p.m)")
+          .as("cv"))
+        .selectExpr("cell AS cid", "cv")
+    val cb0 = e.filter(col("vec_id") < 16).selectExpr("vec_id AS cid", "v AS cv")
+    centroids(assignAgainst(e, centroids(assignAgainst(e, cb0))))
+  }
+
+  /** TRAINED per-subspace PQ codebooks (cid, cj, cv) — e33's chain
+    * ([[VectorOps.pqCodebookTrain]]): each of the 8 subspaces
+    * independently runs two k-means rounds (6-dp-rounded L2² argmin,
+    * lowest-cid ties, round(sum,6)/count centroid update) from the 16
+    * lowest-id vectors' subvectors. Committed beside the coarse
+    * codebook; codes stored in the index are argmin indexes into THIS
+    * table, and serve-time ADC tables are built against it.
+    */
+  private[graft] def trainPq(e: DataFrame): DataFrame = {
+    val sub = e.selectExpr("vec_id", subEx)
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val cb0 = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("j").as("cj"), col("sv").as("cv"))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), col("j") === col("cj"))
+        .selectExpr("vec_id", "j", "sv", "cid", s"$l2 AS d2")
+        .groupBy("vec_id", "j")
+        .agg(max_by(col("cid"), struct((-col("d2")).as("nd"),
+          (-col("cid")).as("nc"))).as("code"), first(col("sv")).as("sv"))
+    def centroids(a: DataFrame): DataFrame =
+      a.selectExpr("code", "j", "posexplode(sv) AS (i, x)")
+        .groupBy("code", "j", "i")
+        .agg((round(sum("x"), 6) / count(lit(1))).as("m"))
+        .groupBy("code", "j")
+        .agg(expr("transform(sort_array(collect_list(struct(i, m))), p -> p.m)")
+          .as("cv"))
+        .select(col("code").as("cid"), col("j").as("cj"), col("cv"))
+    centroids(assign(centroids(assign(cb0))))
+  }
 
   /** Coarse-assign `e` (vec_id, v) against an explicit codebook —
     * e07's broadcast + max_by with the lowest-cid tie-break, but against
@@ -114,17 +173,16 @@ object VectorIndex {
       .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("tb")))
         .as("cell"), first(col("v")).as("v"))
 
-  /** PQ-encode an assigned frame (vec_id, cell, v) against `cb`: per
-    * subspace the 6-dp-rounded L2² argmin over the 16 centroid
-    * subvectors (ties to the lowest cid — e19/e24's discipline), packed
-    * to one array<int> of 8 codes per vector (8 bytes at storage scale).
+  /** PQ-encode an assigned frame (vec_id, cell, v) against the trained
+    * PQ codebooks `pqcb` (cid, cj, cv): per subspace the 6-dp-rounded
+    * L2² argmin over that subspace's centroids (ties to the lowest cid —
+    * e19/e24/e33's discipline), packed to one array<int> of 8 codes per
+    * vector (8 bytes at storage scale).
     */
-  private def encodeAgainst(assigned: DataFrame, cb: DataFrame): DataFrame = {
+  private def encodeAgainst(assigned: DataFrame, pqcb: DataFrame): DataFrame = {
     val psub = assigned.selectExpr("vec_id", "cell", subEx)
       .select(col("vec_id"), col("cell"), col("s.j").as("j"), col("s.sv").as("sv"))
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
-    psub.join(broadcast(csub), col("j") === col("cj"))
+    psub.join(broadcast(pqcb), col("j") === col("cj"))
       .selectExpr("vec_id", "cell", "j", "cid", s"$l2 AS d2")
       .groupBy("vec_id", "cell", "j")
       .agg(max_by(col("cid"), struct((-col("d2")).as("nd"),
@@ -140,14 +198,16 @@ object VectorIndex {
     * leaves the previous version live (torn reads impossible).
     */
   private def commitVersion(s: SparkSession, indexRoot: String, ver: Long,
-      cb: DataFrame, codes: DataFrame, stampId: Long, stampTag: String,
-      retain: Int): Long = {
+      cb: DataFrame, pqcb: DataFrame, codes: DataFrame, stampId: Long,
+      stampTag: String, retain: Int): Long = {
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
     cb.coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
+    pqcb.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "pqcodebook").toString)
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
     StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
@@ -163,12 +223,40 @@ object VectorIndex {
       retain: Int = 2): Long = {
     val s = e.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val cb = codebookOf(e)
-    val codes = encodeAgainst(assignAgainst(e, cb), cb)
+    val cb = trainCoarse(e)
+    val pqcb = trainPq(e)
+    val codes = encodeCorpus(e, cb, pqcb)
     val ver = latestVersion(s, indexRoot).map(_ + 1).getOrElse(0L)
-    commitVersion(s, indexRoot, ver, cb, codes,
-      -3L, s"index:${fingerprint(e)}", retain)
+    commitVersion(s, indexRoot, ver, cb, pqcb, codes,
+      -3L, s"index.t:${fingerprint(e)}", retain)
   }
+
+  /** Commit at `dstRoot` the encoding of `e` against `srcRoot`'s
+    * COMMITTED quantizers — the spec witness for the fixed-quantizer
+    * append contract: an append trail must converge to exactly this,
+    * never to a from-scratch rebuild (which would RETRAIN on the grown
+    * corpus and hold different centroids).
+    */
+  private[graft] def commitEncodedWith(e: DataFrame, srcRoot: String,
+      dstRoot: String): Long = {
+    val s = e.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cb = loadCodebook(s, srcRoot)
+    val pqcb = loadPqCodebook(s, srcRoot)
+    val ver = latestVersion(s, dstRoot).map(_ + 1).getOrElse(0L)
+    commitVersion(s, dstRoot, ver, cb, pqcb, encodeCorpus(e, cb, pqcb),
+      -9L, "spec-encode", 2)
+  }
+
+  /** Assign + encode `e` against EXPLICIT committed quantizers — the
+    * pure per-vector function appends and builds share (a build is
+    * train + this; an append is only this against the loaded
+    * quantizers — the FAISS add-with-fixed-quantizer contract the
+    * specs pin by re-deriving the expected codes through here).
+    */
+  private[graft] def encodeCorpus(e: DataFrame, cb: DataFrame,
+      pqcb: DataFrame): DataFrame =
+    encodeAgainst(assignAgainst(e, cb), pqcb)
 
   /** Build the index of a data directory's embeddings table. */
   def buildIndex(s: SparkSession, dataDir: String, indexRoot: String,
@@ -187,7 +275,7 @@ object VectorIndex {
     val e = VectorOps.vecs(s, dataDir).select("vec_id", "v")
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index:${fingerprint(e)}"
+    val want = s"index.t:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, root)
       .filter(v => StreamOps.cdcMarkerStamp(fs, root, v) == ((-3L, want)))
       .getOrElse(buildIndexFrom(e, indexRoot))
@@ -201,6 +289,15 @@ object VectorIndex {
     val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
       s"no committed index version under $indexRoot — build first"))
     s.read.parquet(s"$indexRoot/v$v/codebook")
+  }
+
+  /** Latest committed version's trained PQ codebooks (cid, cj, cv) —
+    * ≤ 8×16 rows, broadcast at every serve/append site.
+    */
+  def loadPqCodebook(s: SparkSession, indexRoot: String): DataFrame = {
+    val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
+      s"no committed index version under $indexRoot — build first"))
+    s.read.parquet(s"$indexRoot/v$v/pqcodebook")
   }
 
   /** Load the latest committed version's code table (vec_id, codes,
@@ -223,21 +320,51 @@ object VectorIndex {
       StructField("vec_id", LongType),
       StructField("codes", ArrayType(LongType)),
       StructField("cell", LongType)))
-    val codes = s.read.schema(sch).parquet(s"$indexRoot/v$cv/codes")
+    val base0 = s.read.schema(sch).parquet(s"$indexRoot/v$cv/codes")
     // the LIVE view: a deletion-vector version shades ids out of every
-    // reader without touching the code files. Skipped entirely when the
-    // live version carries no tombstones, so the no-delete serve plan is
-    // byte-identical to the pre-DV one (and the anti-join, when present,
-    // broadcasts the small tombstone set UNDER the probe's partition
-    // filter — pruning still reaches the codes scan).
-    tombstonePath(fs, indexRoot, v) match {
+    // reader without touching the code files — and it shades ONLY the
+    // base segment: the chain invariant ([[deleteIds]] compacts
+    // whenever the live chain already carries deltas or tombstones)
+    // guarantees at most one tombstones version per chain, committed
+    // directly on the base, with every delta AFTER it — so a vector
+    // deleted and later re-appended lives in an unshaded delta (re-add
+    // works). The anti-join, when present, broadcasts the small
+    // tombstone set UNDER the probe's partition filter; Catalyst pushes
+    // the cell filter through the union into EVERY segment scan, so
+    // pruning reaches base and delta reads alike.
+    val base = chainTombstones(fs, indexRoot, cv, v) match {
       case Some(p) =>
         val ts = s.read.schema(StructType(Seq(StructField("vec_id", LongType))))
           .parquet(p)
-        codes.join(broadcast(ts), Seq("vec_id"), "left_anti")
-      case None => codes
+        base0.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => base0
     }
+    // delta segments: O(batch)-sized appends committed since the base
+    // ([[appendBatch]]) — folded back into one codes table on the
+    // compaction cadence ([[compactIndex]] / the append auto-fold)
+    val deltas = ((cv + 1) to v).filter(i => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$indexRoot/v$i/codes-delta")))
+      .map(i => s.read.schema(sch).parquet(s"$indexRoot/v$i/codes-delta"))
+    (base +: deltas).reduce(_ unionByName _)
   }
+
+  /** The single tombstones file in the live chain (base `cv` .. live
+    * `v`], if any — the chain invariant keeps at most one.
+    */
+  private def chainTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, cv: Long, v: Long): Option[String] =
+    ((cv + 1) to v).reverseIterator
+      .map(i => new org.apache.hadoop.fs.Path(s"$indexRoot/v$i/tombstones"))
+      .find(fs.exists)
+      .map(_.toString)
+
+  /** Number of delta segments in the live chain — the append auto-fold
+    * trigger reads this.
+    */
+  private def chainDeltaCount(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, cv: Long, v: Long): Int =
+    ((cv + 1) to v).count(i => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexRoot/v$i/codes-delta")))
 
   /** The version whose `codes/` directory backs version `v`: `v` itself
     * for a build/append/compaction commit, the nearest lower version for
@@ -255,12 +382,6 @@ object VectorIndex {
       s"no codes directory reachable from v$v under $indexRoot — " +
         "the referenced base version was pruned")
     c
-  }
-
-  private def tombstonePath(fs: org.apache.hadoop.fs.FileSystem,
-      indexRoot: String, v: Long): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/v$v/tombstones")
-    if (fs.exists(p)) Some(p.toString) else None
   }
 
   /** Delete `ids` (a one-column vec_id frame) from the served index —
@@ -291,15 +412,20 @@ object VectorIndex {
     val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
     loadCodebook(s, indexRoot).coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
+    loadPqCodebook(s, indexRoot).coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "pqcodebook").toString)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/v$cur/codes"))) {
-      // metadata-only DV commit: cumulative tombstones, codes by reference
-      val prior = tombstonePath(fs, indexRoot, cur)
-        .map(p => s.read.parquet(p).select("vec_id"))
-      prior.foldLeft(ids.select("vec_id"))(_ unionByName _).distinct()
+      // live is a clean base (a codes-owning version starts a fresh
+      // chain: no deltas above it, no tombstones): metadata-only DV
+      // commit — tombstones written, codes by reference
+      ids.select("vec_id").distinct()
         .coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "tombstones").toString)
     } else {
-      // live is already a DV version: compact (live view minus new ids)
+      // live chain already carries tombstones and/or deltas: COMPACT
+      // (live view minus the new ids, rewritten cell-partitioned) — the
+      // rule that keeps chains at most one tombstones version deep and
+      // lets [[loadCodes]] shade only the base segment
       loadCodes(s, indexRoot)
         .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
         .write.mode("overwrite").partitionBy("cell")
@@ -349,12 +475,12 @@ object VectorIndex {
     val cand = loadCodes(s, indexRoot)
       .filter(col("cell").isin(probed: _*))
       .filter(col("vec_id") =!= 0)
-    // the query's 8×16 ADC lookup table from the LOADED codebook
+    // the query's 8×16 ADC lookup table from the LOADED trained PQ
+    // codebooks (cid, cj, cv)
     val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
       .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
-    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
+        col("j") === col("cj"))
       .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
     val adc = cand.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
@@ -386,10 +512,13 @@ object VectorIndex {
   }
 
   /** One incremental append commit: assign + encode `batch` (vec_id, v)
-    * against the COMMITTED codebook, commit old ∪ new codes as the next
-    * version. The (batchId, incarnation) stamp gives the CDC sink's
-    * exactly-once retry detection: a redelivered batch whose stamp IS
-    * the latest marker no-ops. Returns the live version after the call.
+    * against the COMMITTED trained quantizers (never retrained — the
+    * FAISS add-with-fixed-quantizer contract), committed as an O(batch)
+    * `codes-delta/` segment via [[appendEncoded]] — at 100 TB the
+    * difference between a batch-sized write and the corpus rewrite the
+    * plain-union shape cost. The (batchId, incarnation) stamp gives the
+    * CDC sink's exactly-once retry detection: a redelivered batch whose
+    * stamp IS the latest marker no-ops. Returns the live version.
     */
   private[graft] def appendBatch(batch: DataFrame, indexRoot: String,
       batchId: Long, incarnationId: String, retain: Int = 2): Long = {
@@ -406,12 +535,68 @@ object VectorIndex {
     // append must not cost a commit (version churn + a full write)
     if (batch.isEmpty) return cur
     val cb = loadCodebook(s, indexRoot)
-    val fresh = encodeAgainst(assignAgainst(batch, cb), cb)
-    val merged = loadCodes(s, indexRoot)
-      .select("vec_id", "cell", "codes").unionByName(fresh)
-    commitVersion(s, indexRoot, cur + 1, cb, merged, batchId, incarnationId,
-      retain)
+    val pqcb = loadPqCodebook(s, indexRoot)
+    val fresh = encodeCorpus(batch, cb, pqcb)
+    appendEncoded(s, indexRoot, cur, cb, pqcb, fresh, batchId,
+      incarnationId, retain)
   }
+
+  /** Deltas tolerated in a chain before an append auto-folds — bounds
+    * both the per-read segment count and the prune window's tail.
+    */
+  private val AppendFoldThreshold = 8
+
+  /** Commit already-encoded `fresh` codes as the next version — as an
+    * O(batch) `codes-delta/` segment (the point of incremental
+    * maintenance: append IO scales with the batch, never the corpus),
+    * auto-FOLDING into a self-contained codes version once the chain
+    * holds [[AppendFoldThreshold]] deltas (the OPTIMIZE cadence —
+    * [[compactIndex]] is the explicit maintenance entry). Codebooks are
+    * tiny (≤16 + ≤128 rows) and copy forward every commit so readers
+    * always resolve them at the live version.
+    */
+  private def appendEncoded(s: SparkSession, indexRoot: String, cur: Long,
+      cb: DataFrame, pqcb: DataFrame, fresh: DataFrame, batchId: Long,
+      incarnationId: String, retain: Int): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bv = codesVersion(fs, indexRoot, cur)
+    if (chainDeltaCount(fs, indexRoot, bv, cur) >= AppendFoldThreshold) {
+      val merged = loadCodes(s, indexRoot)
+        .select("vec_id", "cell", "codes").unionByName(fresh)
+      commitVersion(s, indexRoot, cur + 1, cb, pqcb, merged, batchId,
+        incarnationId, retain)
+    } else {
+      val ver = cur + 1
+      val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
+      cb.coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
+      pqcb.coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "pqcodebook").toString)
+      fresh.write.mode("overwrite").partitionBy("cell")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "codes-delta").toString)
+      StreamOps.flipCommitMarker(fs, root, ver, batchId, incarnationId)
+      StreamOps.pruneChainVersions(fs, root, retain, Seq("codes"))
+      ver
+    }
+  }
+
+  /** Fold the live chain (base ∖ tombstones ∪ deltas) into ONE
+    * self-contained codes version — [[StreamOps.optimizeCdcTable]]'s
+    * maintenance shape on the index family, stamped (−2, "optimize")
+    * like the CDC OPTIMIZE so stream retry detection can never mistake
+    * it for a batch. After the fold, the chain-aware prune retires the
+    * old base + deltas once the read lease expires. None before the
+    * first commit.
+    */
+  def compactIndex(s: SparkSession, indexRoot: String,
+      retain: Int = 2): Option[Long] =
+    latestVersion(s, indexRoot).map { cur =>
+      commitVersion(s, indexRoot, cur + 1,
+        loadCodebook(s, indexRoot), loadPqCodebook(s, indexRoot),
+        loadCodes(s, indexRoot).select("vec_id", "cell", "codes"),
+        -2L, "optimize", retain)
+    }
 
   /** Streaming maintenance sink: each micro-batch of new vectors
     * appends through [[appendBatch]] — version re-resolved per batch,
@@ -476,9 +661,8 @@ object VectorIndex {
       .filter(col("vec_id") =!= col("qid"))
     val qsub = qs.selectExpr("qid", "qv AS v").selectExpr("qid", subEx)
       .select(col("qid"), col("s.j").as("j"), col("s.sv").as("sv"))
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
-    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
+        col("j") === col("cj"))
       .selectExpr("qid AS tqid", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
     candQ.select(col("qid"), col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
@@ -772,7 +956,7 @@ object VectorIndex {
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     // the tag encodes the delete RULE: a changed predicate on an
     // unchanged corpus must rebuild rather than reuse old tombstones
-    val want = s"index+del[$deletePred]:${fingerprint(e)}"
+    val want = s"index.t+del[$deletePred]:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-4L, want)))
       .getOrElse {
@@ -814,16 +998,17 @@ object VectorIndex {
     val e = VectorOps.vecs(s, dataDir).select("vec_id", "label", "v")
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index+lbl:${fingerprint(e)}"
+    val want = s"index.t+lbl:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
       .getOrElse {
         val ev = e.select("vec_id", "v")
-        val cb = codebookOf(ev)
-        val codes = encodeAgainst(assignAgainst(ev, cb), cb)
+        val cb = trainCoarse(ev)
+        val pqcb = trainPq(ev)
+        val codes = encodeCorpus(ev, cb, pqcb)
           .join(e.select("vec_id", "label"), Seq("vec_id"))
         val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
-        commitVersion(s, root, ver, cb, codes, -3L, want, 2)
+        commitVersion(s, root, ver, cb, pqcb, codes, -3L, want, 2)
       }
   }
 
@@ -868,9 +1053,8 @@ object VectorIndex {
       .filter(col("label") === 3 && col("vec_id") =!= 0)
     val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
       .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
-    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+    val qtab = qsub.join(broadcast(loadPqCodebook(s, root)),
+        col("j") === col("cj"))
       .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
     val shortlist = cand.select(col("vec_id"),
         posexplode(col("codes")).as(Seq("j", "code")))
@@ -929,9 +1113,8 @@ object VectorIndex {
       .filter(col("vec_id") =!= 0)
     val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
       .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
-    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
+        col("j") === col("cj"))
       .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
     cand.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
@@ -988,9 +1171,8 @@ object VectorIndex {
       .join(broadcast(qcells), col("cell") === col("qcell"))
     val qsub = qs.selectExpr("qid", "qv AS v").selectExpr("qid", subEx)
       .select(col("qid"), col("s.j").as("j"), col("s.sv").as("sv"))
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
-    val qtab = qsub.join(broadcast(csub), col("j") === col("cj"))
+    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
+        col("j") === col("cj"))
       .selectExpr("qid AS tqid", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
     val shortlist = cand
       .select(col("qid"), col("vec_id"),
@@ -1048,10 +1230,9 @@ object VectorIndex {
       // entirely rather than rewrite the index for no-op input
       if (!admitted.isEmpty) {
         val cb = loadCodebook(s, indexRoot)
-        val merged = loadCodes(s, indexRoot).select("vec_id", "cell", "codes")
-          .unionByName(encodeAgainst(assignAgainst(admitted, cb), cb))
-        commitVersion(s, indexRoot, cur + 1, cb, merged, batchId,
-          incarnationId, retain)
+        val pqcb = loadPqCodebook(s, indexRoot)
+        appendEncoded(s, indexRoot, cur, cb, pqcb,
+          encodeCorpus(admitted, cb, pqcb), batchId, incarnationId, retain)
       }
     }
     verdicts
@@ -1108,7 +1289,7 @@ object VectorIndex {
     val root = defaultAdmitRoot(dir)
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index:${fingerprint(base)}"
+    val want = s"index.t:${fingerprint(base)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
       .getOrElse(buildIndexFrom(base, root))
@@ -1143,15 +1324,13 @@ object VectorIndex {
     val root = defaultRoot(dir)
     ensureIndex(s, dir, root)
     graft.functions.GraftFunctions.register(s)
-    val cb = loadCodebook(s, root)
-    val csub = cb.selectExpr("cid", "cv AS v").selectExpr("cid", subEx)
-      .select(col("cid"), col("s.j").as("cj"), col("s.sv").as("cv"))
     val perj = loadCodes(s, root)
       .join(VectorOps.vecs(s, dir).select("vec_id", "v"), Seq("vec_id"))
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")), col("v"))
       .withColumn("sv", expr("slice(v, 8 * j + 1, 8)"))
-      .join(broadcast(csub), col("j") === col("cj") && col("code") === col("cid"))
+      .join(broadcast(loadPqCodebook(s, root)),
+        col("j") === col("cj") && col("code") === col("cid"))
       .selectExpr("vec_id", "cell", s"$l2 AS d2")
     perj.groupBy("vec_id", "cell")
       .agg(round(sum("d2"), 6).as("err"))
@@ -1160,6 +1339,65 @@ object VectorIndex {
         (round(sum("err"), 6) / count(lit(1))).as("mean_err"),
         max("err").as("max_err"))
       .orderBy("cell")
+  }
+
+
+  // ---------------------------------------------------------------- e57
+
+  /** Recall@5 vs shortlist depth for the TRAINED committed index —
+    * e39's sweep (the structural codebook's measurement: recall@5 of
+    * 0.4 at depth 10) re-run against the artifact [[buildIndexFrom]]
+    * now commits, so the trained-quantizer claim is an oracle-checked
+    * NUMBER, not an argument: per depth n ∈ {5, 10, 25, 50}, recall@5
+    * of the exact-re-rank pipeline whose ADC shortlist ranks the
+    * committed codes against the query's trained lookup table. The
+    * re-rank stage is exact cosine, so recall@5(n) = |exact top-5 ∩
+    * ADC shortlist(n)| / 5, and the whole sweep reads one 50-deep
+    * ranking (depths are prefixes — e39's monotone construction).
+    * IndexSpec carries the trained ≥ structural gate per depth.
+    *
+    * Scale shape: one scan of the committed 8-byte codes (full index,
+    * deliberately — the sweep audits PQ quality in isolation from the
+    * IVF probe), a ≤50-row window, a 5-row exact side from raw
+    * vectors. Run on the audit cadence, not per query.
+    */
+  def trainedShortlistSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = defaultRoot(dir)
+    ensureIndex(s, dir, root)
+    graft.functions.GraftFunctions.register(s)
+    val e = VectorOps.vecs(s, dir)
+    val q = e.filter(col("vec_id") === 0).selectExpr("v AS qv")
+    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
+      .select(col("s.j").as("j"), col("s.sv").as("sv"))
+    val qtab = qsub.join(broadcast(loadPqCodebook(s, root)),
+        col("j") === col("cj"))
+      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    val short50 = loadCodes(s, root).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .groupBy("vec_id")
+      .agg(round(sum("qd2"), 6).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id")).limit(50)
+      .withColumn("adc_rank", row_number().over(
+        Window.orderBy(col("approx_d2"), col("vec_id"))))
+      .select("vec_id", "adc_rank")
+    val exact5 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .selectExpr("vec_id", "round(cosine_similarity(v, qv), 6) AS cos_sim")
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(5)
+      .join(broadcast(short50), Seq("vec_id"), "left")
+    val grid = VectorOps.PqShortlists
+      .map(n => s.range(1).select(lit(n).as("n_shortlist")))
+      .reduce(_.unionByName(_))
+    exact5.crossJoin(broadcast(grid))
+      .groupBy("n_shortlist")
+      .agg(sum(when(col("adc_rank") <= col("n_shortlist"), 1L)
+        .otherwise(0L)).as("n_hits"))
+      .select(col("n_shortlist"), col("n_hits"),
+        (col("n_hits") / lit(5.0)).as("recall_at_5"))
+      .orderBy("n_shortlist")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -1184,7 +1422,9 @@ object VectorIndex {
     QueryDef("e55_graph_insert", graphInsertServed,
       Some(VectorOps.graphInsertOracle)),
     QueryDef("e56_graph_maintained_recall", graphMaintainedRecall,
-      Some(VectorOps.graphMaintainedRecallOracle)))
+      Some(VectorOps.graphMaintainedRecallOracle)),
+    QueryDef("e57_trained_shortlist_sweep", trainedShortlistSweep,
+      Some(VectorOps.trainedShortlistSweepOracle)))
 
   // ---------------------------------------------------------------- e56
 

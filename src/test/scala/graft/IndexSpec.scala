@@ -4,10 +4,12 @@ import graft.ext.{VectorIndex, VectorOps}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF-PQ index lifecycle ([[graft.ext.VectorIndex]]):
-  * build → commit → load → serve roundtrip, torn-read impossibility
-  * through the marker protocol, fingerprint-guarded reuse, version
-  * pruning, the partition-pruned probe read, and incremental append ≡
-  * batch build over the union.
+  * build (TRAINED quantizers) → commit → load → serve roundtrip,
+  * torn-read impossibility through the marker protocol, fingerprint-
+  * guarded reuse, version pruning, the partition-pruned probe read,
+  * incremental append ≡ encode-with-the-committed-quantizers (the
+  * fixed-quantizer contract), and the trained-vs-structural recall
+  * gate.
   */
 class IndexSpec extends SparkSpec {
 
@@ -16,14 +18,32 @@ class IndexSpec extends SparkSpec {
 
   private def fullVecs = VectorOps.vecs(spark, sf0001).select("vec_id", "v")
 
-  test("build -> commit -> load -> serve equals the inline e24 twin") {
+  test("build -> commit -> load -> serve: deterministic, and the artifact is TRAINED") {
     val root = tmpRoot("roundtrip")
     val v0 = VectorIndex.buildIndex(spark, sf0001, root)
     assert(v0 == 0L)
     assert(VectorIndex.latestVersion(spark, root).contains(0L))
     val served = VectorIndex.serveIvfPqKnn(spark, sf0001, root).collect()
-    val inline = VectorOps.ivfPqKnn(spark, sf0001).collect()
-    assert(served.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq)
+    assert(served.length == 5)
+    // a second from-scratch build serves bit-identically (training is
+    // deterministic: fixed seed, fixed rounds, pinned rounding/ties)
+    val root2 = tmpRoot("roundtrip2")
+    VectorIndex.buildIndex(spark, sf0001, root2)
+    val served2 = VectorIndex.serveIvfPqKnn(spark, sf0001, root2).collect()
+    assert(served.map(_.toSeq).toSeq == served2.map(_.toSeq).toSeq)
+    // the committed coarse codebook is the TRAINED one — Lloyd moved
+    // the centroids off the structural 16-lowest-vec_id stand-in
+    val structural = fullVecs.filter(col("vec_id") < 16)
+      .selectExpr("vec_id AS cid", "v AS cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    val committed = VectorIndex.loadCodebook(spark, root).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    assert(committed.nonEmpty && committed.forall(c => c._1 < 16))
+    assert(committed.exists(c => structural(c._1) != c._2),
+      "training must move centroids off the structural seed")
+    // and the PQ codebooks committed beside it (8 subspaces)
+    val pq = VectorIndex.loadPqCodebook(spark, root)
+    assert(pq.select("cj").distinct().count() == 8)
   }
 
   test("torn reads are impossible: no marker, no version") {
@@ -108,7 +128,10 @@ class IndexSpec extends SparkSpec {
     val rootB = tmpRoot("batch")
     VectorIndex.buildIndexFrom(e.filter(col("vec_id") < cut), rootA)
     VectorIndex.appendBatch(e.filter(col("vec_id") >= cut), rootA, 0L, "spec")
-    VectorIndex.buildIndexFrom(e, rootB)
+    // the witness encodes the union against rootA's committed TRAINED
+    // quantizers (the fixed-quantizer contract: appends never retrain;
+    // a from-scratch rebuild would train on the union and differ)
+    VectorIndex.commitEncodedWith(e, rootA, rootB)
     def snap(root: String) = VectorIndex.loadCodes(spark, root)
       .selectExpr("vec_id", "cell", "codes")
       .collect().map(r => (r.getLong(0), r.getLong(1),
@@ -163,6 +186,50 @@ class IndexSpec extends SparkSpec {
     assert(codeScans.nonEmpty && codeScans.forall(_.partitionFilters.nonEmpty))
   }
 
+  test("training beats the structural seed: PQ quantization error strictly down") {
+    // Lloyd monotonicity made measurable: each k-means round can only
+    // lower the summed quantization error vs the codebook it started
+    // from, and the seed IS the old structural codebook — so the
+    // committed trained quantizers must reconstruct strictly better on
+    // the corpus they trained on.
+    val e = fullVecs
+    val sub = e.selectExpr("vec_id",
+      """explode(transform(sequence(0, 7),
+        |  j -> struct(j AS j, slice(v, 8 * j + 1, 8) AS sv))) AS s""".stripMargin)
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    def totalErr(pq: org.apache.spark.sql.DataFrame): Double =
+      sub.join(broadcast(pq), col("j") === col("cj"))
+        .selectExpr("vec_id", "j",
+          """round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+            |  0D, (a, x) -> a + x), 6) AS d2""".stripMargin)
+        .groupBy("vec_id", "j").agg(min("d2").as("best"))
+        .agg(sum("best")).head().getDouble(0)
+    val structural = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("j").as("cj"), col("sv").as("cv"))
+    val trained = VectorIndex.trainPq(e)
+    val errT = totalErr(trained)
+    val errS = totalErr(structural)
+    assert(errT < errS,
+      s"trained PQ must reconstruct better than its structural seed: $errT vs $errS")
+  }
+
+  test("trained index serving recall >= structural at every shortlist depth (sf0.01)") {
+    // the serving-quality gate on the real corpus: e57 (the sweep off
+    // the TRAINED committed artifact) against e39 (the structural
+    // codebook's inline sweep), depth by depth — measured, not argued
+    val dir = "/root/testdata/sf0.01"
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val t = hits(VectorIndex.trainedShortlistSweep(spark, dir))
+    val st = hits(VectorOps.pqShortlistSweep(spark, dir))
+    VectorOps.PqShortlists.foreach { n =>
+      assert(t(n) >= st(n),
+        s"trained recall regressed at depth $n: ${t(n)} < ${st(n)}")
+    }
+    assert(t(10) > st(10),
+      s"trained must strictly beat structural at depth 10: $t vs $st")
+  }
+
   // ------------------------------------------- deletion vectors (e50)
 
   test("delete on a codes version is metadata-only; the live view shades the ids") {
@@ -200,8 +267,11 @@ class IndexSpec extends SparkSpec {
       .select("vec_id")
     VectorIndex.buildIndexFrom(fullVecs, dvRoot)
     VectorIndex.deleteIds(spark, dvRoot, del, 1L, "del")
-    VectorIndex.buildIndexFrom(
-      fullVecs.join(del, Seq("vec_id"), "left_anti"), rebuildRoot)
+    // rebuild witness: encode the reduced corpus against the DV side's
+    // committed quantizers (trained on the FULL corpus before the
+    // delete — a from-scratch rebuild would retrain on the survivors)
+    VectorIndex.commitEncodedWith(
+      fullVecs.join(del, Seq("vec_id"), "left_anti"), dvRoot, rebuildRoot)
     def snap(root: String) = VectorIndex.loadCodes(spark, root)
       .selectExpr("vec_id", "cell", "codes").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
@@ -212,30 +282,115 @@ class IndexSpec extends SparkSpec {
       VectorIndex.serveIvfPqKnn(spark, sf0001, rebuildRoot).collect().map(_.toSeq).toSeq)
   }
 
-  test("delete-then-append keeps the DV version's referenced base inside the prune window") {
+  test("delete-then-append keeps the chain's base inside the prune window; compaction retires it") {
     val root = tmpRoot("dv-append")
     import spark.implicits._
     VectorIndex.buildIndexFrom(fullVecs, root)                     // v0: codes
     VectorIndex.deleteIds(spark, root, Seq(3L).toDF("vec_id"), 1L, "del") // v1: DV → v0
     val fresh = fullVecs.limit(1).selectExpr("vec_id + 1000000 AS vec_id", "v")
-    val v2 = VectorIndex.appendBatch(fresh, root, 2L, "app")       // v2: self-contained
+    val v2 = VectorIndex.appendBatch(fresh, root, 2L, "app")       // v2: delta → v0
     assert(v2 == 2L)
-    // retain=2 keeps markers {v1, v2}; a reader that resolved v1 just
-    // before the flip still needs v0's codes — the chain-aware prune
-    // must keep the referenced base (the naive newest-2 sweep deleted it)
+    // retain=2 keeps markers {v1, v2}; both reference v0's codes — the
+    // chain-aware prune must keep the base (the naive newest-2 sweep
+    // deleted it, breaking readers inside the documented lease)
     assert(new java.io.File(root, "v0/codes").exists(),
-      "DV version v1 references v0's codes — v0 must survive v2's prune")
-    // the live view (v2) already resolved the tombstone: id 3 stays gone
-    assert(VectorIndex.loadCodes(spark, root)
-      .filter(col("vec_id") === 3L).count() == 0)
-    // one more self-contained commit retires v1; v0 is then unreferenced
+      "the chain references v0's codes — v0 must survive v2's prune")
+    // the append is an O(batch) DELTA commit, not a corpus rewrite
+    assert(new java.io.File(root, "v2/codes-delta").exists())
+    assert(!new java.io.File(root, "v2/codes").exists())
+    // the live view: tombstoned id 3 gone, the appended id present
+    val live = VectorIndex.loadCodes(spark, root)
+    assert(live.filter(col("vec_id") === 3L).count() == 0)
+    assert(live.filter(col("vec_id") >= 1000000L).count() == 1)
+    // compaction folds the chain to one self-contained version (v3);
+    // one more commit after that retires the old chain entirely
+    assert(VectorIndex.compactIndex(spark, root).contains(3L))
+    assert(new java.io.File(root, "v3/codes").exists())
     VectorIndex.appendBatch(
       fullVecs.limit(1).selectExpr("vec_id + 2000000 AS vec_id", "v"),
-      root, 3L, "app")                                             // v3
+      root, 4L, "app")                                             // v4: delta → v3
     val names = new java.io.File(root).list().toSet
-    assert(!names.contains("v0") && !names.contains("v1"),
-      s"unreferenced chain must prune once the lease expires: $names")
-    assert(names.contains("v2") && names.contains("v3"), names.toString)
+    assert(!names.contains("v0") && !names.contains("v1") && !names.contains("v2"),
+      s"folded-away chain must prune once the lease expires: $names")
+    assert(names.contains("v3") && names.contains("v4"), names.toString)
+    // live view after the fold chain: still exactly base ∖ {3} ∪ appends
+    val after = VectorIndex.loadCodes(spark, root)
+    assert(after.filter(col("vec_id") === 3L).count() == 0)
+    assert(after.filter(col("vec_id") >= 1000000L).count() == 2)
+  }
+
+  test("append commits are delta-sized: on-disk bytes scale with the batch, not the corpus") {
+    val root = tmpRoot("delta-size")
+    VectorIndex.buildIndexFrom(fullVecs, root)                     // v0
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val baseBytes = dirBytes(new java.io.File(root, "v0/codes"))
+    val n = fullVecs.count()
+    val one = fullVecs.limit(1).selectExpr("vec_id + 5000000 AS vec_id", "v")
+    VectorIndex.appendBatch(one, root, 0L, "sz")                   // v1: delta
+    val v1 = new java.io.File(root, "v1")
+    assert(new java.io.File(v1, "codes-delta").exists() &&
+      !new java.io.File(v1, "codes").exists(),
+      "a single-vector append must commit a delta, not rewrite the corpus")
+    val deltaBytes = dirBytes(new java.io.File(v1, "codes-delta"))
+    assert(deltaBytes * 4 < baseBytes,
+      s"append bytes must be batch-sized: delta=$deltaBytes base=$baseBytes")
+    // the union view serves the full corpus + the append
+    assert(VectorIndex.loadCodes(spark, root).count() == n + 1)
+    // and the probe read is STILL partition-pruned through the union:
+    // the cell filter reaches base and delta scans alike
+    val pruned = VectorIndex.loadCodes(spark, root)
+      .filter(col("cell").isin(0L, 3L))
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "cell probe must stay a partition filter on every segment scan")
+  }
+
+  test("text-index admission commits are delta-sized; forget-then-admit keeps the base") {
+    import graft.ext.TextIndex
+    import spark.implicits._
+    def mkText(stem: String) = (1 to 30).map(i => s"$stem$i").mkString(" ")
+    val base = (1L to 6L).map(i => (i, mkText(s"w$i"))).toDF("doc_id", "text")
+    val primary = base
+    val root = tmpRoot("text-delta")
+    TextIndex.buildIndexFrom(base, root)                           // v0
+    TextIndex.forgetDocs(spark, root, Seq(2L).toDF("doc_id"), 1L, "f") // v1: DV
+    // admit a novel doc: O(batch) postings-delta commit on the chain
+    TextIndex.admitBatch(Seq((10L, mkText("z"))).toDF("doc_id", "text"),
+      primary, root, 2L, "a")                                      // v2: delta
+    assert(new java.io.File(root, "v2/postings-delta").exists() &&
+      !new java.io.File(root, "v2/postings").exists())
+    // the base postings survive the prune (v1/v2 both reference v0)
+    assert(new java.io.File(root, "v0/postings").exists())
+    val live = TextIndex.loadPostings(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(live == (1L to 6L).toSet - 2L + 10L,
+      s"forgotten doc shaded, admitted doc live: $live")
+  }
+
+  test("append chains auto-fold at the threshold") {
+    val root = tmpRoot("fold")
+    VectorIndex.buildIndexFrom(fullVecs, root)                     // v0
+    // 8 delta appends fill the chain; the 9th folds to a codes version
+    (1 to 9).foreach { i =>
+      VectorIndex.appendBatch(
+        fullVecs.limit(1).selectExpr(s"vec_id + ${6000000 + i} AS vec_id", "v"),
+        root, i.toLong, "fold")
+    }
+    assert(VectorIndex.latestVersion(spark, root).contains(9L))
+    (1 to 8).foreach { i =>
+      if (new java.io.File(root, s"v$i").exists())
+        assert(new java.io.File(root, s"v$i/codes-delta").exists() ||
+          !new java.io.File(root, s"v$i").exists())
+    }
+    assert(new java.io.File(root, "v9/codes").exists(),
+      "the 9th append must auto-fold the chain into a codes version")
+    assert(VectorIndex.loadCodes(spark, root).count() ==
+      fullVecs.count() + 9)
   }
 
   test("a second delete compacts: codes rewritten, tombstone chain reset") {

@@ -140,6 +140,7 @@ class PlanSpec extends SparkSpec {
       "q45_lorenz_gini" -> "Lorenz cum-share + trapezoid lag over the 10-row decile aggregate",
       "t53_session_type_pmi" -> "vocabulary code assignment over the |types|-row distinct aggregate",
       "e39_pq_shortlist_sweep" -> "adc_rank over the TakeOrdered ≤50-row shortlist",
+      "e57_trained_shortlist_sweep" -> "adc_rank over the TakeOrdered ≤50-row shortlist (e39's shape off the trained artifact)",
       "q37_percent_of_parent" -> "grand-total window over the 25-row nation aggregate",
       "q38_rank_metrics" -> "bucket-offset frame: ≤ nBuckets=1000 rows",
       "t01_hourly_value_ma" -> "centered MA over the hourly rollup: calendar-bounded",
@@ -251,6 +252,7 @@ class PlanSpec extends SparkSpec {
       "e32_cluster_balanced_resample", "e33_pq_codebook_train",
       "e34_silhouette", "e35_knn_label_eval", "e36_embedding_drift",
       "e37_sq_bits_sweep", "e38_ivf_cells_sweep", "e39_pq_shortlist_sweep",
+      "e57_trained_shortlist_sweep",
       "e40_graph_walk_recall", "e41_hybrid_rrf_retrieval",
       "e42_graph_walk_depth_sweep", "e43_graph_walk_beam_sweep",
       "e44_knn_outlier_audit", "e45_matryoshka_recall_sweep",

@@ -1164,13 +1164,18 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(VectorIndex.latestVersion(spark, rootS).contains(2L))
     } finally q.stop()
-    VectorIndex.buildIndexFrom(e, rootB)
+    // the batch witness ENCODES the union against rootS's committed
+    // (seed-trained) quantizers — the fixed-quantizer contract: appends
+    // never retrain, so the convergence target is encode-with-the-
+    // committed-codebooks, not a from-scratch rebuild (which would
+    // train on the full corpus and hold different centroids)
+    VectorIndex.commitEncodedWith(e, rootS, rootB)
     def snap(root: String) = VectorIndex.loadCodes(spark, root)
       .selectExpr("vec_id", "cell", "codes").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
       .sortBy(_._1).toSeq
     assert(snap(rootS) == snap(rootB),
-      "streamed appends must converge to the batch-built index")
+      "streamed appends must converge to the batch-encoded index")
   }
 
   test("graphInsertSink: streamed inserts maintain the committed graph; later batches can reach earlier inserts") {
@@ -1232,10 +1237,12 @@ class StreamingSpec extends SparkSpec {
       ms.addData(Seq((100L, v100))) // novel — admitted, coded as v1
       q.processAllAvailable()
       assert(VectorIndex.latestVersion(spark, root).contains(1L))
-      // scaled copy of the batch-1 admit — rejected by the probe
+      // scaled copy of the batch-1 admit — rejected by the probe; an
+      // all-dup batch admits nothing, so NO commit happens (no version
+      // churn for no-op input)
       ms.addData(Seq((200L, v100.map(_ * 1.01))))
       q.processAllAvailable()
-      assert(VectorIndex.latestVersion(spark, root).contains(2L))
+      assert(VectorIndex.latestVersion(spark, root).contains(1L))
     } finally q.stop()
     val indexed = VectorIndex.loadCodes(spark, root)
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -1262,9 +1269,11 @@ class StreamingSpec extends SparkSpec {
       ms.addData(Seq((10L, tC))) // novel — admitted, indexed as v1
       q.processAllAvailable()
       assert(TextIndex.latestVersion(spark, root).contains(1L))
-      ms.addData(Seq((20L, nd(tC)))) // dups the batch-1 admit — rejected
+      // dups the batch-1 admit — rejected; an all-dup batch admits
+      // nothing, so NO commit happens (no version churn for no-op input)
+      ms.addData(Seq((20L, nd(tC))))
       q.processAllAvailable()
-      assert(TextIndex.latestVersion(spark, root).contains(2L))
+      assert(TextIndex.latestVersion(spark, root).contains(1L))
     } finally q.stop()
     val indexed = TextIndex.loadPostings(spark, root)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
