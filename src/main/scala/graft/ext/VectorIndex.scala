@@ -210,9 +210,46 @@ object VectorIndex {
       .parquet(new org.apache.hadoop.fs.Path(vdir, "pqcodebook").toString)
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
+    // per-cell population stats, committed WITH the artifact (read back
+    // from the just-written files — exact, and costs one 8-byte-row
+    // column scan at build time, never at serve time): the adaptive
+    // probe routes off this ≤16-row table instead of aggregating the
+    // full code table per query
+    writeStatsFrom(s, readCodesDir(s, s"$indexRoot/v$ver/codes"), vdir)
     StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
     StreamOps.pruneChainVersions(fs, root, retain, Seq("codes"))
     ver
+  }
+
+  private def codesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(LongType)),
+      StructField("cell", LongType)))
+  }
+
+  private def readCodesDir(s: SparkSession, path: String): DataFrame =
+    s.read.schema(codesSchema).parquet(path)
+
+  private def writeStatsFrom(s: SparkSession, codes: DataFrame,
+      vdir: org.apache.hadoop.fs.Path): Unit =
+    codes.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "stats").toString)
+
+  /** The committed per-cell population table (cell, cnt) — ≤16 rows,
+    * maintained at every commit (recounted from written codes on
+    * build/fold, merged incrementally on delta appends, decremented on
+    * deletes) so probe-width decisions never scan the code table.
+    */
+  def loadStats(s: SparkSession, indexRoot: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(s, indexRoot).getOrElse(throw new IllegalStateException(
+      s"no committed index version under $indexRoot — build first"))
+    s.read.schema(StructType(Seq(
+        StructField("cell", LongType), StructField("cnt", LongType))))
+      .parquet(s"$indexRoot/v$v/stats")
   }
 
   /** Build (or rebuild) the index from `e` (vec_id, v) as a NEW version
@@ -421,6 +458,16 @@ object VectorIndex {
       ids.select("vec_id").distinct()
         .coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "tombstones").toString)
+      // stats decrement by the deleted ids' cells — the one per-delete
+      // read of the (vec_id, cell) columns; the WRITE stays O(deleted)
+      loadStats(s, indexRoot)
+        .unionByName(loadCodes(s, indexRoot)
+          .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_semi")
+          .groupBy("cell").agg((-count(lit(1))).as("cnt")))
+        .groupBy("cell").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") > 0)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "stats").toString)
     } else {
       // live chain already carries tombstones and/or deltas: COMPACT
       // (live view minus the new ids, rewritten cell-partitioned) — the
@@ -430,6 +477,7 @@ object VectorIndex {
         .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "codes").toString)
+      writeStatsFrom(s, readCodesDir(s, s"$indexRoot/v$ver/codes"), vdir)
     }
     StreamOps.flipCommitMarker(fs, root, ver, stampId, stampTag)
     StreamOps.pruneChainVersions(fs, root, retain, Seq("codes"))
@@ -575,6 +623,15 @@ object VectorIndex {
         .parquet(new org.apache.hadoop.fs.Path(vdir, "pqcodebook").toString)
       fresh.write.mode("overwrite").partitionBy("cell")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "codes-delta").toString)
+      // stats merge incrementally: prior table + the written delta's
+      // per-cell counts — O(batch + 16), the commit never rescans codes
+      loadStats(s, indexRoot)
+        .unionByName(readCodesDir(s,
+            new org.apache.hadoop.fs.Path(vdir, "codes-delta").toString)
+          .groupBy("cell").agg(count(lit(1)).as("cnt")))
+        .groupBy("cell").agg(sum("cnt").as("cnt"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "stats").toString)
       StreamOps.flipCommitMarker(fs, root, ver, batchId, incarnationId)
       StreamOps.pruneChainVersions(fs, root, retain, Seq("codes"))
       ver
@@ -1094,14 +1151,25 @@ object VectorIndex {
     val cb = loadCodebook(s, indexRoot)
     val q = VectorOps.vecs(s, dataDir).filter(col("vec_id") === 0)
       .selectExpr("v AS qv")
-    val cellCounts = loadCodes(s, indexRoot).filter(col("vec_id") =!= 0)
-      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    // cell populations come from the COMMITTED ≤16-row stats table —
+    // the probe-width decision never scans the code table (the stats
+    // are maintained at every commit). The query vector itself is not
+    // an answer, so its own cell's count drops by one; its assigned
+    // cell IS the top-1 routed cell (assignment ≡ routing, same argmax
+    // + lowest-cid tie-break — both engines replay this identically).
+    val cellCounts = loadStats(s, indexRoot)
     // the routing table: 16 rows — the unpartitioned running sum is
     // bounded by the codebook size, never by data
-    val routed = cb.crossJoin(broadcast(q))
+    val routed0 = cb.crossJoin(broadcast(q))
       .selectExpr("cid", "cosine_similarity(cv, qv) AS cs")
       .join(cellCounts, col("cid") === col("cell"), "left")
       .select(col("cid"), col("cs"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val routed = routed0
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cs"), col("cid"))))
+      .withColumn("cnt", when(col("rk") === 1, col("cnt") - 1)
+        .otherwise(col("cnt")))
+      .drop("rk")
     val wr = Window.orderBy(desc("cs"), col("cid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val probed = routed

@@ -574,6 +574,54 @@ class IndexSpec extends SparkSpec {
     assert(ds == ds.sorted)
   }
 
+  test("adaptive nprobe routes off the committed stats; the only codes scan is the pruned probe") {
+    val root = tmpRoot("anp-stats")
+    VectorIndex.buildIndexFrom(fullVecs, root)
+    // the stats table is committed with the artifact and matches an
+    // actual recount — the invariant every commit path maintains
+    def recount() = VectorIndex.loadCodes(spark, root)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def stats() = VectorIndex.loadStats(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats() == recount(), "build stats must match a recount")
+    // ...through a delta append...
+    VectorIndex.appendBatch(
+      fullVecs.limit(2).selectExpr("vec_id + 7000000 AS vec_id", "v"),
+      root, 1L, "st")
+    assert(stats() == recount(), "append stats must merge incrementally")
+    // ...and through a metadata-only delete
+    import spark.implicits._
+    VectorIndex.compactIndex(spark, root)
+    VectorIndex.deleteIds(spark, root, Seq(5L, 12L).toDF("vec_id"), 2L, "d")
+    assert(stats() == recount(), "delete stats must decrement")
+    // the SERVE plan reads codes only through the partition-pruned
+    // probe — the probe-width decision came from the stats table, so
+    // no full codes scan hides anywhere in the returned plan
+    val served = VectorIndex.serveAdaptiveNprobe(spark, sf0001, root)
+    served.collect()
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      val self = pl match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val codeScans = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty)
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      "every codes scan in the serve plan must be partition-pruned")
+  }
+
   // ----------------------------------------- labeled index (e53)
 
   test("labeled index: the label predicate reaches the code scan as a pushed filter") {
