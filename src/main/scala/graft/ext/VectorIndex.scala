@@ -974,6 +974,154 @@ object VectorIndex {
       .orderBy("src", "rnk")
   }
 
+  // ---------------------------------------------------------------- e58
+
+  def defaultGraphDelRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-graph-del/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** The deterministic slice e58 deletes from the committed graph. */
+  private[graft] def graphDeletePred = "vec_id % 31 = 3"
+
+  /** DELETE from the committed kNN graph with NEIGHBORHOOD REPAIR —
+    * the connect-and-prune rule in reverse (the e55 insert's inverse,
+    * closing the graph family's mutation pair the way e50/d80 closed
+    * IVF-PQ and the text index): removing a node drops its out-list
+    * and every edge pointing at it, and each in-neighbor that lost an
+    * edge INHERITS the removed node's surviving out-neighbors as
+    * reconnection candidates (the deleted node's neighborhood is the
+    * best local approximation of where its in-edges should re-route —
+    * HNSW-family repair), then re-prunes its adjacency to top-3 by
+    * cosine (desc, lowest-dst ties) over surviving ∪ inherited.
+    *
+    * Scale shape: cost is O(|removed| · degree²) — the lost-edge scan
+    * is an anti/semi join on the ≤3-per-node edge table, candidates
+    * per touched node are ≤ degree + degree·degree, and untouched
+    * adjacency rows pass through untouched. Never a rebuild.
+    * Exactly-once by (stampId, stampTag); empty delete sets no-op.
+    */
+  private[graft] def graphDeleteBatch(ids: DataFrame, allVecs: DataFrame,
+      root: String, stampId: Long, stampTag: String,
+      retain: Int = 2): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ids.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, rootP).getOrElse(
+      throw new IllegalStateException(
+        s"graphDeleteBatch needs a committed graph under $root — build first"))
+    if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((stampId, stampTag)))
+      return cur
+    if (ids.isEmpty) return cur
+    val g = loadGraph(s, root)
+    val rm = ids.select("vec_id")
+    val rmSrc = rm.withColumnRenamed("vec_id", "src")
+    val rmDst = rm.withColumnRenamed("vec_id", "dst")
+    // (u, r): u loses its edge to removed r
+    val lost = g.join(broadcast(rmDst), Seq("dst"), "left_semi")
+    // repaired sources: in-neighbors of removed nodes, themselves alive
+    val touched = lost.select("src").distinct()
+      .join(broadcast(rmSrc), Seq("src"), "left_anti")
+    // inherited candidates: u → w for each lost (u, r) and live (r, w)
+    val inherit = lost.select(col("src"), col("dst").as("r"))
+      .join(g.select(col("src").as("r"), col("dst").as("w")), Seq("r"))
+      .select(col("src"), col("w").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(broadcast(rmDst), Seq("dst"), "left_anti")
+      .join(touched, Seq("src"), "left_semi")
+    // surviving adjacency of the touched nodes
+    val surv = g.join(touched, Seq("src"), "left_semi")
+      .join(broadcast(rmDst), Seq("dst"), "left_anti")
+    val cand = surv.unionByName(inherit).distinct()
+    val scored = cand
+      .join(allVecs.selectExpr("vec_id AS src", "v AS sv"), Seq("src"))
+      .join(allVecs.selectExpr("vec_id AS dst", "v AS dv"), Seq("dst"))
+      .selectExpr("src", "dst", "round(cosine_similarity(sv, dv), 6) AS c")
+    val pruned = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(desc("c"), col("dst"))))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    // untouched rows pass through (their dst cannot be removed — a
+    // removed dst makes the src touched)
+    val untouched = g
+      .join(broadcast(rmSrc), Seq("src"), "left_anti")
+      .join(touched, Seq("src"), "left_anti")
+    val merged = untouched.unionByName(pruned)
+    val ver = cur + 1
+    merged.sortWithinPartitions("src").write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
+    StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
+    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
+    ver
+  }
+
+  /** Resolve-or-build the deleted graph: the FULL corpus' committed
+    * graph followed by one repair-delete commit of the slice — e50's
+    * ensure discipline on the graph family (the stamp encodes the
+    * delete RULE, so a changed predicate rebuilds).
+    */
+  private[graft] def ensureDeletedGraph(s: SparkSession, dir: String,
+      root: String): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"graph+del[$graphDeletePred]:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-6L, want)))
+      .getOrElse {
+        val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
+        fs.mkdirs(rootP)
+        VectorOps.knnGraphFrom(e)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+          .sortWithinPartitions("src")
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
+        StreamOps.flipCommitMarker(fs, rootP, ver, -3L,
+          s"graph:${fingerprint(e)}")
+        graphDeleteBatch(e.filter(expr(graphDeletePred)).select("vec_id"),
+          e, root, -6L, want)
+      }
+  }
+
+  /** Registry entry: the REPAIRED adjacency after the delete commit —
+    * every live edge of a repaired (touched) source with its rank in
+    * that source's final list. The oracle replays build → drop →
+    * inherit → re-prune inline from raw data, so the hash pins the
+    * local repair ≡ the declared reverse connect-and-prune semantics
+    * (and, implicitly, that no removed node survives anywhere the
+    * repaired rows can see).
+    */
+  def graphDeleteServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val root = defaultGraphDelRoot(dir)
+    ensureDeletedGraph(s, dir, root)
+    val rm = e.filter(expr(graphDeletePred)).select("vec_id")
+    val live = loadGraph(s, root)
+    // touched = sources that had an edge to a removed node in the BASE
+    // graph; recompute cheaply as: live sources adjacent to nothing
+    // removed whose base adjacency lost a member — instead, replay the
+    // base-graph lost-edge derivation (one ≤3-per-node edge build)
+    val base = VectorOps.knnGraphFrom(e)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val touched = base
+      .join(broadcast(rm.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_semi")
+      .select("src").distinct()
+      .join(broadcast(rm.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
+    live.join(touched, Seq("src"), "left_semi")
+      .join(e.selectExpr("vec_id AS src", "v AS sv"), Seq("src"))
+      .join(e.selectExpr("vec_id AS dst", "v AS dv"), Seq("dst"))
+      .selectExpr("src", "dst", "round(cosine_similarity(sv, dv), 6) AS cos_sim")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy(desc("cos_sim"), col("dst"))))
+      .selectExpr("src", "CAST(rnk AS INT) AS rnk", "dst", "cos_sim")
+      .orderBy("src", "rnk")
+  }
+
   // ---------------------------------------------------------------- e48
 
   /** Registry entry: the 10-query batch served off the ensured index;
@@ -1492,7 +1640,9 @@ object VectorIndex {
     QueryDef("e56_graph_maintained_recall", graphMaintainedRecall,
       Some(VectorOps.graphMaintainedRecallOracle)),
     QueryDef("e57_trained_shortlist_sweep", trainedShortlistSweep,
-      Some(VectorOps.trainedShortlistSweepOracle)))
+      Some(VectorOps.trainedShortlistSweepOracle)),
+    QueryDef("e58_graph_delete_repair", graphDeleteServed,
+      Some(VectorOps.graphDeleteOracle)))
 
   // ---------------------------------------------------------------- e56
 

@@ -552,6 +552,61 @@ class IndexSpec extends SparkSpec {
       s"insert-maintained recall $maintained trails the rebuilt graph's $rebuilt")
   }
 
+  // ------------------------------------ graph delete + repair (e58)
+
+  test("graph delete: no dangling edges, degree <= 3, repair reconnects through the removed node") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def jitter(base: Seq[Double]) = base.map(_ + (rnd.nextDouble() - 0.5) * 0.01)
+    // one tight cluster of 6 + a far cluster of 6: inside a cluster
+    // everyone is everyone's near-neighbor, so removing a hub forces
+    // its in-neighbors to re-route THROUGH its adjacency
+    val cA = Seq.fill(64)(1.0); val cB = Seq.fill(32)(1.0) ++ Seq.fill(32)(-1.0)
+    val vecs = ((0L to 5L).map(i => (i, jitter(cA))) ++
+      (10L to 15L).map(i => (i, jitter(cB)))).toDF("vec_id", "v")
+    val root = tmpRoot("gdel")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorOps.knnGraphFrom(vecs)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .write.parquet(s"$root/v0/edges")
+    graft.streaming.StreamOps.flipCommitMarker(fs, rootP, 0L, -3L, "seed")
+    val before = VectorIndex.loadGraph(spark, root)
+    // pick a hub dynamically: a node with both in- and out-edges (the
+    // LSH bucket assignment decides which ids connect on this fixture)
+    val srcs = before.select("src").collect().map(_.getLong(0)).toSet
+    val dsts = before.select("dst").collect().map(_.getLong(0)).toSet
+    val hub = (srcs intersect dsts).min
+    val inNbrs = before.filter(col("dst") === hub)
+      .select("src").collect().map(_.getLong(0)).toSet
+    val outOfHub = before.filter(col("src") === hub)
+      .select("dst").collect().map(_.getLong(0)).toSet
+    assert(inNbrs.nonEmpty && outOfHub.nonEmpty)
+    VectorIndex.graphDeleteBatch(Seq(hub).toDF("vec_id"), vecs, root, 1L, "d")
+    val live = VectorIndex.loadGraph(spark, root)
+    // no dangling edges: the removed node appears on neither side
+    assert(live.filter(col("src") === hub || col("dst") === hub).count() == 0)
+    // degree bound survives the repair
+    assert(live.groupBy("src").count().agg(max("count")).head().getLong(0) <= 3L)
+    // every in-neighbor that lost its edge re-prunes over surviving ∪
+    // the removed node's out-list (the declared repair candidate set)
+    inNbrs.filter(_ != hub).foreach { u =>
+      val adj = live.filter(col("src") === u).select("dst")
+        .collect().map(_.getLong(0)).toSet
+      val beforeAdj = before.filter(col("src") === u).select("dst")
+        .collect().map(_.getLong(0)).toSet
+      val candidates = (beforeAdj - hub) ++ (outOfHub - u - hub)
+      assert(adj.subsetOf(candidates),
+        s"repair must draw from surviving ∪ inherited: $u -> $adj ⊄ $candidates")
+      assert(adj.size == math.min(3, candidates.size),
+        s"node $u must be repaired to full available degree: $adj")
+    }
+    // a redelivered delete no-ops on its stamp
+    assert(VectorIndex.graphDeleteBatch(Seq(hub).toDF("vec_id"), vecs,
+      root, 1L, "d") == 1L)
+    assert(VectorIndex.latestVersion(spark, root).contains(1L))
+  }
+
   // -------------------------------------- adaptive nprobe (e54)
 
   test("adaptive nprobe widens on sparse cells and still fills k") {

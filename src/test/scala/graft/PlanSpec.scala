@@ -272,6 +272,7 @@ class PlanSpec extends SparkSpec {
       "e54_adaptive_nprobe",
       // graph insert re-scores live edges against raw vectors
       "e55_graph_insert",
+      "e58_graph_delete_repair",
       // the maintained-recall walk + exact witness score raw vectors
       "e56_graph_maintained_recall")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
