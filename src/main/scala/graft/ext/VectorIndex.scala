@@ -974,6 +974,36 @@ object VectorIndex {
       .orderBy("src", "rnk")
   }
 
+  // ---------------------------------------------------------------- e61
+
+  /** BATCHED answer serving off the committed graph artifact — e48's
+    * multi-query amortization on the graph rung: all 10 standard
+    * queries beam-walk the LOADED adjacency in ONE plan (the per-hop
+    * expand joins carry qid, so the graph is probed once per hop for
+    * the whole batch, not once per query), and each query's top-5
+    * final-beam answers emit with their rank — the per-query SERVING
+    * face (answers, not the recall audit e49 reports). Per-query top-k
+    * is a qid-partitioned window — parallel across queries, never a
+    * global funnel.
+    */
+  def graphBatchServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = defaultGraphRoot(dir)
+    ensureGraphIndex(s, dir, root)
+    graft.functions.GraftFunctions.register(s)
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val g = loadGraph(s, root).persist()
+    val q = e.filter(col("vec_id") < 10).selectExpr("vec_id AS qid", "v AS qv")
+    VectorOps.walkFinalBeam(e, g, q)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("vid"))))
+      .filter(col("rnk") <= 5)
+      .selectExpr("qid", "CAST(rnk AS INT) AS rnk", "vid",
+        "c AS cos_sim")
+      .orderBy("qid", "rnk")
+  }
+
   // ---------------------------------------------------------------- e58
 
   def defaultGraphDelRoot(dataDir: String): String =
@@ -1642,7 +1672,9 @@ object VectorIndex {
     QueryDef("e57_trained_shortlist_sweep", trainedShortlistSweep,
       Some(VectorOps.trainedShortlistSweepOracle)),
     QueryDef("e58_graph_delete_repair", graphDeleteServed,
-      Some(VectorOps.graphDeleteOracle)))
+      Some(VectorOps.graphDeleteOracle)),
+    QueryDef("e61_graph_batch_served", graphBatchServed,
+      Some(VectorOps.graphBatchServedOracle)))
 
   // ---------------------------------------------------------------- e56
 

@@ -552,6 +552,28 @@ class IndexSpec extends SparkSpec {
       s"insert-maintained recall $maintained trails the rebuilt graph's $rebuilt")
   }
 
+  // ---------------------------------- batched graph serving (e61)
+
+  test("batched graph serving: the q0 slice equals the single-query walk") {
+    val served = VectorIndex.graphBatchServed(spark, sf0001).collect()
+    assert(served.map(_.getLong(0)).distinct.length == 10,
+      "all 10 queries answered in one plan")
+    val e = VectorOps.vecs(spark, sf0001).select("vec_id", "v")
+    val g = VectorIndex.loadGraph(spark,
+      VectorIndex.defaultGraphRoot(sf0001))
+    val q0 = e.filter(col("vec_id") === 0)
+      .selectExpr("vec_id AS qid", "v AS qv")
+    val single = VectorOps.walkFinalBeam(e, g, q0)
+      .filter(col("vid") =!= col("qid"))
+      .orderBy(desc("c"), col("vid")).limit(5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val batchQ0 = served.filter(_.getLong(0) == 0L)
+      .sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(batchQ0 == single,
+      s"q0 through the batch path must equal the single-query walk: $batchQ0 vs $single")
+  }
+
   // ------------------------------------ graph delete + repair (e58)
 
   test("graph delete: no dangling edges, degree <= 3, repair reconnects through the removed node") {

@@ -273,6 +273,8 @@ class PlanSpec extends SparkSpec {
       // graph insert re-scores live edges against raw vectors
       "e55_graph_insert",
       "e58_graph_delete_repair",
+      "e59_knn_label_eval_sampled", "e60_top_pairs_sampled",
+      "e61_graph_batch_served",
       // the maintained-recall walk + exact witness score raw vectors
       "e56_graph_maintained_recall")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
