@@ -2312,6 +2312,179 @@ object TextOps {
        |FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d81
+
+  /** END-TO-END curation pipeline — the applied stages this surface
+    * ships individually (d31 quality filter → d78 near-dup dedup → d53
+    * decontamination → d49 cluster-safe split → d47 token-budget fill)
+    * CHAINED into one corpus-in / corpus-out verdict table, pinning
+    * stage COMPOSITION (order and data flow between stages) cross-
+    * engine rather than each stage in isolation. One row per input
+    * document:
+    *   q_pass     — d31's hard rule verdict;
+    *   keeper     — survived stage 1 AND is its near-dup cluster's
+    *                canonical keeper (dedup runs AMONG stage-1
+    *                survivors: banded pair generation is pair-local,
+    *                so the survivor-filtered pair set IS the survivor
+    *                corpus's pair set);
+    *   clean      — keeper on the train side (bucket < 95) and not
+    *                contaminated against the held-out eval slice
+    *                (≥5 shared trigram shingles — d53's rule; eval
+    *                docs are the benchmark and never enter the
+    *                pipeline);
+    *   split      — d49's leakage-free split of the clean docs, keyed
+    *                on the dedup CLUSTER id (near-dups can never
+    *                straddle the cut — here keepers are singletons per
+    *                cluster by construction, so the key equals the
+    *                keeper id, which is exactly the composition fact
+    *                the chain pins);
+    *   in_budget  — d47's per-source cumulative token fill (budget
+    *                600, uniq_ratio DESC order) over the final TRAIN
+    *                split only;
+    *   final_kept — clean AND (train ⇒ in_budget): the corpus the run
+    *                would actually train on, plus its held-out splits.
+    *
+    * Scale shape: every stage keeps its standalone plan's posture —
+    * the rule filter is one scan, dedup is banded-LSH pairs + the
+    * O(log²) CC rounds over survivor edges only, decontamination is
+    * the broadcast eval-side shingle join, the split is a hash, and
+    * the budget fill windows per source. No stage re-reads the corpus
+    * for data another stage already carries.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    // stage 1 — d31 quality rule
+    val quality = ruleFilter(s, dir).select(col("doc_id"), col("pass").as("q_pass"))
+    val surv1 = quality.filter(col("q_pass")).select("doc_id")
+    // stage 2 — d78 dedup among survivors
+    val pairs = minhashLshPairs(s, dir)
+      .join(surv1.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"), "left_semi")
+      .join(surv1.withColumnRenamed("doc_id", "doc_id_2"), Seq("doc_id_2"), "left_semi")
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val lab = surv1.join(connectedComponents(edges), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val keepers = lab.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "cluster_id")
+    // stage 3 — d53 decontamination of the train side
+    val flagged = contamination(s, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = keepers
+      .join(docs.selectExpr("doc_id", docBucket), Seq("doc_id"))
+      .filter(col("bucket") < 95)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    // stage 4 — d49 cluster-safe split of the clean docs
+    val split = clean
+      .selectExpr("doc_id",
+        s"pmod(${md5h60("CAST(cluster_id AS STRING)")}, 100) AS bucket")
+      .selectExpr("doc_id", splitCase)
+    // stage 5 — d47 budget fill within the final train split
+    val ranked = split.filter(col("split") === "train")
+      .join(docs.selectExpr("doc_id", "source",
+        "size(split(text,' ')) AS n_tokens",
+        """size(array_distinct(split(text,' '))) * 1.0D
+          |  / size(split(text,' ')) AS uniq_ratio""".stripMargin), Seq("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("uniq_ratio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = ranked.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), (col("cum") <= 600L).as("in_budget"))
+    // verdict assembly — one row per INPUT document
+    quality
+      .join(keepers.select("doc_id").withColumn("k", lit(true)), Seq("doc_id"), "left")
+      .join(clean.select("doc_id").withColumn("c", lit(true)), Seq("doc_id"), "left")
+      .join(split, Seq("doc_id"), "left")
+      .join(budget, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "q_pass",
+        "coalesce(k, false) AS keeper",
+        "coalesce(c, false) AS clean",
+        "split",
+        "coalesce(in_budget, false) AS in_budget",
+        """coalesce(c, false) AND
+          |  (split <> 'train' OR coalesce(in_budget, false)) AS final_kept""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  private val curationPipelineSql =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |q AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(replace(text, ' ', '')) AS n_alpha,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |qv AS (
+       |  SELECT doc_id,
+       |    (n_tokens BETWEEN 50 AND 100000)
+       |    AND (CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0)
+       |    AND (list_contains(toks, 'the') AND list_contains(toks, 'a'))
+       |      AS q_pass
+       |  FROM q),
+       |s1 AS (SELECT doc_id FROM qv WHERE q_pass),
+       |ss AS (SELECT s.doc_id, s.sh FROM s JOIN s1 USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |lab AS (SELECT s1.doc_id, coalesce(cc.cluster_id, s1.doc_id) AS cluster_id
+       |        FROM s1 LEFT JOIN cc USING (doc_id)),
+       |keep AS (SELECT min(doc_id) AS doc_id, cluster_id
+       |         FROM lab GROUP BY cluster_id),
+       |bk AS (SELECT doc_id, $docBucketSql FROM documents),
+       |cont AS (
+       |  SELECT DISTINCT a.doc_id FROM s a JOIN bk ba USING (doc_id)
+       |  JOIN s b ON TRUE JOIN bk bb ON b.doc_id = bb.doc_id
+       |  WHERE ba.bucket < 95 AND bb.bucket >= 95
+       |    AND len(list_intersect(a.sh, b.sh)) >= 5),
+       |clean AS (
+       |  SELECT keep.doc_id, keep.cluster_id
+       |  FROM keep JOIN bk USING (doc_id)
+       |  WHERE bk.bucket < 95
+       |    AND keep.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |sp AS (
+       |  SELECT doc_id, $splitCase FROM (
+       |    SELECT doc_id,
+       |      ${md5h60Sql("CAST(cluster_id AS VARCHAR)")} % 100 AS bucket
+       |    FROM clean)),
+       |rk AS (
+       |  SELECT sp.doc_id, d.source,
+       |    len(string_split(d.text,' ')) AS n_tokens,
+       |    len(list_distinct(string_split(d.text,' '))) * 1.0 /
+       |      len(string_split(d.text,' ')) AS uniq_ratio
+       |  FROM sp JOIN documents d USING (doc_id) WHERE sp.split = 'train'),
+       |bud AS (
+       |  SELECT doc_id, cum <= 600 AS in_budget FROM (
+       |    SELECT doc_id, sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY uniq_ratio DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM rk))
+       |SELECT qv.doc_id, qv.q_pass,
+       |  keep.doc_id IS NOT NULL AS keeper,
+       |  clean.doc_id IS NOT NULL AS clean,
+       |  sp.split,
+       |  coalesce(bud.in_budget, false) AS in_budget,
+       |  clean.doc_id IS NOT NULL AND
+       |    (sp.split <> 'train' OR coalesce(bud.in_budget, false)) AS final_kept
+       |FROM qv
+       |LEFT JOIN keep ON qv.doc_id = keep.doc_id
+       |LEFT JOIN clean ON qv.doc_id = clean.doc_id
+       |LEFT JOIN sp ON qv.doc_id = sp.doc_id
+       |LEFT JOIN bud ON qv.doc_id = bud.doc_id
+       |ORDER BY qv.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d77
 
   /** CCNet-style perplexity bucketing APPLIED (Wenzek et al. 2020,
@@ -5242,6 +5415,8 @@ object TextOps {
       Some(minhashWidthSweepSql)),
     QueryDef("d77_perplexity_buckets", perplexityBuckets,
       Some(perplexityBucketsSql)),
+    QueryDef("d81_curation_pipeline", curationPipeline,
+      Some(curationPipelineSql)),
     QueryDef("d78_apply_minhash_dedup", applyMinhashDedup,
       Some(applyMinhashDedupSql)),
   )

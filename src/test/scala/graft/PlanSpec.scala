@@ -202,6 +202,7 @@ class PlanSpec extends SparkSpec {
     graft.ext.VectorOps.clearSharedFrames()
     spark.sharedState.cacheManager.clearCache()
     val textReaders = Set(
+      "d81_curation_pipeline",
       "d01_exact_dedup", "d02_token_stats", "d03_quality_score",
       "d04_lang_id", "d05_jaccard_dup_pairs", "d06_minhash_lsh_pairs",
       "d07_simhash_pairs", "d08_winnow_fingerprint", "d09_token_frequencies",
