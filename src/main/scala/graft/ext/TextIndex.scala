@@ -194,6 +194,19 @@ object TextIndex {
     c
   }
 
+  /** Fold the live chain (base ∖ tombstones ∪ deltas) into ONE
+    * self-contained postings version — [[VectorIndex.compactIndex]]'s
+    * maintenance shape on the text family, stamped (−2, "optimize").
+    * None before the first commit.
+    */
+  def compactIndex(s: SparkSession, root: String,
+      retain: Int = 2): Option[Long] =
+    latestVersion(s, root).map { cur =>
+      commitVersion(s, root, cur + 1,
+        loadPostings(s, root).select("doc_id", "band", "bh"),
+        -2L, "optimize", retain)
+    }
+
   /** Forget documents — GDPR-style removal from the dedup index: a
     * forget on a postings-owning version commits METADATA ONLY
     * (cumulative doc-id tombstones; the posting files are referenced

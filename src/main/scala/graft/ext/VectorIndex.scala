@@ -1088,6 +1088,29 @@ object VectorIndex {
     ver
   }
 
+  /** Streaming deletion sink for the graph index: each micro-batch of
+    * (vec_id) delete requests commits one repair-delete through
+    * [[graphDeleteBatch]] against the re-resolved committed version —
+    * the fourth streaming maintenance path beside [[indexAppendSink]],
+    * [[vectorAdmissionSink]] and [[graphInsertSink]], completing the
+    * graph family's live mutation pair (insert + delete). `primary`
+    * supplies the vectors the re-prune scores against.
+    */
+  def graphDeleteSink(ids: DataFrame, primary: DataFrame,
+      indexRoot: String, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    ids.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        graphDeleteBatch(b.toDF(), primary, indexRoot, id, incarnation,
+          retain)
+        ()
+    }
+  }
+
   /** Resolve-or-build the deleted graph: the FULL corpus' committed
     * graph followed by one repair-delete commit of the slice — e50's
     * ensure discipline on the graph family (the stamp encodes the

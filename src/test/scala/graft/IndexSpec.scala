@@ -370,6 +370,14 @@ class IndexSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(live == (1L to 6L).toSet - 2L + 10L,
       s"forgotten doc shaded, admitted doc live: $live")
+    // explicit compaction folds the chain to one self-contained version
+    // with an identical live view; the old chain prunes after one more
+    // commit
+    assert(TextIndex.compactIndex(spark, root).contains(3L))
+    assert(new java.io.File(root, "v3/postings").exists())
+    val after = TextIndex.loadPostings(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(after == live, "compaction must not change the live view")
   }
 
   test("append chains auto-fold at the threshold") {

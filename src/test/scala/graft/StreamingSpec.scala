@@ -1218,6 +1218,50 @@ class StreamingSpec extends SparkSpec {
       s"batch-2 walk must reach the batch-1 insert via its back-edges: $e200")
   }
 
+  test("graphDeleteSink: streamed deletes repair the committed graph per batch") {
+    import graft.ext.{VectorIndex, VectorOps}
+    val rnd = new scala.util.Random(17)
+    def jitter(base: Seq[Double]) = base.map(_ + (rnd.nextDouble() - 0.5) * 0.01)
+    // two tight clusters: dense in-bucket adjacency so deletes leave a
+    // non-trivial graph to repair
+    val cA = Seq.fill(64)(1.0); val cB = Seq.fill(32)(1.0) ++ Seq.fill(32)(-1.0)
+    val vs = (0L to 5L).map(i => (i, jitter(cA))) ++
+      (10L to 15L).map(i => (i, jitter(cB)))
+    val primary = vs.toDF("vec_id", "v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graph-del-stream").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorOps.knnGraphFrom(primary)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .write.parquet(s"$root/v0/edges")
+    graft.streaming.StreamOps.flipCommitMarker(fs, rootP, 0L, -3L, "seed")
+    val victims = VectorIndex.loadGraph(spark, root)
+      .select("dst").distinct().limit(2).collect().map(_.getLong(0))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = VectorIndex.graphDeleteSink(
+      ms.toDF().toDF("vec_id"), primary, root).start()
+    try {
+      ms.addData(Seq(victims(0)))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(1L))
+      // an empty micro-batch must not commit
+      ms.addData(Seq.empty[Long])
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(1L))
+      ms.addData(Seq(victims(1)))
+      q.processAllAvailable()
+      assert(VectorIndex.latestVersion(spark, root).contains(2L))
+    } finally q.stop()
+    val live = VectorIndex.loadGraph(spark, root)
+    assert(live.filter(col("src").isin(victims: _*) ||
+      col("dst").isin(victims: _*)).count() == 0,
+      "streamed deletes must leave no dangling edges")
+    assert(live.groupBy("src").count().agg(max("count"))
+      .head().getLong(0) <= 3L)
+  }
+
   test("vectorAdmissionSink: streamed vector admission maintains the ANN index per batch") {
     import graft.ext.VectorIndex
     val rnd = new scala.util.Random(7)
