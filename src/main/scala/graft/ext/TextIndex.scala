@@ -472,9 +472,77 @@ object TextIndex {
       |LEFT JOIN best USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d82
+
+  def defaultLifeRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-text-index-life/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** Registry entry: the signature index's LIVE DOC STATE after the
+    * full lifecycle chain — build the base split, forget a
+    * deterministic slice (metadata-only tombstones), then ADMIT the
+    * incoming split through the near-dup gate (delta postings append)
+    * — e62's composition pin on the text family: d80 pins the forget
+    * alone and d79 the admission alone, but only the chained state
+    * proves the segments interact correctly (tombstones shade the base
+    * postings only; admitted docs' delta postings stay live; a doc
+    * that near-dups a FORGOTTEN base doc is admitted, because the
+    * index holds no trace of it). Output: every live doc with its
+    * band count (8 per signed doc — the posting-layout invariant).
+    * The oracle replays base ∖ forgotten ∪ exact-Jaccard-admitted.
+    */
+  def indexLifecycleState(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", TextOps.docBucket)
+    val base = docs.filter(col("bucket") < TextOps.TrainCut)
+      .select("doc_id", "text")
+    val incoming = docs.filter(col("bucket") >= TextOps.TrainCut)
+      .select("doc_id", "text")
+    val root = defaultLifeRoot(dir)
+    val want = s"index+life[forget=$forgetPred]:${fingerprint(docs)}"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-7L, want)))
+      .getOrElse {
+        buildIndexFrom(base, root)                               // v0
+        forgetDocs(s, root, base.filter(expr(forgetPred))
+          .select("doc_id"), -6L, s"life-forget:$forgetPred")    // v1: DV
+        admitBatch(incoming, base, root, -7L, want).unpersist()  // v2: delta
+        latestVersion(s, root).get
+      }
+    loadPostings(s, root)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_id")
+  }
+
+  private def indexLifecycleStateSql =
+    s"""WITH ${TextOps.shingleSqlCte},
+      |bk AS (SELECT doc_id, ${TextOps.docBucketSql} FROM documents),
+      |baseLive AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
+      |             WHERE bk.bucket < ${TextOps.TrainCut}
+      |               AND NOT (s.doc_id % 11 = 2)),
+      |inc AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
+      |        WHERE bk.bucket >= ${TextOps.TrainCut}),
+      |dup AS (
+      |  SELECT DISTINCT i.doc_id
+      |  FROM inc i JOIN baseLive ba ON TRUE
+      |  WHERE len(list_intersect(i.sh, ba.sh)) * 1.0
+      |     / (len(i.sh) + len(ba.sh) - len(list_intersect(i.sh, ba.sh))) >= 0.5),
+      |live AS (SELECT doc_id FROM baseLive
+      |         UNION ALL
+      |         SELECT doc_id FROM inc
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+      |SELECT doc_id, CAST(8 AS BIGINT) AS n_bands FROM live
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d79_index_near_dedup", indexNearDedup,
       Some(indexNearDedupSql)),
     QueryDef("d80_index_forget", indexForgetProbe,
-      Some(indexForgetProbeSql)))
+      Some(indexForgetProbeSql)),
+    QueryDef("d82_index_lifecycle_state", indexLifecycleState,
+      Some(indexLifecycleStateSql)))
 }

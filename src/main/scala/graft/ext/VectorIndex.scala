@@ -974,6 +974,59 @@ object VectorIndex {
       .orderBy("src", "rnk")
   }
 
+  // ---------------------------------------------------------------- e62
+
+  def defaultLifecycleRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-index-life/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** The held-out slice e62 appends (seeds stay in the base so the
+    * trained quantizers derive from the initial corpus).
+    */
+  private[graft] def lifeAppendPred = "vec_id % 13 = 2 AND vec_id >= 16"
+
+  /** Resolve-or-build the FULL-LIFECYCLE index: build the base split
+    * (trained quantizers) → metadata-only DELETE of every 7th base
+    * vector → delta APPEND of the held-out slice — the three commit
+    * kinds composed in one chain, exactly the shape a long-lived
+    * deployment's version history has. The stamp encodes both rules.
+    */
+  private[graft] def ensureLifecycleIndex(s: SparkSession, dir: String,
+      root: String): Long = {
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val base = e.filter(expr(s"NOT ($lifeAppendPred)"))
+    val appendSlice = e.filter(expr(lifeAppendPred))
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"index.t+life[app=$lifeAppendPred;del=$deletePred]:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-7L, want)))
+      .getOrElse {
+        buildIndexFrom(base, root)                               // v0: codes
+        deleteIds(s, root, base.filter(expr(deletePred))
+          .select("vec_id"), -6L, s"life-del:$deletePred")       // v1: DV
+        appendBatch(appendSlice, root, -7L, want)                // v2: delta
+      }
+  }
+
+  /** Registry entry: e24's probe served off the index AFTER the full
+    * lifecycle chain (trained build → tombstone delete → delta append)
+    * — the COMPOSITION pin for the vector artifact, d81's discipline on
+    * the index family: e50 pins the delete alone and the append specs
+    * pin the append alone, but only a chained serve proves the segment
+    * semantics interact correctly (tombstones shade the base segment
+    * only; appended vectors encode against the base-trained quantizers
+    * and stay live even where the delete rule would match them). The
+    * oracle replays train-on-base → assign/encode base ∖ deleted ∪
+    * appended → route → ADC inline.
+    */
+  def ivfPqLifecycleServed(s: SparkSession, dir: String): DataFrame = {
+    val root = defaultLifecycleRoot(dir)
+    ensureLifecycleIndex(s, dir, root)
+    serveIvfPqKnn(s, dir, root)
+  }
+
   // ---------------------------------------------------------------- e61
 
   /** BATCHED answer serving off the committed graph artifact — e48's
@@ -1697,7 +1750,9 @@ object VectorIndex {
     QueryDef("e58_graph_delete_repair", graphDeleteServed,
       Some(VectorOps.graphDeleteOracle)),
     QueryDef("e61_graph_batch_served", graphBatchServed,
-      Some(VectorOps.graphBatchServedOracle)))
+      Some(VectorOps.graphBatchServedOracle)),
+    QueryDef("e62_index_lifecycle_served", ivfPqLifecycleServed,
+      Some(VectorOps.ivfPqLifecycleOracle)))
 
   // ---------------------------------------------------------------- e56
 

@@ -273,7 +273,7 @@ class PlanSpec extends SparkSpec {
       "e54_adaptive_nprobe",
       // graph insert re-scores live edges against raw vectors
       "e55_graph_insert",
-      "e58_graph_delete_repair",
+      "e58_graph_delete_repair", "e62_index_lifecycle_served",
       "e59_knn_label_eval_sampled", "e60_top_pairs_sampled",
       "e61_graph_batch_served",
       // the maintained-recall walk + exact witness score raw vectors
