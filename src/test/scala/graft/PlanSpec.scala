@@ -274,6 +274,7 @@ class PlanSpec extends SparkSpec {
       // graph insert re-scores live edges against raw vectors
       "e55_graph_insert",
       "e58_graph_delete_repair", "e62_index_lifecycle_served",
+      "e63_ivfpq_residual_knn",
       "e59_knn_label_eval_sampled", "e60_top_pairs_sampled",
       "e61_graph_batch_served",
       // the maintained-recall walk + exact witness score raw vectors
