@@ -90,6 +90,11 @@ object TextIndex {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(rootP)
+    // wipe a crashed attempt's partial v<ver> BEFORE writing:
+    // [[postingsVersion]] resolves the chain base by fs.exists, so a
+    // torn postings/ dir left at a reused version number would be
+    // adopted as the base and silently shadow this commit's segments
+    fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v$ver"), true)
     postings.write.mode("overwrite").partitionBy("band")
       .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/postings").toString)
     StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
@@ -169,6 +174,8 @@ object TextIndex {
       commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
     } else {
       val ver = cur + 1
+      // wipe a crashed attempt's partial dir (see commitVersion)
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v$ver"), true)
       fresh.select("doc_id", "bh", "band").write.mode("overwrite")
         .partitionBy("band")
         .parquet(new org.apache.hadoop.fs.Path(rootP,
@@ -231,6 +238,8 @@ object TextIndex {
       return cur
     val ver = cur + 1
     val vdir = new org.apache.hadoop.fs.Path(rootP, s"v$ver")
+    // wipe a crashed attempt's partial dir (see commitVersion)
+    fs.delete(vdir, true)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$cur/postings"))) {
       // live is a clean base (a postings-owning version starts a fresh
       // chain): metadata-only forget — tombstones only
@@ -448,7 +457,7 @@ object TextIndex {
       |bk AS (SELECT doc_id, ${TextOps.docBucketSql} FROM documents),
       |base AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
       |         WHERE bk.bucket < ${TextOps.TrainCut}
-      |           AND NOT (s.doc_id % 11 = 2)),
+      |           AND NOT (s.$forgetPred)),
       |inc AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
       |        WHERE bk.bucket >= ${TextOps.TrainCut}),
       |pr AS (
@@ -523,7 +532,7 @@ object TextIndex {
       |bk AS (SELECT doc_id, ${TextOps.docBucketSql} FROM documents),
       |baseLive AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
       |             WHERE bk.bucket < ${TextOps.TrainCut}
-      |               AND NOT (s.doc_id % 11 = 2)),
+      |               AND NOT (s.$forgetPred)),
       |inc AS (SELECT s.doc_id, s.sh FROM s JOIN bk USING (doc_id)
       |        WHERE bk.bucket >= ${TextOps.TrainCut}),
       |dup AS (

@@ -204,6 +204,12 @@ object VectorIndex {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
+    // a crashed attempt may have left a partial v<ver> (e.g. a torn
+    // codes/ dir with no marker): wipe it BEFORE writing, or base
+    // resolution ([[codesVersion]] walks fs.exists, not markers) could
+    // adopt the torn dir as the chain base and silently drop the
+    // delta/tombstones this commit writes beside it
+    fs.delete(vdir, true)
     cb.coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
     pqcb.coalesce(1).write.mode("overwrite")
@@ -447,6 +453,7 @@ object VectorIndex {
       return cur // redelivery of the delete that produced the live version
     val ver = cur + 1
     val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
+    fs.delete(vdir, true) // wipe a crashed attempt's partial dir (see commitVersion)
     loadCodebook(s, indexRoot).coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
     loadPqCodebook(s, indexRoot).coalesce(1).write.mode("overwrite")
@@ -617,6 +624,7 @@ object VectorIndex {
     } else {
       val ver = cur + 1
       val vdir = new org.apache.hadoop.fs.Path(root, s"v$ver")
+      fs.delete(vdir, true) // wipe a crashed attempt's partial dir (see commitVersion)
       cb.coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "codebook").toString)
       pqcb.coalesce(1).write.mode("overwrite")
@@ -1045,7 +1053,10 @@ object VectorIndex {
     ensureGraphIndex(s, dir, root)
     graft.functions.GraftFunctions.register(s)
     val e = VectorOps.vecs(s, dir).select("vec_id", "v")
-    val g = loadGraph(s, root).persist()
+    // NOT persisted: the walk re-reads the small edge parquet per hop
+    // (a pruned file scan), and a library caller of this entry must not
+    // accrete a cached plan per invocation (CacheSpec pins it)
+    val g = loadGraph(s, root)
     val q = e.filter(col("vec_id") < 10).selectExpr("vec_id AS qid", "v AS qv")
     VectorOps.walkFinalBeam(e, g, q)
       .filter(col("vid") =!= col("qid"))
@@ -1421,7 +1432,11 @@ object VectorIndex {
     val routed = routed0
       .withColumn("rk", row_number().over(
         Window.orderBy(desc("cs"), col("cid"))))
-      .withColumn("cnt", when(col("rk") === 1, col("cnt") - 1)
+      // clamp at 0: a routed cell whose stats count is already 0 (all
+      // members deleted while the centroid persists, or a non-member
+      // query) must not push the running coverage sum negative
+      .withColumn("cnt", when(col("rk") === 1,
+          greatest(col("cnt") - 1, lit(0L)))
         .otherwise(col("cnt")))
       .drop("rk")
     val wr = Window.orderBy(desc("cs"), col("cid"))

@@ -897,6 +897,54 @@ class IndexSpec extends SparkSpec {
     assert(live == Set(30L), s"only the re-admitted doc is indexed: $live")
   }
 
+  test("a crashed attempt's torn data dir cannot shadow the next commit at the same version") {
+    // the ADVICE-1 scenario: a crash mid-compaction leaves a PARTIAL
+    // v1/codes (valid parquet, subset rows, NO marker). The next commit
+    // reuses version 1 with a codes-delta — base resolution walks
+    // fs.exists, so without the pre-write wipe the torn dir would be
+    // adopted as the chain base (serving 3 rows and dropping the delta).
+    val root = tmpRoot("torn-reuse")
+    VectorIndex.buildIndexFrom(fullVecs, root)                     // v0
+    val n = fullVecs.count()
+    // simulate the crashed attempt: a subset codes dir at v1, unmarked
+    VectorIndex.loadCodes(spark, root).filter(col("vec_id") < 3)
+      .select("vec_id", "codes", "cell")
+      .write.partitionBy("cell").parquet(s"$root/v1/codes")
+    assert(VectorIndex.latestVersion(spark, root).contains(0L))
+    // the next append commits AT v1 — it must wipe the torn dir first
+    VectorIndex.appendBatch(
+      fullVecs.limit(1).selectExpr("vec_id + 9000000 AS vec_id", "v"),
+      root, 1L, "after-crash")
+    assert(!new java.io.File(root, "v1/codes").exists(),
+      "the torn codes dir must be wiped by the reusing commit")
+    assert(new java.io.File(root, "v1/codes-delta").exists())
+    assert(VectorIndex.loadCodes(spark, root).count() == n + 1,
+      "the live view must serve the full base + the delta, not the torn subset")
+    // same discipline on the text index: torn postings at a reused version
+    import graft.ext.TextIndex
+    import spark.implicits._
+    def mkText(stem: String) = (1 to 30).map(i => s"$stem$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, mkText(s"w$i"))).toDF("doc_id", "text")
+    val troot = tmpRoot("torn-reuse-text")
+    TextIndex.buildIndexFrom(docs, troot)                          // v0
+    spark.read.parquet(s"$troot/v0/postings").limit(2)
+      .write.parquet(s"$troot/v1/postings")
+    TextIndex.admitBatch(Seq((10L, mkText("z"))).toDF("doc_id", "text"),
+      docs, troot, 1L, "after-crash").unpersist()                  // v1: delta
+    assert(!new java.io.File(troot, "v1/postings").exists(),
+      "the torn postings dir must be wiped by the reusing commit")
+    val live = TextIndex.loadPostings(spark, troot)
+      .select("doc_id").distinct().count()
+    assert(live == 6, s"full base + admitted doc, not the torn subset: $live")
+  }
+
+  test("batched graph serving leaves no cached plan behind (library-caller hygiene)") {
+    spark.catalog.clearCache()
+    VectorIndex.graphBatchServed(spark, sf0001).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "e61 must not accrete storage-memory cache entries per invocation")
+  }
+
   test("a redelivered append batch no-ops on its own stamp") {
     val root = tmpRoot("retry")
     VectorIndex.buildIndexFrom(fullVecs.filter(col("vec_id") < 100), root)
