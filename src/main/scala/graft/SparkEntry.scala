@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, Temporal}
-import graft.ext.{Multimodal, TextIndex, TextOps, VectorIndex, VectorOps}
+import graft.ext.{Multimodal, RetrievalIndex, TextIndex, TextOps, VectorIndex, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
     Relational.defs ++ Temporal.defs ++ TextOps.defs ++ TextIndex.defs ++
-      VectorOps.defs ++ VectorIndex.defs ++ Multimodal.defs
+      RetrievalIndex.defs ++ VectorOps.defs ++ VectorIndex.defs ++
+      Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

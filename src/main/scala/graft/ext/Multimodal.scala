@@ -398,6 +398,195 @@ object Multimodal {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
       |ORDER BY media_id_1, media_id_2""".stripMargin
 
+  // ---------------------------------------------------------------- m03
+
+  /** Minimal 24-bit uncompressed BMP encoder for an 8-bit GRAYSCALE
+    * image (r = g = b = v) — the REAL container the JDK's ImageIO BMP
+    * reader decodes exactly (no chroma subsampling, no quantization),
+    * which is what lets m03 put a true encode → decode → featurize
+    * roundtrip under the cross-engine oracle. Input row-major,
+    * top-down; BMP stores rows bottom-up, 4-byte-aligned (w=8 ⇒ 24-byte
+    * rows, already aligned).
+    */
+  private[ext] def encodeGrayBmp(w: Int, h: Int,
+      pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h, s"need ${w * h} pixels, got ${pixels.length}")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)     // file header
+      .putInt(40).putInt(w).putInt(h)                 // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {                                  // bottom-up rows
+      var x = 0
+      while (x < w) {
+        val v = (pixels(y * w + x) & 0xff).toByte
+        buf.put(v).put(v).put(v)                      // B, G, R
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Registry entry: dHash perceptual fingerprints from REAL decoded
+    * pixels — the decoded-pixel rung m01/m02 lack: per document a
+    * deterministic 8×8 grayscale image (pixel (x, y) = first byte of
+    * md5("<doc_id>:<y*8+x>") — a definition BOTH engines can state) is
+    * encoded as a REAL BMP ([[encodeGrayBmp]]), decoded through the
+    * REAL codec ([[ImageIoDecoder]], javax.imageio — true pixel reads,
+    * not a stub), block-mean featurized on a 4×4 grid, and fingerprinted
+    * with the dHash rule: bit (gy·4+gx) set iff block(gy,gx) >
+    * block(gy,(gx+1) mod 4) — gradient-sign hashing, the perceptual
+    * family production image dedup uses.
+    *
+    * Cross-engine determinism WITHOUT replaying floats: for grayscale
+    * pixels the decoder's Rec.-601 block mean is a strictly monotone
+    * function of the block's integer pixel SUM, and the float feature
+    * recovers that sum exactly (round(f·n·255); error ≤ 1e-4 ≪ 0.5) —
+    * so the emitted bits are INTEGER comparisons and the oracle replays
+    * them from the pixel definition in pure integer SQL. The hash
+    * equality therefore pins the whole encode → ImageIO decode →
+    * block-mean chain: any pixel the codec roundtrip perturbs flips a
+    * sum and scrambles the fingerprint. Scale shape: everything is
+    * row-local (64 md5s + one encode/decode per doc behind the
+    * per-partition decoder); the only shuffle is the output sort.
+    */
+  def mediaDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val px = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        """transform(sequence(0, 63), i ->
+          |  CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), ':',
+          |    CAST(i AS STRING)) AS BINARY)), 1, 2), 16, 10) AS INT))
+          |  AS pixels""".stripMargin)
+      .as[(Long, Array[Int])]
+    val media: Dataset[MediaRow] = px.mapPartitions(_.map { case (id, pixels) =>
+      MediaRow(id, "image", encodeGrayBmp(8, 8, pixels),
+        MediaMeta("image/bmp", Some(8), Some(8), None, None))
+    })
+    decodeAndFeaturize(media, new ImageIoDecoder(4)).toDF()
+      .selectExpr("media_id", "width", "height",
+        "transform(features, f -> CAST(round(f * 4 * 255) AS BIGINT)) AS bs")
+      .selectExpr("media_id", "width", "height",
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(bs[b] > bs[(b div 4) * 4 + pmod(b + 1, 4)],
+          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))
+          |  AS dhash""".stripMargin)
+      .orderBy("media_id")
+  }
+
+  private val mediaDhashSql =
+    """WITH px AS (
+      |  SELECT doc_id AS media_id, i,
+      |    CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 2)) AS INT) AS v
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |bs AS (
+      |  SELECT media_id, ((i // 8) // 2) AS gy, ((i % 8) // 2) AS gx,
+      |    sum(v) AS s
+      |  FROM px GROUP BY 1, 2, 3),
+      |dh AS (
+      |  SELECT a.media_id,
+      |    CAST(sum(CASE WHEN a.s > b.s
+      |      THEN (CAST(1 AS BIGINT) << (a.gy * 4 + a.gx))
+      |      ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM bs a JOIN bs b ON a.media_id = b.media_id AND a.gy = b.gy
+      |    AND b.gx = (a.gx + 1) % 4
+      |  GROUP BY a.media_id)
+      |SELECT media_id, 8 AS width, 8 AS height, dhash
+      |FROM dh ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- m04
+
+  /** 64-feature decode stand-in for the media → ANN-index arc: the 64
+    * hex nibbles of SHA-256(payload), affine-mapped to (nib − 7.5)/8 —
+    * [[ShaSignatureDecoder]]'s exact-rational discipline widened to the
+    * 64 dimensions [[VectorIndex]]'s subspace layout expects, so decoded
+    * media features flow through the UNMODIFIED committed-index
+    * machinery and every value is replayable bit-identically in SQL.
+    */
+  class Sha64Decoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      val bytes = if (payload == null) Array.emptyByteArray else payload
+      val dig = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      val feats = Array.tabulate(64) { i =>
+        val b = dig(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+        (nib - 7.5f) / 8.0f
+      }
+      DecodedMedia0(16, 16, 1, feats)
+    }
+  }
+
+  /** The m04 incoming-split rule (the d79/d82 bucket cut on media ids). */
+  private def mediaIncPredSpark = s"pmod(md5_long60(CAST(vec_id AS STRING)), 100) >= ${TextOps.TrainCut}"
+  private def mediaIncPredSql =
+    s"${TextOps.md5h60Sql("CAST(vec_id AS VARCHAR)")} % 100 >= ${TextOps.TrainCut}"
+
+  /** Registry entry: media near-dup ADMISSION served off the committed
+    * ANN index — e52's ingest-gate arc run on DECODED MEDIA FEATURES:
+    * payload-header bytes decode through the [[MediaDecoder]] boundary
+    * ([[Sha64Decoder]], 64 exact-rational features), the base split's
+    * features build the standard trained IVF-PQ artifact
+    * ([[VectorIndex.buildIndexFrom]] — residual quantizers, cell-
+    * partitioned codes), and each incoming asset probes it two-stage
+    * (route → ADC shortlist → exact-cosine verify at τ = 0.9). Docs
+    * sharing a payload header decode to IDENTICAL features (cosine
+    * exactly 1), so cross-split header dups are the planted positives.
+    * This is the multimodal family joining the vector family's serving
+    * stack — one index implementation, text-derived or media-derived
+    * vectors alike. The oracle replays decode → train → probe inline
+    * ([[VectorOps.vectorAdmissionOracleOver]]).
+    */
+  def mediaAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val media = graft.Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id AS media_id",
+        "'image' AS kind",
+        "CAST(concat_ws(' ', slice(split(text, ' '), 1, 8)) AS BINARY) AS payload",
+        """named_struct('mime', 'application/octet-stream',
+          |  'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT),
+          |  'sample_rate', CAST(NULL AS INT),
+          |  'duration_ms', CAST(NULL AS BIGINT)) AS meta""".stripMargin)
+      .as[MediaRow]
+    val vecs = featureTable(decodeAndFeaturize(media, new Sha64Decoder))
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val incoming = vecs.filter(expr(mediaIncPredSpark))
+    val base = vecs.filter(expr(s"NOT ($mediaIncPredSpark)"))
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-media/" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // reuse keys on the build's own fingerprint stamp (e52's pattern) —
+    // the media-feature corpus lives under its own root, so the generic
+    // index stamp plus this root IS the (source, format) key
+    val fpRow = base.agg(count(lit(1)), sum("vec_id")).head()
+    val want = s"index.r:n=${fpRow.getLong(0)};s=${fpRow.getLong(1)}"
+    graft.streaming.StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => graft.streaming.StreamOps.cdcMarkerStamp(fs, rootP, v) ==
+        ((-3L, want)))
+      .getOrElse(VectorIndex.buildIndexFrom(base, root))
+    VectorIndex.admissionVerdicts(incoming, base, root, tau = 0.9, None)
+  }
+
+  private def mediaAdmissionSql = VectorOps.vectorAdmissionOracleOver(
+    """SELECT doc_id AS vec_id,
+      |    list_transform(range(1, 65), i ->
+      |      (CAST(('0x' || substr(sha256(array_to_string(
+      |         string_split(text, ' ')[1:8], ' ')), i, 1)) AS BIGINT) - 7.5)
+      |      / 8.0) AS v
+      |  FROM documents""".stripMargin,
+    mediaIncPredSql, 0.9)
+
   /** Oracle-gated multimodal queries (the binary-column path under the
     * driver's DuckDB hash compare; the codec-dependent ops stay
     * spec-verified on fixtures — MultimodalSpec).
@@ -406,5 +595,9 @@ object Multimodal {
     graft.QueryDef("m01_binary_hash_dedup", binaryHashDedup,
       Some(binaryHashDedupSql)),
     graft.QueryDef("m02_perceptual_media_dedup", perceptualMediaDedup,
-      Some(perceptualMediaDedupSql)))
+      Some(perceptualMediaDedupSql)),
+    graft.QueryDef("m03_media_dhash", mediaDhash,
+      Some(mediaDhashSql)),
+    graft.QueryDef("m04_media_admission", mediaAdmission,
+      Some(mediaAdmissionSql)))
 }

@@ -593,11 +593,11 @@ object TextOps {
     * (equivalence pinned in CosineSimilaritySpec). Callers must
     * `GraftFunctions.register` first.
     */
-  private def md5h60(arg: String): String = s"md5_long60($arg)"
+  private[ext] def md5h60(arg: String): String = s"md5_long60($arg)"
 
   /** DuckDB spelling of [[md5h60]] — defined once so the oracle side can
     * never drift from the engine side. */
-  private def md5h60Sql(arg: String): String =
+  private[ext] def md5h60Sql(arg: String): String =
     s"CAST(('0x' || substr(md5($arg),1,15)) AS BIGINT)"
 
   /** Deterministic doc bucket 0-99 (the d14 split key), Spark + oracle. */
@@ -4122,9 +4122,14 @@ object TextOps {
       .orderBy("query_term", "rank")
   }
 
-  private val bm25RetrievalSql =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
-      |              FROM documents),
+  /** The d62 BM25 chain over an arbitrary documents relation — ONE SQL
+    * definition shared by the inline oracle (d62, over `documents`) and
+    * the committed-artifact oracles (d83/d84, over the index's live doc
+    * set), so formula and ranking discipline can never drift.
+    */
+  private[ext] def bm25SqlOver(docsRel: String): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |              FROM $docsRel),
       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
@@ -4145,6 +4150,8 @@ object TextOps {
       |SELECT query_term, CAST(rank AS INT) AS rank, doc_id, bm25
       |FROM r WHERE rank <= 5
       |ORDER BY query_term, rank""".stripMargin
+
+  private val bm25RetrievalSql = s"WITH ${bm25SqlOver("documents")}"
 
   // ---------------------------------------------------------------- d63
 

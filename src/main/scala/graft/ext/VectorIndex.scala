@@ -135,13 +135,21 @@ object VectorIndex {
     * ([[VectorOps.pqCodebookTrain]]): each of the 8 subspaces
     * independently runs two k-means rounds (6-dp-rounded L2² argmin,
     * lowest-cid ties, round(sum,6)/count centroid update) from the 16
-    * lowest-id vectors' subvectors. Committed beside the coarse
-    * codebook; codes stored in the index are argmin indexes into THIS
-    * table, and serve-time ADC tables are built against it.
+    * lowest-id vectors' subvectors. RAW-vector variant — kept as the
+    * spec baseline [[trainPqResidual]] must beat (IndexSpec gates
+    * residual reconstruction error strictly below this at equal bytes);
+    * the committed artifact trains on residuals.
     */
-  private[graft] def trainPq(e: DataFrame): DataFrame = {
-    val sub = e.selectExpr("vec_id", subEx)
-      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+  private[graft] def trainPq(e: DataFrame): DataFrame =
+    trainPqOn(e.selectExpr("vec_id", subEx)
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv")))
+
+  /** The per-subspace two-round Lloyd chain over an arbitrary
+    * (vec_id, j, sv) subvector frame — shared by the raw and residual
+    * training paths (identical rounding/tie discipline; only the input
+    * subvectors differ).
+    */
+  private def trainPqOn(sub: DataFrame): DataFrame = {
     val cb0 = sub.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("j").as("cj"), col("sv").as("cv"))
     def assign(cb: DataFrame): DataFrame =
@@ -161,26 +169,54 @@ object VectorIndex {
     centroids(assign(centroids(assign(cb0))))
   }
 
+  /** RESIDUALS of an assigned frame against an explicit coarse codebook
+    * — r = v − centroid(cell), the quantity the committed PQ codebooks
+    * train on and the stored codes encode (Jégou et al. 2011 §IV.B:
+    * FAISS IndexIVFPQ's default; residual norms are much smaller than
+    * vector norms, so the same 8-byte budget buys finer quantization —
+    * e63 proved the encoding inline, this wires it into the artifact).
+    * Exact double subtraction (determinism rule 4) against a 16-row
+    * broadcast — one map-side projection, no shuffle.
+    */
+  private[graft] def residualsOf(assigned: DataFrame, cb: DataFrame): DataFrame =
+    assigned.join(broadcast(cb), col("cell") === col("cid"))
+      .selectExpr("vec_id", "cell", "zip_with(v, cv, (x, y) -> x - y) AS rv")
+
+  /** TRAINED residual PQ codebooks: assign `e` against the trained
+    * coarse codebook, take residuals, run the per-subspace Lloyd chain
+    * on the residual subvectors (seeds: the 16 lowest ids' residuals —
+    * the same deterministic convention as every other training seed).
+    */
+  private[graft] def trainPqResidual(e: DataFrame, cb: DataFrame): DataFrame =
+    trainPqOn(residualsOf(assignAgainst(e, cb), cb)
+      .selectExpr("vec_id", "rv AS v").selectExpr("vec_id", subEx)
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv")))
+
   /** Coarse-assign `e` (vec_id, v) against an explicit codebook —
     * e07's broadcast + max_by with the lowest-cid tie-break, but against
     * a LOADED codebook rather than the corpus' own 16 lowest ids (the
     * append path must never re-derive the quantizer from the batch).
     */
-  private def assignAgainst(e: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def assignAgainst(e: DataFrame, cb: DataFrame): DataFrame =
     e.crossJoin(broadcast(cb))
       .selectExpr("vec_id", "v", "cid", "cosine_similarity(v, cv) AS cs")
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("tb")))
         .as("cell"), first(col("v")).as("v"))
 
-  /** PQ-encode an assigned frame (vec_id, cell, v) against the trained
-    * PQ codebooks `pqcb` (cid, cj, cv): per subspace the 6-dp-rounded
-    * L2² argmin over that subspace's centroids (ties to the lowest cid —
-    * e19/e24/e33's discipline), packed to one array<int> of 8 codes per
-    * vector (8 bytes at storage scale).
+  /** PQ-encode an assigned frame (vec_id, cell, v) against the coarse
+    * codebook `cb` and trained RESIDUAL PQ codebooks `pqcb` (cid, cj,
+    * cv): take each vector's residual vs its cell's centroid, then per
+    * subspace the 6-dp-rounded L2² argmin over that subspace's residual
+    * centroids (ties to the lowest cid — e19/e24/e33's discipline),
+    * packed to one array<int> of 8 codes per vector (8 bytes at
+    * storage scale).
     */
-  private def encodeAgainst(assigned: DataFrame, pqcb: DataFrame): DataFrame = {
-    val psub = assigned.selectExpr("vec_id", "cell", subEx)
+  private def encodeAgainst(assigned: DataFrame, cb: DataFrame,
+      pqcb: DataFrame): DataFrame = {
+    val psub = residualsOf(assigned, cb)
+      .selectExpr("vec_id", "cell", "rv AS v")
+      .selectExpr("vec_id", "cell", subEx)
       .select(col("vec_id"), col("cell"), col("s.j").as("j"), col("s.sv").as("sv"))
     psub.join(broadcast(pqcb), col("j") === col("cj"))
       .selectExpr("vec_id", "cell", "j", "cid", s"$l2 AS d2")
@@ -267,11 +303,11 @@ object VectorIndex {
     val s = e.sparkSession
     graft.functions.GraftFunctions.register(s)
     val cb = trainCoarse(e)
-    val pqcb = trainPq(e)
+    val pqcb = trainPqResidual(e, cb)
     val codes = encodeCorpus(e, cb, pqcb)
     val ver = latestVersion(s, indexRoot).map(_ + 1).getOrElse(0L)
     commitVersion(s, indexRoot, ver, cb, pqcb, codes,
-      -3L, s"index.t:${fingerprint(e)}", retain)
+      -3L, s"index.r:${fingerprint(e)}", retain)
   }
 
   /** Commit at `dstRoot` the encoding of `e` against `srcRoot`'s
@@ -299,7 +335,7 @@ object VectorIndex {
     */
   private[graft] def encodeCorpus(e: DataFrame, cb: DataFrame,
       pqcb: DataFrame): DataFrame =
-    encodeAgainst(assignAgainst(e, cb), pqcb)
+    encodeAgainst(assignAgainst(e, cb), cb, pqcb)
 
   /** Build the index of a data directory's embeddings table. */
   def buildIndex(s: SparkSession, dataDir: String, indexRoot: String,
@@ -318,7 +354,7 @@ object VectorIndex {
     val e = VectorOps.vecs(s, dataDir).select("vec_id", "v")
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index.t:${fingerprint(e)}"
+    val want = s"index.r:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, root)
       .filter(v => StreamOps.cdcMarkerStamp(fs, root, v) == ((-3L, want)))
       .getOrElse(buildIndexFrom(e, indexRoot))
@@ -530,19 +566,54 @@ object VectorIndex {
     val cand = loadCodes(s, indexRoot)
       .filter(col("cell").isin(probed: _*))
       .filter(col("vec_id") =!= 0)
-    // the query's 8×16 ADC lookup table from the LOADED trained PQ
-    // codebooks (cid, cj, cv)
-    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
-      .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
-        col("j") === col("cj"))
-      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    // PER-CELL ADC lookup tables (nprobe × 8 × 16 rows): stored codes
+    // quantize residuals, so the query side is q − centroid(cell) per
+    // probed cell against the residual codebooks — the per-cell tables
+    // IndexIVFPQ precomputes (e63's serving shape off the artifact)
+    val qtab = perCellQueryTables(s, indexRoot, q, qcells)
     val adc = cand.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .join(broadcast(qtab), col("cell") === col("tcell") &&
+        col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("vec_id", "cell")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
     (q, adc)
+  }
+
+  /** The query's per-cell residual ADC tables (tcell, qj, qcid, qd2) —
+    * one 8×16 lookup table per cell in `cells(qcell)`: the query's
+    * residual vs THAT cell's centroid, scored against the committed
+    * residual codebooks. Broadcast-sized (|cells| × 128 rows).
+    */
+  private def perCellQueryTables(s: SparkSession, indexRoot: String,
+      q: DataFrame, cells: DataFrame): DataFrame = {
+    val qres = cells.join(broadcast(loadCodebook(s, indexRoot)),
+        col("qcell") === col("cid"))
+      .crossJoin(broadcast(q))
+      .selectExpr("qcell", "zip_with(qv, cv, (x, y) -> x - y) AS v")
+      .selectExpr("qcell", subEx)
+      .select(col("qcell"), col("s.j").as("j"), col("s.sv").as("sv"))
+    qres.join(broadcast(loadPqCodebook(s, indexRoot)),
+        col("j") === col("cj"))
+      .selectExpr("qcell AS tcell", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
+  }
+
+  /** [[perCellQueryTables]] keyed by query id — the batched-serving
+    * variant: per (qid, probed cell) one 8×16 residual lookup table
+    * (nQueries × nprobe × 128 rows, still broadcast-sized).
+    */
+  private def perQueryCellTables(s: SparkSession, indexRoot: String,
+      qs: DataFrame, qcells: DataFrame): DataFrame = {
+    val qres = qcells.join(broadcast(loadCodebook(s, indexRoot)),
+        col("qcell") === col("cid"))
+      .join(qs, Seq("qid"))
+      .selectExpr("qid", "qcell", "zip_with(qv, cv, (x, y) -> x - y) AS v")
+      .selectExpr("qid", "qcell", subEx)
+      .select(col("qid"), col("qcell"), col("s.j").as("j"), col("s.sv").as("sv"))
+    qres.join(broadcast(loadPqCodebook(s, indexRoot)),
+        col("j") === col("cj"))
+      .selectExpr("qid AS tqid", "qcell AS tcell", "j AS qj",
+        "cid AS qcid", s"$l2 AS qd2")
   }
 
   /** Two-stage serving off the persisted index — e20's production
@@ -724,14 +795,11 @@ object VectorIndex {
       .filter(col("cell").isin(probed: _*))
     val candQ = cand.join(broadcast(qcells), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= col("qid"))
-    val qsub = qs.selectExpr("qid", "qv AS v").selectExpr("qid", subEx)
-      .select(col("qid"), col("s.j").as("j"), col("s.sv").as("sv"))
-    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
-        col("j") === col("cj"))
-      .selectExpr("qid AS tqid", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    val qtab = perQueryCellTables(s, indexRoot, qs, qcells)
     candQ.select(col("qid"), col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(qtab), col("qid") === col("tqid") &&
+        col("cell") === col("tcell") &&
         col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("qid", "vec_id", "cell")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
@@ -779,30 +847,156 @@ object VectorIndex {
       .getOrElse {
         val ver = StreamOps.cdcLatestCommit(fs, rootP)
           .map(_ + 1).getOrElse(0L)
-        fs.mkdirs(rootP)
-        VectorOps.knnGraph(s, dataDir)
-          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-          .sortWithinPartitions("src")
-          .write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
-        StreamOps.flipCommitMarker(fs, rootP, ver, -3L, want)
-        StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
-        ver
+        commitGraphFull(s, root, ver,
+          VectorOps.knnGraph(s, dataDir)
+            .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+          -3L, want, retain)
       }
   }
 
+  /** The version whose `edges/` directory backs `v`: `v` itself for a
+    * build/fold commit, the nearest lower version for a mutation commit
+    * (which writes only O(touched) `edges-delta/` + `edges-tombstones/`
+    * segments — [[codesVersion]]'s discipline on the graph family).
+    */
+  private def edgesVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Long = {
+    var c = v
+    while (c >= 0 && !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v$c/edges")))
+      c -= 1
+    if (c < 0) throw new IllegalStateException(
+      s"no edges directory reachable from v$v under $root — " +
+        "the referenced base version was pruned")
+    c
+  }
+
+  /** The LIVE adjacency: base `edges/` folded with every mutation
+    * segment committed since, in commit order — per segment the rows of
+    * TOUCHED sources (the delta's own srcs plus that commit's
+    * tombstoned nodes) are superseded (last-writer-wins per src), then
+    * the delta's repaired/new adjacency unions in. A tombstoned node
+    * vanishes from BOTH sides: its own rows are superseded with no
+    * replacement, and every source that pointed at it was touched by
+    * that delete's repair (so its in-edges were rewritten) — the
+    * invariant [[graphDeleteBatch]] maintains. Deltas are batch-sized,
+    * so the per-segment supersede is a broadcast anti-join on the base
+    * scan; chains fold back to one `edges/` table on the
+    * [[AppendFoldThreshold]] cadence ([[compactGraphIndex]] /
+    * the mutation auto-fold).
+    */
   def loadGraph(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val v = StreamOps.cdcLatestCommit(
-      new org.apache.hadoop.fs.Path(root).getFileSystem(
-        s.sparkContext.hadoopConfiguration),
-      new org.apache.hadoop.fs.Path(root)).getOrElse(
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v = StreamOps.cdcLatestCommit(fs, rootP).getOrElse(
       throw new IllegalStateException(
         s"no committed graph index under $root — build first"))
+    val bv = edgesVersion(fs, root, v)
     val sch = StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType)))
-    s.read.schema(sch).parquet(s"$root/v$v/edges")
+    val tsch = StructType(Seq(StructField("src", LongType)))
+    ((bv + 1) to v).foldLeft(
+        s.read.schema(sch).parquet(s"$root/v$bv/edges")) { (acc, i) =>
+      val dDir = new org.apache.hadoop.fs.Path(s"$root/v$i/edges-delta")
+      val tDir = new org.apache.hadoop.fs.Path(s"$root/v$i/edges-tombstones")
+      val (hasD, hasT) = (fs.exists(dDir), fs.exists(tDir))
+      if (!hasD && !hasT) acc
+      else {
+        val delta =
+          if (hasD) s.read.schema(sch).parquet(dDir.toString)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        val superseded =
+          (if (hasT) delta.select("src").unionByName(
+            s.read.schema(tsch).parquet(tDir.toString))
+          else delta.select("src")).distinct()
+        acc.join(broadcast(superseded), Seq("src"), "left_anti")
+          .unionByName(delta)
+      }
+    }
   }
+
+  /** Mutation segments tolerated in a graph chain before a commit
+    * auto-folds — every graph version is either a base (`edges/`) or a
+    * mutation segment, so the chain length IS `live − base`.
+    */
+  private def graphChainLength(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, cur: Long): Long =
+    cur - edgesVersion(fs, root, cur)
+
+  /** Commit a SELF-CONTAINED adjacency as `v<ver>/edges` and flip the
+    * marker — the base/fold commit both graph builds and chain folds
+    * end in (src-sorted so row-group min/max stats prune per-hop
+    * probes).
+    */
+  private def commitGraphFull(s: SparkSession, root: String, ver: Long,
+      edges: DataFrame, stampId: Long, stampTag: String,
+      retain: Int): Long = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootP)
+    val vdir = new org.apache.hadoop.fs.Path(rootP, s"v$ver")
+    fs.delete(vdir, true) // wipe a crashed attempt's partial dir
+    edges.sortWithinPartitions("src").write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "edges").toString)
+    StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
+    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
+    ver
+  }
+
+  /** Commit an O(touched) mutation segment: the touched sources' full
+    * new adjacency (`edges-delta/`) plus the removed nodes
+    * (`edges-tombstones/`) — the graph family's answer to codes-delta /
+    * postings-delta: a micro-batch mutation writes bytes proportional
+    * to the touched neighborhood, never the corpus. Auto-folds into a
+    * self-contained `edges/` version once the chain holds
+    * [[AppendFoldThreshold]] segments.
+    */
+  private def commitGraphMutation(s: SparkSession, root: String,
+      cur: Long, delta: DataFrame, tombstones: Option[DataFrame],
+      stampId: Long, stampTag: String, retain: Int): Long = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (graphChainLength(fs, root, cur) >= AppendFoldThreshold) {
+      // fold: resolve the live view (base ∖ superseded ∪ deltas), apply
+      // this mutation on top, write one self-contained edges version
+      val live = loadGraph(s, root)
+      val superseded = tombstones.foldLeft(delta.select("src").distinct())(
+        (t, rm) => t.unionByName(rm.select("src"))).distinct()
+      val merged = live
+        .join(broadcast(superseded), Seq("src"), "left_anti")
+        .unionByName(delta)
+      commitGraphFull(s, root, cur + 1, merged, stampId, stampTag, retain)
+    } else {
+      val ver = cur + 1
+      val vdir = new org.apache.hadoop.fs.Path(rootP, s"v$ver")
+      fs.delete(vdir, true) // wipe a crashed attempt's partial dir
+      delta.sortWithinPartitions("src").write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "edges-delta").toString)
+      tombstones.foreach(_.select("src").distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(vdir,
+          "edges-tombstones").toString))
+      StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
+      StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
+      ver
+    }
+  }
+
+  /** Fold the live graph chain into ONE self-contained `edges/` version
+    * — [[compactIndex]]'s maintenance shape on the graph family,
+    * stamped (−2, "optimize"). None before the first commit.
+    */
+  def compactGraphIndex(s: SparkSession, root: String,
+      retain: Int = 2): Option[Long] =
+    StreamOps.cdcLatestCommit(
+        new org.apache.hadoop.fs.Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(root)).map { cur =>
+      commitGraphFull(s, root, cur + 1, loadGraph(s, root),
+        -2L, "optimize", retain)
+    }
 
   /** Registry entry: e40's beam-walk recall audit with the adjacency
     * LOADED from the committed graph artifact instead of rebuilt —
@@ -839,8 +1033,9 @@ object VectorIndex {
     * (3) each chosen neighbor gets a BACK-edge candidate and re-prunes
     * its adjacency to top-3 by cosine among old ∪ new (the
     * connect-and-prune that keeps degree bounded, so graph size stays
-    * O(3n) under any insert volume). The merged adjacency commits as
-    * the next version through the marker flip, exactly-once by stamp.
+    * O(3n) under any insert volume). The touched adjacency commits as
+    * an O(touched) `edges-delta/` segment through the marker flip
+    * ([[commitGraphMutation]]), exactly-once by stamp.
     * Batch inserts connect against the COMMITTED version only —
     * in-batch siblings are invisible to each other (e52's retry-stable
     * discipline; sequential HNSW would see them, a documented
@@ -866,9 +1061,16 @@ object VectorIndex {
     if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((batchId, incarnationId)))
       return cur
     // empty micro-batch: nothing to connect — returning the live version
-    // avoids an O(graph) rewrite + version churn for no-op input
+    // avoids version churn for no-op input
     if (incoming.isEmpty) return cur
-    val g = loadGraph(s, root)
+    // TRUNCATE LINEAGE before walking: the resolved live view is a
+    // segment chain (base ∖ superseded ∪ deltas), and the beam walk
+    // references it at every hop — as a Catalyst TREE each reference
+    // copies the whole chain subtree, so hops × chain length explodes
+    // analysis time (measured: minutes at chain length 8). One eager
+    // materialization makes the walk's graph input a leaf; the edge
+    // table is O(3n) long-pairs, executor-storage-sized at any corpus.
+    val g = loadGraph(s, root).localCheckpoint()
     val q = incoming.selectExpr("vec_id AS qid", "v AS qv")
     val beam = VectorOps.walkFinalBeam(baseVecs, g, q)
     val outE = beam
@@ -890,14 +1092,13 @@ object VectorIndex {
         Window.partitionBy("src").orderBy(desc("c"), col("dst"))))
       .filter(col("rn") <= 3)
       .select("src", "dst")
-    val merged = g.join(touched, Seq("src"), "left_anti")
-      .unionByName(pruned).unionByName(outE)
-    val ver = cur + 1
-    merged.sortWithinPartitions("src").write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
-    StreamOps.flipCommitMarker(fs, rootP, ver, batchId, incarnationId)
-    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
-    ver
+    // O(touched) commit: the delta carries ONLY the inserted nodes'
+    // out-lists plus the re-pruned neighbors' adjacency — untouched
+    // rows stay in the base segment, superseded-at-read per src
+    // ([[loadGraph]]). The write scales with the batch's neighborhood,
+    // never the graph — the codes-delta discipline on the edge table.
+    commitGraphMutation(s, root, cur, pruned.unionByName(outE), None,
+      batchId, incarnationId, retain)
   }
 
   /** Streaming maintenance sink for the graph index: each micro-batch
@@ -948,14 +1149,10 @@ object VectorIndex {
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-5L, want)))
       .getOrElse {
         val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
-        fs.mkdirs(rootP)
-        VectorOps.knnGraphFrom(base)
-          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-          .sortWithinPartitions("src")
-          .write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
-        StreamOps.flipCommitMarker(fs, rootP, ver, -3L,
-          s"graph:${fingerprint(base)}")
+        commitGraphFull(s, root, ver,
+          VectorOps.knnGraphFrom(base)
+            .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+          -3L, s"graph:${fingerprint(base)}", 2)
         graphInsertBatch(incoming, base, root, -5L, want)
       }
   }
@@ -1007,7 +1204,7 @@ object VectorIndex {
     val appendSlice = e.filter(expr(lifeAppendPred))
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index.t+life[app=$lifeAppendPred;del=$deletePred]:${fingerprint(e)}"
+    val want = s"index.r+life[app=$lifeAppendPred;del=$deletePred]:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-7L, want)))
       .getOrElse {
@@ -1109,7 +1306,10 @@ object VectorIndex {
     if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((stampId, stampTag)))
       return cur
     if (ids.isEmpty) return cur
-    val g = loadGraph(s, root)
+    // truncated lineage, as in [[graphInsertBatch]]: the repair derives
+    // lost/inherited/surviving sets from the live view several times —
+    // each reference would re-copy the chain subtree into the plan tree
+    val g = loadGraph(s, root).localCheckpoint()
     val rm = ids.select("vec_id")
     val rmSrc = rm.withColumnRenamed("vec_id", "src")
     val rmDst = rm.withColumnRenamed("vec_id", "dst")
@@ -1138,18 +1338,21 @@ object VectorIndex {
         Window.partitionBy("src").orderBy(desc("c"), col("dst"))))
       .filter(col("rn") <= 3)
       .select("src", "dst")
-    // untouched rows pass through (their dst cannot be removed — a
-    // removed dst makes the src touched)
-    val untouched = g
-      .join(broadcast(rmSrc), Seq("src"), "left_anti")
-      .join(touched, Seq("src"), "left_anti")
-    val merged = untouched.unionByName(pruned)
-    val ver = cur + 1
-    merged.sortWithinPartitions("src").write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
-    StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
-    StreamOps.pruneChainVersions(fs, rootP, retain, Seq("edges"))
-    ver
+    // O(touched) commit: repaired adjacency as the delta; tombstones =
+    // removed ids PLUS any touched source whose repair came up EMPTY
+    // (every candidate was itself removed) — such a node contributes no
+    // delta rows, so without its tombstone the base's stale edges to
+    // removed nodes would survive the chain resolution. Untouched rows
+    // never rewrite — they stay in the base segment (their dst cannot
+    // be removed: a removed dst makes the src touched, so every in-edge
+    // of a removed node is superseded by this commit — the invariant
+    // [[loadGraph]]'s resolution relies on). The write is
+    // O(|removed| · degree²), never O(graph).
+    val emptied = touched.join(pruned.select("src").distinct(),
+      Seq("src"), "left_anti")
+    commitGraphMutation(s, root, cur, pruned,
+      Some(rm.withColumnRenamed("vec_id", "src").unionByName(emptied)),
+      stampId, stampTag, retain)
   }
 
   /** Streaming deletion sink for the graph index: each micro-batch of
@@ -1191,14 +1394,10 @@ object VectorIndex {
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-6L, want)))
       .getOrElse {
         val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
-        fs.mkdirs(rootP)
-        VectorOps.knnGraphFrom(e)
-          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-          .sortWithinPartitions("src")
-          .write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(rootP, s"v$ver/edges").toString)
-        StreamOps.flipCommitMarker(fs, rootP, ver, -3L,
-          s"graph:${fingerprint(e)}")
+        commitGraphFull(s, root, ver,
+          VectorOps.knnGraphFrom(e)
+            .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+          -3L, s"graph:${fingerprint(e)}", 2)
         graphDeleteBatch(e.filter(expr(graphDeletePred)).select("vec_id"),
           e, root, -6L, want)
       }
@@ -1278,7 +1477,7 @@ object VectorIndex {
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     // the tag encodes the delete RULE: a changed predicate on an
     // unchanged corpus must rebuild rather than reuse old tombstones
-    val want = s"index.t+del[$deletePred]:${fingerprint(e)}"
+    val want = s"index.r+del[$deletePred]:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-4L, want)))
       .getOrElse {
@@ -1320,13 +1519,13 @@ object VectorIndex {
     val e = VectorOps.vecs(s, dataDir).select("vec_id", "label", "v")
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index.t+lbl:${fingerprint(e)}"
+    val want = s"index.r+lbl:${fingerprint(e)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
       .getOrElse {
         val ev = e.select("vec_id", "v")
         val cb = trainCoarse(ev)
-        val pqcb = trainPq(ev)
+        val pqcb = trainPqResidual(ev, cb)
         val codes = encodeCorpus(ev, cb, pqcb)
           .join(e.select("vec_id", "label"), Seq("vec_id"))
         val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
@@ -1373,14 +1572,11 @@ object VectorIndex {
     val cand = loadLabeledCodes(s, root)
       .filter(col("cell").isin(probed: _*))
       .filter(col("label") === 3 && col("vec_id") =!= 0)
-    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
-      .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val qtab = qsub.join(broadcast(loadPqCodebook(s, root)),
-        col("j") === col("cj"))
-      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
-    val shortlist = cand.select(col("vec_id"),
+    val qtab = perCellQueryTables(s, root, q, qcells)
+    val shortlist = cand.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .join(broadcast(qtab), col("cell") === col("tcell") &&
+        col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("vec_id")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
       .orderBy(col("approx_d2"), col("vec_id")).limit(10)
@@ -1448,14 +1644,12 @@ object VectorIndex {
     val cand = loadCodes(s, indexRoot)
       .filter(col("cell").isin(probed: _*))
       .filter(col("vec_id") =!= 0)
-    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
-      .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
-        col("j") === col("cj"))
-      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    val qtab = perCellQueryTables(s, indexRoot, q,
+      cb.select(col("cid").as("qcell")).filter(col("qcell").isin(probed: _*)))
     cand.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .join(broadcast(qtab), col("cell") === col("tcell") &&
+        col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("vec_id", "cell")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
       .withColumn("n_probed", lit(probed.length))
@@ -1487,7 +1681,7 @@ object VectorIndex {
     * guard: a redelivered batch must not collide with its own
     * just-appended codes).
     */
-  private def admissionVerdicts(batch: DataFrame, primary: DataFrame,
+  private[ext] def admissionVerdicts(batch: DataFrame, primary: DataFrame,
       indexRoot: String, tau: Double,
       excludeIds: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1506,15 +1700,12 @@ object VectorIndex {
     val cand = excludeIds.foldLeft(codes0)((c, ex) =>
       c.join(broadcast(ex.select("vec_id")), Seq("vec_id"), "left_anti"))
       .join(broadcast(qcells), col("cell") === col("qcell"))
-    val qsub = qs.selectExpr("qid", "qv AS v").selectExpr("qid", subEx)
-      .select(col("qid"), col("s.j").as("j"), col("s.sv").as("sv"))
-    val qtab = qsub.join(broadcast(loadPqCodebook(s, indexRoot)),
-        col("j") === col("cj"))
-      .selectExpr("qid AS tqid", "j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    val qtab = perQueryCellTables(s, indexRoot, qs, qcells)
     val shortlist = cand
-      .select(col("qid"), col("vec_id"),
+      .select(col("qid"), col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(qtab), col("qid") === col("tqid") &&
+        col("cell") === col("tcell") &&
         col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("qid", "vec_id")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
@@ -1626,7 +1817,7 @@ object VectorIndex {
     val root = defaultAdmitRoot(dir)
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"index.t:${fingerprint(base)}"
+    val want = s"index.r:${fingerprint(base)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
       .getOrElse(buildIndexFrom(base, root))
@@ -1661,11 +1852,18 @@ object VectorIndex {
     val root = defaultRoot(dir)
     ensureIndex(s, dir, root)
     graft.functions.GraftFunctions.register(s)
+    // codes quantize RESIDUALS (v̂ = centroid(cell) + q(r)), so the
+    // reconstruction error is ‖r − q(r)‖² — the residual vs its
+    // code-selected residual centroid, which still equals the sum of
+    // the 8 chosen subspace distances
     val perj = loadCodes(s, root)
       .join(VectorOps.vecs(s, dir).select("vec_id", "v"), Seq("vec_id"))
+      .join(broadcast(loadCodebook(s, root)), col("cell") === col("cid"))
+      .selectExpr("vec_id", "cell", "codes",
+        "zip_with(v, cv, (x, y) -> x - y) AS rv")
       .select(col("vec_id"), col("cell"),
-        posexplode(col("codes")).as(Seq("j", "code")), col("v"))
-      .withColumn("sv", expr("slice(v, 8 * j + 1, 8)"))
+        posexplode(col("codes")).as(Seq("j", "code")), col("rv"))
+      .withColumn("sv", expr("slice(rv, 8 * j + 1, 8)"))
       .join(broadcast(loadPqCodebook(s, root)),
         col("j") === col("cj") && col("code") === col("cid"))
       .selectExpr("vec_id", "cell", s"$l2 AS d2")
@@ -1705,14 +1903,16 @@ object VectorIndex {
     graft.functions.GraftFunctions.register(s)
     val e = VectorOps.vecs(s, dir)
     val q = e.filter(col("vec_id") === 0).selectExpr("v AS qv")
-    val qsub = q.selectExpr("qv AS v").selectExpr(subEx)
-      .select(col("s.j").as("j"), col("s.sv").as("sv"))
-    val qtab = qsub.join(broadcast(loadPqCodebook(s, root)),
-        col("j") === col("cj"))
-      .selectExpr("j AS qj", "cid AS qcid", s"$l2 AS qd2")
+    // the sweep scans the FULL code table (PQ quality in isolation from
+    // the IVF probe), so the query needs a residual table per cell —
+    // all 16 of them, still a ≤2048-row broadcast
+    val qtab = perCellQueryTables(s, root, q,
+      loadCodebook(s, root).select(col("cid").as("qcell")))
     val short50 = loadCodes(s, root).filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(qtab), col("j") === col("qj") && col("code") === col("qcid"))
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtab), col("cell") === col("tcell") &&
+        col("j") === col("qj") && col("code") === col("qcid"))
       .groupBy("vec_id")
       .agg(round(sum("qd2"), 6).as("approx_d2"))
       .orderBy(col("approx_d2"), col("vec_id")).limit(50)

@@ -227,7 +227,10 @@ class PlanSpec extends SparkSpec {
       "d77_perplexity_buckets",
       // d61/d76 tokenize text too, but behind localCheckpoint frames that
       // truncate lineage — no file scan survives into their final plans
+      // m04 decodes media features from payload-header bytes derived
+      // from text (m02's derived-payload arrangement on the index arc)
       "m01_binary_hash_dedup", "m02_perceptual_media_dedup",
+      "m04_media_admission",
       "e23_crossmodal_dup_confirm", "e41_hybrid_rrf_retrieval",
       // tokenizes text inside the unigram-LM subtree (the d42 pattern)
       "d70_isotonic_calibration",
