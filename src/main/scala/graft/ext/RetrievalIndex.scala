@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * decontamination probes, data maps and eval-leak searches actually
   * run at 100 TB, and rebuilding tf/df/dl per query is what that
   * deployment rejects. (The reference persists its serving artifact
-  * the same way — data/models/next_hour_congestion.joblib, loaded at
-  * serve time, never refit per request.)
+  * the same way — `streamlit_app.py:665` loads
+  * data/models/next_hour_congestion.joblib at serve time, never
+  * refit per request.)
   *
   * On-disk layout (the [[VectorIndex]]/[[TextIndex]] marker protocol —
   * `_commit-<n>` rename flip, fingerprint-stamped ensure, chain-aware
