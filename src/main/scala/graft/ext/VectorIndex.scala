@@ -1006,8 +1006,10 @@ object VectorIndex {
   def graphWalkServed(s: SparkSession, dir: String): DataFrame = {
     val root = defaultGraphRoot(dir)
     ensureGraphIndex(s, dir, root)
-    // probed once per hop — persist; runner owns cleanup (e40's contract)
-    val g = loadGraph(s, root).persist()
+    // NOT persisted: the committed adjacency is a cheap pruned file
+    // scan re-read per hop, and a library caller must not accrete a
+    // cached plan per invocation (e61's hygiene; CacheSpec-pinned)
+    val g = loadGraph(s, root)
     VectorOps.graphWalkRecallFrom(
       VectorOps.vecs(s, dir).select("vec_id", "label", "v"), g, nQueries = 10)
   }
@@ -1985,8 +1987,8 @@ object VectorIndex {
   def graphMaintainedRecall(s: SparkSession, dir: String): DataFrame = {
     val root = defaultGraphInsRoot(dir)
     ensureInsertedGraph(s, dir, root)
-    // probed once per hop — persist; runner owns cleanup (e40's contract)
-    val g = loadGraph(s, root).persist()
+    // NOT persisted — e49's hygiene note applies here too
+    val g = loadGraph(s, root)
     VectorOps.graphWalkRecallFrom(
       VectorOps.vecs(s, dir).select("vec_id", "label", "v"), g,
       nQueries = 10)

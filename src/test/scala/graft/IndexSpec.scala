@@ -1131,6 +1131,14 @@ class IndexSpec extends SparkSpec {
     VectorIndex.graphBatchServed(spark, sf0001).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
       "e61 must not accrete storage-memory cache entries per invocation")
+    // the rest of the graph-serving family holds the same contract:
+    // committed-graph reads are cheap pruned re-scans (no persist), and
+    // the inline walks localCheckpoint (GC-owned blocks, not cache)
+    VectorIndex.graphWalkServed(spark, sf0001).collect()
+    VectorIndex.graphMaintainedRecall(spark, sf0001).collect()
+    VectorOps.graphWalkRecall(spark, sf0001).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no graph-serving entry may leave a cached plan behind")
   }
 
   test("a resolved reader survives mutation commits underneath (the read lease, both families)") {
