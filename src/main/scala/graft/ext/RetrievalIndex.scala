@@ -312,6 +312,28 @@ object RetrievalIndex {
     }
   }
 
+  /** Streaming maintenance sink: each micro-batch of (doc_id, text)
+    * documents appends through [[appendDocs]] — version re-resolved per
+    * batch, O(batch) postings-delta + signed vocab/stats segments,
+    * exactly-once by the (batch id, incarnation) stamp — the FIFTH
+    * streaming index-maintenance path beside the vector append /
+    * admission, graph insert/delete and text-signature admission
+    * sinks: the retrieval artifact stays queryable and statistically
+    * exact while documents stream in.
+    */
+  def indexAppendSink(docs: DataFrame, root: String, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    docs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        appendDocs(b.toDF(), root, id, incarnation, retain)
+        ()
+    }
+  }
+
   /** Fold the live chain into ONE self-contained version — stamped
     * (−2, "optimize") like every index family's maintenance commit.
     */

@@ -1134,6 +1134,48 @@ class StreamingSpec extends SparkSpec {
     whole.values.foreach { case (_, x) => assert(x > 0.0) }
   }
 
+  test("bm25 indexAppendSink: streamed two-batch append == from-scratch build over the union") {
+    import graft.ext.RetrievalIndex
+    import spark.implicits._
+    def mkText(stem: String, n: Int) = (1 to n).map(i => s"$stem$i").mkString(" ")
+    val all = (1L to 24L).map(i => (i, mkText(s"w${i}t", 12 + (i % 5).toInt)))
+    val rootS = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stream").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-bm25-streambatch").toString
+    RetrievalIndex.buildIndexFrom(all.take(8).toDF("doc_id", "text"), rootS)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = RetrievalIndex.indexAppendSink(
+      ms.toDF().toDF("doc_id", "text"), rootS).start()
+    try {
+      ms.addData(all.slice(8, 16))
+      q.processAllAvailable()
+      assert(RetrievalIndex.latestVersion(spark, rootS).contains(1L))
+      assert(new java.io.File(rootS, "v1/postings-delta").exists(),
+        "each micro-batch must commit an O(batch) delta")
+      ms.addData(all.drop(16))
+      q.processAllAvailable()
+      assert(RetrievalIndex.latestVersion(spark, rootS).contains(2L))
+    } finally q.stop()
+    // BM25 carries no trained state, so the convergence target is the
+    // from-scratch build over the union: postings, df vocabulary,
+    // corpus stats and the SERVED ranking must all be identical
+    RetrievalIndex.buildIndexFrom(all.toDF("doc_id", "text"), rootB)
+    def postings(root: String) = RetrievalIndex.loadPostings(spark, root)
+      .select("token", "doc_id", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(postings(rootS) == postings(rootB))
+    def vocab(root: String) = RetrievalIndex.loadVocab(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab(rootS) == vocab(rootB))
+    assert(RetrievalIndex.loadStats(spark, rootS).head().toSeq ==
+      RetrievalIndex.loadStats(spark, rootB).head().toSeq)
+    assert(RetrievalIndex.serveBm25TopK(spark, rootS).collect().map(_.toSeq).toSeq ==
+      RetrievalIndex.serveBm25TopK(spark, rootB).collect().map(_.toSeq).toSeq)
+  }
+
   test("indexAppendSink: streamed two-batch append == batch-built index over the union") {
     import graft.ext.{VectorIndex, VectorOps}
     val e = VectorOps.vecs(spark, "/root/testdata/sf0.001")
