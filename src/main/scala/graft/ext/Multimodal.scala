@@ -570,7 +570,10 @@ object Multimodal {
     // the media-feature corpus lives under its own root, so the generic
     // index stamp plus this root IS the (source, format) key
     val fpRow = base.agg(count(lit(1)), sum("vec_id")).head()
-    val want = s"index.r:n=${fpRow.getLong(0)};s=${fpRow.getLong(1)}"
+    // sum() over an empty split is NULL — guard like RetrievalIndex
+    // .fingerprint does, so an empty base stamps s=0 instead of NPEing
+    val fpSum = if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)
+    val want = s"index.r:n=${fpRow.getLong(0)};s=$fpSum"
     graft.streaming.StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => graft.streaming.StreamOps.cdcMarkerStamp(fs, rootP, v) ==
         ((-3L, want)))
@@ -587,6 +590,146 @@ object Multimodal {
       |  FROM documents""".stripMargin,
     mediaIncPredSql, 0.9)
 
+  // ---------------------------------------------------------------- m05
+
+  /** Minimal PCM-16 mono WAV encoder (RIFF/WAVE, little-endian) — the
+    * REAL container the JDK's javax.sound.sampled reader decodes
+    * exactly (uncompressed signed PCM: no quantization, no resampling),
+    * the audio analogue of [[encodeGrayBmp]]: what lets m05 put a true
+    * encode → decode → featurize roundtrip under the cross-engine
+    * oracle.
+    */
+  private[graft] def encodePcm16Wav(sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(v => { buf.putShort(v); () })
+    buf.array()
+  }
+
+  /** REAL-codec audio decoder over the JDK's built-in
+    * `javax.sound.sampled` (WAV / signed PCM — zero new dependencies):
+    * decodes the payload to its true int16 samples, grids them into
+    * fixed-length non-overlapping analysis windows ([[audioWindows]]'s
+    * grid with stride = window, in samples), and emits INTEGER-exact
+    * per-window features packed [sum|s|₀..sum|s|ₖ₋₁, zc₀..zcₖ₋₁]:
+    * the energy proxy Σ|sample| and the zero-crossing count (sign
+    * changes between consecutive samples within the window — the
+    * classic voiced/unvoiced discriminator). Every value is an integer
+    * < 2²⁴, exactly representable in the Float feature slot, so the
+    * emitted numbers replay bit-identically in any engine (m03's
+    * integer-exact oracle discipline on the audio rung). width = total
+    * samples, height = sample rate, n_frames = window count.
+    * Undecodable / non-PCM payloads fail loudly.
+    */
+  class AudioPcmDecoder(windowSamples: Int = 16) extends MediaDecoder {
+    require(windowSamples > 0, s"windowSamples must be positive")
+    override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(
+          if (payload == null) Array.emptyByteArray else payload))
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono signed PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bytes.length / 2
+      val samples = Array.fill(n)(bb.getShort())
+      val nw = (n + windowSamples - 1) / windowSamples
+      val feats = new Array[Float](2 * nw)
+      var w = 0
+      while (w < nw) {
+        val lo = w * windowSamples
+        val hi = math.min(lo + windowSamples, n)
+        var sa = 0L; var zc = 0L; var i = lo
+        while (i < hi) {
+          sa += math.abs(samples(i).toLong)
+          if (i > lo && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        feats(w) = sa.toFloat
+        feats(nw + w) = zc.toFloat
+        w += 1
+      }
+      DecodedMedia0(n, math.round(fmt.getSampleRate), nw, feats)
+    }
+  }
+
+  /** Registry entry: analysis-window audio features from REAL decoded
+    * PCM — the audio rung joining m03's real-codec image rung: per
+    * document a deterministic 64-sample int16 signal (sample i =
+    * first-4-hex-nibbles of md5("<doc_id>:a<i>") − 32768 — a
+    * definition BOTH engines can state) is encoded as a REAL WAV
+    * ([[encodePcm16Wav]]), decoded through the REAL codec
+    * ([[AudioPcmDecoder]], javax.sound.sampled — true sample reads,
+    * not a stub), and featurized on the 16-sample analysis grid:
+    * per window the Σ|sample| energy proxy and the zero-crossing
+    * count. Both are INTEGER definitions of the decoded samples, so
+    * the oracle replays them from the sample definition in pure
+    * integer SQL and the hash equality pins the whole encode →
+    * javax.sound decode → window-feature chain: any sample the codec
+    * roundtrip perturbs shifts a sum. Scale shape: everything is
+    * row-local (64 md5s + one encode/decode per doc behind the
+    * per-partition decoder, 4 emitted rows per doc); the only shuffle
+    * is the output sort.
+    */
+  def mediaAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sm = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        """transform(sequence(0, 63), i ->
+          |  CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), ':a',
+          |    CAST(i AS STRING)) AS BINARY)), 1, 4), 16, 10) AS INT) - 32768)
+          |  AS samples""".stripMargin)
+      .as[(Long, Array[Int])]
+    val media: Dataset[MediaRow] = sm.mapPartitions(_.map { case (id, smp) =>
+      MediaRow(id, "audio", encodePcm16Wav(8000, smp.map(_.toShort)),
+        MediaMeta("audio/wav", None, None, Some(8000), Some(8L)))
+    })
+    decodeAndFeaturize(media, new AudioPcmDecoder(16)).toDF()
+      .selectExpr("media_id", "n_frames AS nw", "features")
+      .selectExpr("media_id", "nw",
+        "posexplode(slice(features, 1, nw)) AS (widx, saf)", "features")
+      .selectExpr("media_id",
+        "CAST(widx AS INT) AS window_idx",
+        "CAST(round(saf) AS BIGINT) AS sum_abs",
+        "CAST(round(features[nw + widx]) AS BIGINT) AS zero_crossings")
+      .orderBy("media_id", "window_idx")
+  }
+
+  private val mediaAudioFeaturesSql =
+    """WITH px AS (
+      |  SELECT doc_id AS media_id, i,
+      |    CAST(('0x' || substr(md5(doc_id || ':a' || i), 1, 4)) AS INT)
+      |      - 32768 AS v
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |w AS (SELECT media_id, (i // 16) AS window_idx, i, v FROM px),
+      |sa AS (SELECT media_id, window_idx,
+      |         CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+      |       FROM w GROUP BY 1, 2),
+      |zc AS (SELECT a.media_id, a.window_idx,
+      |         CAST(sum(CASE WHEN (a.v >= 0) <> (b.v >= 0)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |       FROM w a JOIN w b ON a.media_id = b.media_id
+      |         AND a.window_idx = b.window_idx AND b.i = a.i - 1
+      |       GROUP BY 1, 2)
+      |SELECT sa.media_id, CAST(sa.window_idx AS INT) AS window_idx, sum_abs,
+      |  coalesce(zero_crossings, CAST(0 AS BIGINT)) AS zero_crossings
+      |FROM sa LEFT JOIN zc USING (media_id, window_idx)
+      |ORDER BY media_id, window_idx""".stripMargin
+
   /** Oracle-gated multimodal queries (the binary-column path under the
     * driver's DuckDB hash compare; the codec-dependent ops stay
     * spec-verified on fixtures — MultimodalSpec).
@@ -599,5 +742,7 @@ object Multimodal {
     graft.QueryDef("m03_media_dhash", mediaDhash,
       Some(mediaDhashSql)),
     graft.QueryDef("m04_media_admission", mediaAdmission,
-      Some(mediaAdmissionSql)))
+      Some(mediaAdmissionSql)),
+    graft.QueryDef("m05_media_audio_features", mediaAudioFeatures,
+      Some(mediaAudioFeaturesSql)))
 }

@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *     into the parquet scan. `dl` is denormalized onto the posting row
   *     (Lucene's norms-with-postings layout) so scoring never joins a
   *     second corpus-sized table.
-  *   - `v<n>/vocab/` — (token, df): the document-frequency table, the
-  *     index STATISTICS. Maintained as SIGNED SEGMENTS: a base commit
-  *     writes the full table, an append commits `vocab-delta/` with the
-  *     batch's +df rows, a forget commits the forgotten docs' −df rows;
+  *   - `v<n>/vocab/tb=<b>/` — (token, df): the document-frequency
+  *     table, the index STATISTICS, partitioned by the SAME token-hash
+  *     bucket as the postings so a keyed term lookup ([[resolveTerms]])
+  *     is a bucket-pruned, term-pushed scan, never an O(vocab) pass.
+  *     Maintained as SIGNED SEGMENTS: a base commit writes the full
+  *     table, an append commits `vocab-delta/` with the batch's +df
+  *     rows, a forget commits the forgotten docs' −df rows;
   *     [[loadVocab]] sums segments (df > 0) — so maintenance writes are
   *     O(batch vocabulary), never O(corpus vocabulary).
   *   - `v<n>/stats/` — (n_docs, sum_dl), same signed-segment
@@ -38,7 +41,8 @@ import org.apache.spark.sql.functions._
   *   - `v<n>/postings-delta/` + `v<n>/tombstones` — O(batch) appends
   *     and metadata-only forgets, exactly [[TextIndex]]'s chain rules
   *     (at most one tombstones version per chain, auto-fold at
-  *     [[AppendFoldThreshold]] deltas, explicit [[compactIndex]]).
+  *     [[AppendFoldThreshold]] chain segments, explicit
+  *     [[compactIndex]]).
   *
   * Serve cost: the 8-term standard query reads ≤8 bucket directories
   * filtered to the query terms (df-bounded posting lists), joins a
@@ -51,7 +55,11 @@ object RetrievalIndex {
 
   private val nBuckets = 8
 
-  /** Deltas tolerated in a chain before an append auto-folds. */
+  /** Chain segments tolerated before an append auto-folds — measured as
+    * live − base ([[VectorIndex]]'s graph-family rule), so tombstones
+    * and marker-only versions count toward the chain like any other
+    * segment a reader must resolve through.
+    */
   private val AppendFoldThreshold = 8
 
   def defaultRoot(dataDir: String): String =
@@ -78,11 +86,13 @@ object RetrievalIndex {
         s"pmod(xxhash64(token), $nBuckets) AS tb")
   }
 
-  /** (token, df) of a postings frame — one row per doc-token pair means
-    * df is a plain count.
+  /** (token, df, tb) of a postings frame — one row per doc-token pair
+    * means df is a plain count; tb is a pure function of the token
+    * (grouping by both keeps the layout key without a recompute).
     */
   private def vocabOf(postings: DataFrame): DataFrame =
-    postings.groupBy("token").agg(count(lit(1)).as("df"))
+    postings.groupBy("token", "tb").agg(count(lit(1)).as("df"))
+      .select("token", "df", "tb")
 
   /** (n_docs, sum_dl) of a postings frame. */
   private def statsOf(postings: DataFrame): DataFrame =
@@ -100,7 +110,12 @@ object RetrievalIndex {
         s.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(root))
 
-  /** Full (base) commit: postings + complete vocab + complete stats. */
+  /** Full (base) commit: postings + complete vocab + complete stats.
+    * Note the vocab/stats re-derive from the just-WRITTEN postings (a
+    * second pass over the base postings, build-time only) — the
+    * statistics must describe what the commit actually persisted, so a
+    * write-path perturbation can never leave them out of sync.
+    */
   private def commitVersion(s: SparkSession, root: String, ver: Long,
       postings: DataFrame, stampId: Long, stampTag: String,
       retain: Int): Long = {
@@ -112,7 +127,7 @@ object RetrievalIndex {
     postings.write.mode("overwrite").partitionBy("tb")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "postings").toString)
     val written = readPostingsDir(s, s"$root/v$ver/postings")
-    vocabOf(written).coalesce(1).write.mode("overwrite")
+    vocabOf(written).write.mode("overwrite").partitionBy("tb")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "vocab").toString)
     statsOf(written).coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "stats").toString)
@@ -131,15 +146,29 @@ object RetrievalIndex {
       StructField("tb", LongType)))
   }
 
+  private def vocabSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("token", StringType),
+      StructField("df", LongType),
+      StructField("tb", LongType)))
+  }
+
   private def readPostingsDir(s: SparkSession, path: String): DataFrame =
     s.read.schema(postingsSchema).parquet(path)
+
+  /** The index format stamp prefix — bumped when the on-disk layout
+    * changes (`.v`: bucketed vocab segments), so an ensure against an
+    * older artifact rebuilds rather than misreads it.
+    */
+  private val FormatTag = "bm25.v"
 
   private[graft] def buildIndexFrom(docs: DataFrame, root: String,
       retain: Int = 2): Long = {
     val s = docs.sparkSession
     val ver = latestVersion(s, root).map(_ + 1).getOrElse(0L)
     commitVersion(s, root, ver, postingsOf(docs),
-      -3L, s"bm25:${fingerprint(docs)}", retain)
+      -3L, s"$FormatTag:${fingerprint(docs)}", retain)
   }
 
   /** The version whose `postings/` backs `v` — the chain-base walk. */
@@ -183,24 +212,62 @@ object RetrievalIndex {
     (base +: deltas).reduce(_ unionByName _)
   }
 
-  /** The live document-frequency table: base `vocab/` plus every signed
-    * `vocab-delta/` in the chain, summed (df > 0) — reading the index
-    * statistics costs O(vocab), never a postings scan.
+  /** The live chain's signed vocab segments, unioned but NOT yet summed
+    * — the single reader under [[loadVocab]] (full statistics) and
+    * [[resolveTerms]] (keyed lookup): a filter on (tb, token) pushes
+    * through the union into every segment scan, so both consumers get
+    * partition pruning for free.
     */
-  def loadVocab(s: SparkSession, root: String): DataFrame = {
-    import org.apache.spark.sql.types._
+  private def vocabSegments(s: SparkSession, root: String): DataFrame = {
     val v = latestVersion(s, root).getOrElse(throw new IllegalStateException(
       s"no committed index version under $root — build first"))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val pv = postingsVersion(fs, root, v)
-    val sch = StructType(Seq(
-      StructField("token", StringType), StructField("df", LongType)))
-    val segs = s.read.schema(sch).parquet(s"$root/v$pv/vocab") +:
+    val segs = s.read.schema(vocabSchema).parquet(s"$root/v$pv/vocab") +:
       ((pv + 1) to v).filter(i => fs.exists(
           new org.apache.hadoop.fs.Path(s"$root/v$i/vocab-delta")))
-        .map(i => s.read.schema(sch).parquet(s"$root/v$i/vocab-delta"))
+        .map(i => s.read.schema(vocabSchema).parquet(s"$root/v$i/vocab-delta"))
     segs.reduce(_ unionByName _)
+  }
+
+  /** The live document-frequency table: base `vocab/` plus every signed
+    * `vocab-delta/` in the chain, summed (df > 0) — reading the FULL
+    * index statistics costs O(vocab), never a postings scan. Serving a
+    * known term set resolves by key instead — [[resolveTerms]].
+    */
+  def loadVocab(s: SparkSession, root: String): DataFrame =
+    vocabSegments(s, root)
+      .groupBy("token").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+
+  /** The terms' bucket literals, derived with the ENGINE's own layout
+    * expression (pmod(xxhash64)) over a query-sized local relation — a
+    * scala-side hash reimplementation could silently drift from what
+    * the writer partitioned by.
+    */
+  private def termBuckets(s: SparkSession, terms: Seq[String]): Seq[Long] = {
+    import s.implicits._
+    terms.toDF("token")
+      .selectExpr(s"pmod(xxhash64(token), $nBuckets) AS tb")
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  /** KEYED term resolution: the live (token, df) rows for exactly
+    * `terms`, read bucket-pruned and term-pushed from the signed vocab
+    * segments — the per-query statistics lookup a serve path pays
+    * (O(query terms) rows touched), in contrast to [[loadVocab]]'s
+    * O(vocab) audit/derivation scan. Terms are LITERALS for the same
+    * reason [[serveBm25TopK]]'s postings probe uses them: the bucket
+    * set must reach every segment reader as a partition filter and the
+    * token equality must push into the parquet scan.
+    */
+  def resolveTerms(s: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "resolveTerms needs at least one term")
+    vocabSegments(s, root)
+      .filter(col("tb").isin(termBuckets(s, terms): _*))
+      .filter(col("token").isin(terms: _*))
       .groupBy("token").agg(sum("df").as("df"))
       .filter(col("df") > 0)
   }
@@ -223,10 +290,31 @@ object RetrievalIndex {
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
   }
 
+  /** Chain length as live − base — tombstones and marker-only versions
+    * count like deltas ([[VectorIndex]]'s graphChainLength rule), so a
+    * chain can never silently exceed [[AppendFoldThreshold]] resolvable
+    * segments just because some of them carry no postings-delta.
+    */
+  private def chainLength(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, cur: Long): Long =
+    cur - postingsVersion(fs, root, cur)
+
   /** One incremental append commit: the batch's postings as an O(batch)
     * `postings-delta/` segment plus its +df vocab-delta and +stats
     * delta — maintenance IO scales with the batch, never the corpus.
-    * Auto-folds at [[AppendFoldThreshold]]; exactly-once by stamp.
+    * Auto-folds once the chain holds [[AppendFoldThreshold]] segments;
+    * exactly-once by stamp. An EMPTY batch commits a marker-only
+    * version carrying the stamp (no data dirs): the stamp is what
+    * ensure paths and retries key on, so even a no-op batch must leave
+    * one behind or every later ensure replays the whole chain.
+    *
+    * CONTRACT: the batch's doc_ids must be NEW to the index. The
+    * postings/vocab/stats deltas are derived from the batch alone
+    * (that is what makes the commit O(batch)), so re-appending a live
+    * doc_id double-counts its postings, df and stats — callers that
+    * cannot guarantee novelty must forget the ids first
+    * ([[forgetDocs]]) or gate through a dedup admission (the
+    * [[TextIndex.admitBatch]] arrangement).
     */
   private[graft] def appendDocs(batch: DataFrame, root: String,
       batchId: Long, incarnationId: String, retain: Int = 2): Long = {
@@ -238,11 +326,16 @@ object RetrievalIndex {
         s"appendDocs needs a committed index under $root — build first"))
     if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((batchId, incarnationId)))
       return cur
-    if (batch.isEmpty) return cur
-    val pv = postingsVersion(fs, root, cur)
-    val nDeltas = ((pv + 1) to cur).count(i => fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/v$i/postings-delta")))
-    if (nDeltas >= AppendFoldThreshold) {
+    if (batch.isEmpty) {
+      // marker-only commit: records the stamp (exactly-once + ensure
+      // keys) without writing data dirs — readers resolve through it
+      val ver = cur + 1
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v$ver"), true)
+      StreamOps.flipCommitMarker(fs, rootP, ver, batchId, incarnationId)
+      StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
+      return ver
+    }
+    if (chainLength(fs, root, cur) >= AppendFoldThreshold) {
       val merged = loadPostings(s, root).select("token", "doc_id", "tf", "dl", "tb")
         .unionByName(postingsOf(batch).select("token", "doc_id", "tf", "dl", "tb"))
       commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
@@ -254,7 +347,7 @@ object RetrievalIndex {
         .parquet(new org.apache.hadoop.fs.Path(vdir, "postings-delta").toString)
       val written = readPostingsDir(s,
         new org.apache.hadoop.fs.Path(vdir, "postings-delta").toString)
-      vocabOf(written).coalesce(1).write.mode("overwrite")
+      vocabOf(written).write.mode("overwrite").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "vocab-delta").toString)
       statsOf(written).coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "stats-delta").toString)
@@ -264,17 +357,28 @@ object RetrievalIndex {
     }
   }
 
-  /** Forget documents: on a clean base a METADATA-ONLY commit (doc-id
-    * tombstones + the forgotten docs' −df vocab-delta and −stats delta
-    * — an O(forgotten) read of their posting rows, an O(forgotten
-    * vocabulary) write); on a delta-bearing chain a COMPACT, keeping
-    * the chain's single-tombstones invariant. After the commit the
+  /** Forget documents: on a clean base a METADATA-ONLY commit whose
+    * READ is O(forgotten) — doc-id tombstones plus −df/−stats segments
+    * derived by RE-TOKENIZING the forgotten docs from the PRIMARY
+    * store (the exact derivation [[appendDocs]] uses for its +df
+    * delta), never by scanning the live postings: the postings are
+    * token-bucketed, so a doc-id probe into them prunes nothing and
+    * would read the whole index per forget. On a delta-bearing chain
+    * the forget COMPACTS instead (one declared full pass), keeping the
+    * chain's single-tombstones invariant. After the commit the
     * forgotten docs can never rank for any query AND the statistics
     * reflect the live corpus — BM25's idf is df-sensitive, so forget
     * must unlearn the counts too, not just the rows.
+    *
+    * CONTRACT: `docs` is (doc_id, text) fetched from the primary store
+    * — each id must be LIVE in the index and `text` must be the exact
+    * text that was indexed (the primary store is the source of truth
+    * both build and append derived from, so this holds by
+    * construction in a deployment; a mismatched text would unlearn the
+    * wrong counts).
     */
   private[graft] def forgetDocs(s: SparkSession, root: String,
-      ids: DataFrame, stampId: Long, stampTag: String,
+      docs: DataFrame, stampId: Long, stampTag: String,
       retain: Int = 2): Long = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -283,18 +387,31 @@ object RetrievalIndex {
         s"forgetDocs needs a committed index under $root — build first"))
     if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((stampId, stampTag)))
       return cur
+    val batch = docs.select("doc_id", "text").dropDuplicates("doc_id")
+    if (batch.isEmpty) {
+      val ver = cur + 1
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v$ver"), true)
+      StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
+      StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
+      return ver
+    }
     val ver = cur + 1
     val vdir = new org.apache.hadoop.fs.Path(rootP, s"v$ver")
     fs.delete(vdir, true) // wipe a crashed attempt's partial dir
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$cur/postings"))) {
-      val gone = loadPostings(s, root)
-        .join(broadcast(ids.select("doc_id").distinct()), Seq("doc_id"),
-          "left_semi")
-      ids.select("doc_id").distinct()
+    val pv = postingsVersion(fs, root, cur)
+    val chainClean = ((pv + 1) to cur).forall { i =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$i/postings-delta")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$i/tombstones"))
+    }
+    if (chainClean) {
+      // O(forgotten): the negative segments come from the batch's own
+      // re-tokenization — no postings file is opened by this commit
+      val gone = postingsOf(batch)
+      batch.select("doc_id")
         .coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "tombstones").toString)
-      vocabOf(gone).selectExpr("token", "-df AS df")
-        .coalesce(1).write.mode("overwrite")
+      vocabOf(gone).selectExpr("token", "-df AS df", "tb")
+        .write.mode("overwrite").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "vocab-delta").toString)
       statsOf(gone).selectExpr("-n_docs AS n_docs", "-sum_dl AS sum_dl")
         .coalesce(1).write.mode("overwrite")
@@ -305,7 +422,7 @@ object RetrievalIndex {
     } else {
       commitVersion(s, root, ver,
         loadPostings(s, root)
-          .join(broadcast(ids.select("doc_id").distinct()), Seq("doc_id"),
+          .join(broadcast(batch.select("doc_id")), Seq("doc_id"),
             "left_anti")
           .select("token", "doc_id", "tf", "dl", "tb"),
         stampId, stampTag, retain)
@@ -319,7 +436,9 @@ object RetrievalIndex {
     * streaming index-maintenance path beside the vector append /
     * admission, graph insert/delete and text-signature admission
     * sinks: the retrieval artifact stays queryable and statistically
-    * exact while documents stream in.
+    * exact while documents stream in. [[appendDocs]]'s new-docs
+    * contract applies per micro-batch: upstream must not redeliver a
+    * live doc_id (dedupe or forget-first if it can).
     */
   def indexAppendSink(docs: DataFrame, root: String, retain: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -330,6 +449,30 @@ object RetrievalIndex {
             .getLocalProperty("sql.streaming.queryId"))
           .getOrElse(fallbackIncarnation)
         appendDocs(b.toDF(), root, id, incarnation, retain)
+        ()
+    }
+  }
+
+  /** Streaming FORGET sink — the retrieval family's other half of the
+    * mutation pair ([[VectorIndex.graphDeleteSink]]'s arrangement):
+    * each micro-batch of (doc_id, text) forget requests (text from the
+    * primary store — [[forgetDocs]]'s O(forgotten) derivation needs
+    * it) commits one forget against the re-resolved live version,
+    * exactly-once by the (batch id, incarnation) stamp. On a clean
+    * base each commit is metadata-only; interleaved with appends the
+    * forget compacts (the single-tombstones chain rule) — a deployment
+    * alternating both at high rate schedules forgets on the fold
+    * cadence.
+    */
+  def indexForgetSink(docs: DataFrame, root: String, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    docs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        forgetDocs(b.sparkSession, root, b.toDF(), id, incarnation, retain)
         ()
     }
   }
@@ -374,10 +517,7 @@ object RetrievalIndex {
       .join(broadcast(terms), Seq("token"))
       .crossJoin(broadcast(loadStats(s, root)))
       .selectExpr("token AS query_term", "doc_id",
-        """round(ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D))
-          |  * (tf * 2.2D)
-          |  / (tf + 1.2D * (0.25D + 0.75D * (dl * 1.0D * n_docs / sum_dl))),
-          |  6) AS bm25""".stripMargin)
+        s"round(${TextOps.bm25TermScoreExpr}, 6) AS bm25")
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_term")
           .orderBy(col("bm25").desc, col("doc_id").asc)))
@@ -386,7 +526,55 @@ object RetrievalIndex {
       .orderBy("query_term", "rank")
   }
 
+  /** DOCUMENT-AT-A-TIME multi-term serving off the committed artifact —
+    * the query shape real retrieval actually runs (d62/d83 rank top
+    * docs PER TERM; a search query sums BM25 across its terms per doc
+    * and returns ONE ranked doc list): the given terms resolve their
+    * df by KEYED lookup ([[resolveTerms]] — bucket-pruned, term-pushed,
+    * O(query terms) rows), the postings read is pruned the same way,
+    * per-term scores sum per doc (unrounded, rounded 6 dp on the sum —
+    * e41's discipline) and the top-k cut is a TakeOrdered, never a
+    * global window funnel. `n_terms_hit` = how many query terms the
+    * doc contains (integer-exact).
+    */
+  def serveBm25Daat(s: SparkSession, root: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termDf = resolveTerms(s, root, terms)
+    loadPostings(s, root)
+      .filter(col("tb").isin(termBuckets(s, terms): _*))
+      .filter(col("token").isin(terms: _*))
+      .join(broadcast(termDf), Seq("token"))
+      .crossJoin(broadcast(loadStats(s, root)))
+      .selectExpr("doc_id", s"${TextOps.bm25TermScoreExpr} AS sc")
+      .groupBy("doc_id")
+      .agg(round(sum("sc"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("bm25"), col("n_terms_hit"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------------------- d83
+
+  /** Ensure the committed retrieval index over the full documents
+    * corpus under its default root (fingerprint- and format-stamped) —
+    * shared by d83 and d85.
+    */
+  private def ensureCorpusIndex(s: SparkSession, dir: String): String = {
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val root = defaultRoot(dir)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want = s"$FormatTag:${fingerprint(docs)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
+      .getOrElse(buildIndexFrom(docs, root))
+    root
+  }
 
   /** Registry entry: ensure the committed retrieval index over the full
     * documents corpus (fingerprint-guarded), serve d62's standard query
@@ -394,16 +582,27 @@ object RetrievalIndex {
     * the build → commit → load → serve ≡ inline guarantee for tf, dl,
     * df, the corpus stats and the ranking discipline at once.
     */
-  def bm25IndexServed(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
-    val root = defaultRoot(dir)
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"bm25:${fingerprint(docs)}"
-    StreamOps.cdcLatestCommit(fs, rootP)
-      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-3L, want)))
-      .getOrElse(buildIndexFrom(docs, root))
-    serveBm25TopK(s, root)
+  def bm25IndexServed(s: SparkSession, dir: String): DataFrame =
+    serveBm25TopK(s, ensureCorpusIndex(s, dir))
+
+  // ---------------------------------------------------------------- d85
+
+  /** Registry entry: the multi-term document-at-a-time query served off
+    * the committed artifact — query set = the 8 rarest terms (the
+    * data-derived determinism device every d62-family query shares; a
+    * production caller passes its own terms straight to
+    * [[serveBm25Daat]] and pays only the keyed lookups), top-10 docs by
+    * summed BM25. The oracle replays tokenize → stats → rarest-8 →
+    * per-doc sum → rank inline, so the hash pins the keyed term
+    * resolution AND the document-at-a-time arithmetic against the
+    * primary store.
+    */
+  def bm25DaatServed(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureCorpusIndex(s, dir)
+    val terms = loadVocab(s, root)
+      .orderBy(col("df").asc, col("token").asc).limit(8)
+      .collect().map(_.getString(0)).toSeq
+    serveBm25Daat(s, root, terms, k = 10)
   }
 
   // ---------------------------------------------------------------- d84
@@ -413,12 +612,13 @@ object RetrievalIndex {
 
   /** Registry entry: BM25 served after the FULL index lifecycle —
     * build the base split, forget a slice (metadata-only tombstones
-    * with −df/−stats segments), append the incoming split (O(batch)
-    * delta with +df/+stats segments) — d82/e62's composition pin on
-    * the retrieval family. The served ranking must equal d62's inline
-    * computation over the LIVE doc set, which only happens if the
-    * postings chain AND the signed statistics chain both resolve
-    * correctly (a stale df or n_docs shifts every idf).
+    * with −df/−stats segments derived from the primary store's text),
+    * append the incoming split (O(batch) delta with +df/+stats
+    * segments) — d82/e62's composition pin on the retrieval family.
+    * The served ranking must equal d62's inline computation over the
+    * LIVE doc set, which only happens if the postings chain AND the
+    * signed statistics chain both resolve correctly (a stale df or
+    * n_docs shifts every idf).
     */
   def bm25LifecycleServed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -431,13 +631,13 @@ object RetrievalIndex {
     val root = defaultLifeRoot(dir)
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val want = s"bm25+life[forget=$bm25ForgetPred]:${fingerprint(docs)}"
+    val want = s"$FormatTag+life[forget=$bm25ForgetPred]:${fingerprint(docs)}"
     StreamOps.cdcLatestCommit(fs, rootP)
       .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-7L, want)))
       .getOrElse {
         buildIndexFrom(base, root)                                // v0
-        forgetDocs(s, root, base.filter(expr(bm25ForgetPred))
-          .select("doc_id"), -6L, s"life-forget:$bm25ForgetPred") // v1: DV
+        forgetDocs(s, root, base.filter(expr(bm25ForgetPred)),
+          -6L, s"life-forget:$bm25ForgetPred")                    // v1: DV
         appendDocs(incoming, root, -7L, want)                     // v2: delta
       }
     serveBm25TopK(s, root)
@@ -454,5 +654,7 @@ object RetrievalIndex {
     QueryDef("d83_bm25_index_served", bm25IndexServed,
       Some(s"WITH ${TextOps.bm25SqlOver("documents")}")),
     QueryDef("d84_bm25_index_lifecycle", bm25LifecycleServed,
-      Some(bm25LifecycleSql)))
+      Some(bm25LifecycleSql)),
+    QueryDef("d85_bm25_daat_topk", bm25DaatServed,
+      Some(s"WITH ${TextOps.bm25DaatSqlOver("documents", 10)}")))
 }

@@ -603,6 +603,20 @@ object TextOps {
   /** Deterministic doc bucket 0-99 (the d14 split key), Spark + oracle. */
   private[ext] val docBucket = s"pmod(${md5h60("CAST(doc_id AS STRING)")}, 100) AS bucket"
 
+  /** The Spark-side BM25 per-term score (k1 = 1.2, b = 0.75, the
+    * ln(1 + (N − df + ½)/(df + ½)) idf) over columns (tf, df, dl,
+    * n_docs, sum_dl) — ONE definition shared by d62's inline retrieval,
+    * the committed-artifact serves (d83/d84/d85) and e41's lexical arm,
+    * so the engine-side formula can never drift between call sites
+    * (the SQL side is [[bm25SqlOver]]'s single definition). UNROUNDED:
+    * per-term consumers round at 6 dp, document-at-a-time consumers sum
+    * terms first and round the sum (e41's measured-noise discipline).
+    */
+  private[ext] val bm25TermScoreExpr =
+    """ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D))
+      |  * (tf * 2.2D)
+      |  / (tf + 1.2D * (0.25D + 0.75D * (dl * 1.0D * n_docs / sum_dl)))""".stripMargin
+
   /** Train/val/test bucket boundaries — the single source of truth for
     * d14's split, d17/d24's base-vs-incoming cut, and d26's leakage
     * matrix (both the Spark plans and the oracle SQL interpolate these).
@@ -4110,10 +4124,7 @@ object TextOps {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .selectExpr("token AS query_term", "doc_id",
-        """round(ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D))
-          |  * (tf * 2.2D)
-          |  / (tf + 1.2D * (0.25D + 0.75D * (dl * 1.0D * n_docs / sum_dl))),
-          |  6) AS bm25""".stripMargin)
+        s"round($bm25TermScoreExpr, 6) AS bm25")
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_term")
           .orderBy(col("bm25").desc, col("doc_id").asc)))
@@ -4152,6 +4163,40 @@ object TextOps {
       |ORDER BY query_term, rank""".stripMargin
 
   private val bm25RetrievalSql = s"WITH ${bm25SqlOver("documents")}"
+
+  /** The DOCUMENT-AT-A-TIME BM25 chain over an arbitrary documents
+    * relation — d85's oracle: the same tokenize/tf/dl/stats/rarest-8
+    * prologue as [[bm25SqlOver]], but per-term scores SUM per document
+    * (unrounded doubles, rounded 6 dp on the sum — e41's lexical-arm
+    * discipline) and ONE ranked top-k doc list comes back, the shape a
+    * real multi-term retrieval query returns. `n_terms_hit` counts the
+    * query terms present in the doc — integer-exact.
+    */
+  private[ext] def bm25DaatSqlOver(docsRel: String, k: Int): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |              FROM $docsRel),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |q AS (SELECT token, count(*) AS df FROM tf GROUP BY 1
+      |      ORDER BY df ASC, token ASC LIMIT 8),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    round(sum(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl * 1.0 * n_docs / sum_dl)))),
+      |      6) AS bm25,
+      |    count(*) AS n_terms_hit
+      |  FROM tf JOIN q ON tf.token = q.token
+      |  JOIN dl ON tf.doc_id = dl.doc_id, stats
+      |  GROUP BY tf.doc_id),
+      |r AS (SELECT doc_id, bm25, n_terms_hit,
+      |        row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      |      FROM scored)
+      |SELECT CAST(rank AS INT) AS rank, doc_id, bm25, n_terms_hit
+      |FROM r WHERE rank <= $k
+      |ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------- d63
 

@@ -18,6 +18,25 @@ class IndexSpec extends SparkSpec {
 
   private def fullVecs = VectorOps.vecs(spark, sf0001).select("vec_id", "v")
 
+  /** Every FileSourceScanExec in an executed plan, walking through AQE
+    * shells (plain collect() does not traverse them).
+    */
+  private def aqeScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case o => o.children
+    }
+    val self = p match {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+      case _ => Nil
+    }
+    self ++ kids.flatMap(aqeScans)
+  }
+
   test("build -> commit -> load -> serve: deterministic, and the artifact is TRAINED") {
     val root = tmpRoot("roundtrip")
     val v0 = VectorIndex.buildIndex(spark, sf0001, root)
@@ -1215,21 +1234,6 @@ class IndexSpec extends SparkSpec {
     // (walk through AQE shells — plain collect() does not traverse them)
     val served = RetrievalIndex.serveBm25TopK(spark, root)
     served.collect()
-    def aqeScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(q.plan)
-        case o => o.children
-      }
-      val self = p match {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
-        case _ => Nil
-      }
-      self ++ kids.flatMap(aqeScans)
-    }
     val scans = aqeScans(served.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
     assert(scans.nonEmpty)
@@ -1239,8 +1243,11 @@ class IndexSpec extends SparkSpec {
       s"query terms must push into the scan: ${scans.map(_.metadata("PushedFilters"))}")
     // metadata-only forget on the clean base: tombstones + NEGATIVE
     // vocab/stats segments (a forget on a delta-bearing chain compacts
-    // instead — the single-tombstones chain invariant)
-    RetrievalIndex.forgetDocs(spark, root, Seq(2L).toDF("doc_id"), 2L, "f") // v1
+    // instead — the single-tombstones chain invariant); the forget
+    // takes (doc_id, text) from the primary store — the O(forgotten)
+    // re-tokenization derivation
+    RetrievalIndex.forgetDocs(spark, root,
+      base.filter(col("doc_id") === 2L), 2L, "f")                    // v1
     val v1f = new java.io.File(root, "v1")
     assert(new java.io.File(v1f, "tombstones").exists() &&
       new java.io.File(v1f, "vocab-delta").exists() &&
@@ -1295,5 +1302,128 @@ class IndexSpec extends SparkSpec {
       fullVecs.filter(col("vec_id") >= 200 && col("vec_id") < 210), root,
       5L, "inc-B")
     assert(v2 == 2L)
+  }
+
+  test("bm25 forget reads ZERO postings bytes (O(forgotten) commit)") {
+    import graft.ext.RetrievalIndex
+    import spark.implicits._
+    def mkText(stem: String, n: Int) =
+      (1 to n).map(i => s"$stem$i").mkString(" ")
+    val base = (1L to 64L).map(i => (i, mkText(s"f${i}t", 20)))
+      .toDF("doc_id", "text")
+    val root = tmpRoot("bm25-forget")
+    RetrievalIndex.buildIndexFrom(base, root)                       // v0
+    // corrupt every postings data file: any attempt to read postings
+    // bytes now throws — the forget commit must succeed anyway. This is
+    // the airtight no-postings-IO proof (a plan-listener audit can miss
+    // an eager read; a poisoned file cannot).
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    val pfiles = walk(new java.io.File(root, "v0/postings"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(pfiles.nonEmpty)
+    pfiles.foreach { f =>
+      val w = new java.io.FileOutputStream(f)
+      w.write("not a parquet file".getBytes("UTF-8")); w.close()
+    }
+    val gone = base.filter(col("doc_id") % 7 === 1) // 10 docs
+    val v1 = RetrievalIndex.forgetDocs(spark, root, gone, 3L, "of")  // v1
+    assert(v1 == 1L, "the metadata-only forget must commit")
+    val v1f = new java.io.File(root, "v1")
+    assert(new java.io.File(v1f, "tombstones").exists() &&
+      !new java.io.File(v1f, "postings").exists() &&
+      !new java.io.File(v1f, "postings-delta").exists(),
+      "forget on a clean base must be metadata-only")
+    // the negative segments carry exactly the forgotten docs' counts —
+    // every token is unique to its doc in this fixture, so −df = −1 per
+    // forgotten doc-token and −stats = (−10, −200)
+    val neg = spark.read.parquet(s"$root/v1/vocab-delta")
+      .select("token", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(neg.size == 10 * 20 && neg.values.forall(_ == -1L))
+    val st = spark.read.parquet(s"$root/v1/stats-delta").head()
+    assert(st.getLong(0) == -10L && st.getLong(1) == -200L)
+    // the summed statistics views (which read only vocab/stats dirs)
+    // reflect the live corpus
+    val live = RetrievalIndex.loadVocab(spark, root).count()
+    assert(live == (64 - 10) * 20)
+    val lst = RetrievalIndex.loadStats(spark, root).head()
+    assert(lst.getLong(0) == 54L && lst.getLong(1) == 54L * 20)
+  }
+
+  test("bm25 daat serve: keyed term resolution is bucket-pruned + term-pushed across signed segments") {
+    import graft.ext.RetrievalIndex
+    import spark.implicits._
+    // shared vocabulary so multi-term scoring overlaps docs: doc i
+    // holds tokens w<i>..w<i+9> — "w5" appears in docs max(1,5-9)..5
+    val docs = (1L to 40L)
+      .map(i => (i, (i to i + 9).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val root = tmpRoot("bm25-daat")
+    RetrievalIndex.buildIndexFrom(docs, root)                       // v0
+    val terms = Seq("w5", "w17", "w23")
+    // keyed resolution ≡ the O(vocab) view restricted to the terms
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaKey = asMap(RetrievalIndex.resolveTerms(spark, root, terms))
+    val viaFull = asMap(RetrievalIndex.loadVocab(spark, root)
+      .filter(col("token").isin(terms: _*)))
+    assert(viaKey == viaFull && viaKey.nonEmpty)
+    // ... and still ≡ after a forget + append (summing SIGNED segments
+    // through the keyed, pruned read)
+    RetrievalIndex.forgetDocs(spark, root,
+      docs.filter(col("doc_id") === 5L), 1L, "f")                   // v1
+    RetrievalIndex.appendDocs(
+      Seq((100L, "w5 w17 zz1")).toDF("doc_id", "text"), root, 2L, "a") // v2
+    val viaKey2 = asMap(RetrievalIndex.resolveTerms(spark, root, terms))
+    val viaFull2 = asMap(RetrievalIndex.loadVocab(spark, root)
+      .filter(col("token").isin(terms: _*)))
+    assert(viaKey2 == viaFull2)
+    assert(viaKey2("w5") == viaKey("w5")) // one copy forgotten, one appended
+    // the serve plan: BOTH the vocab-segment scans and the postings
+    // scans are partition-filtered to the terms' buckets with the term
+    // equality pushed into the parquet scan
+    val served = RetrievalIndex.serveBm25Daat(spark, root, terms, k = 5)
+    val rows = served.collect()
+    assert(rows.nonEmpty && rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scans = aqeScans(served.queryExecution.executedPlan)
+      .filter(sc => Seq("/postings", "/vocab").exists(n =>
+        sc.relation.location.rootPaths.exists(_.toString.contains(n))))
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "every postings/vocab segment read must carry the bucket partition filter")
+    assert(scans.forall(_.metadata("PushedFilters").contains("token")),
+      s"the term set must push into every scan: ${scans.map(_.metadata("PushedFilters"))}")
+    // doc-at-a-time semantics spot-check: w5 lives in docs 1..4 + 100
+    // (5 was forgotten), so the top doc by summed score must contain at
+    // least one query term and n_terms_hit is a positive int ≤ 3
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
+
+  test("bm25 empty batches flip marker-only versions (the stamp survives a no-op commit)") {
+    import graft.ext.RetrievalIndex
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val root = tmpRoot("bm25-empty")
+    RetrievalIndex.buildIndexFrom(docs, root)                       // v0
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    assert(RetrievalIndex.appendDocs(empty, root, 5L, "e") == 1L)
+    assert(!new java.io.File(root, "v1").exists(),
+      "an empty append writes no data dirs")
+    assert(StreamOps.cdcMarkerStamp(fs, rootP, 1L) == ((5L, "e")))
+    // the stamp is live: a redelivery no-ops instead of re-committing
+    assert(RetrievalIndex.appendDocs(empty, root, 5L, "e") == 1L)
+    assert(RetrievalIndex.latestVersion(spark, root).contains(1L))
+    // an empty forget stamps the same way
+    assert(RetrievalIndex.forgetDocs(spark, root, empty, 6L, "f") == 2L)
+    assert(StreamOps.cdcMarkerStamp(fs, rootP, 2L) == ((6L, "f")))
+    // readers resolve straight through marker-only versions
+    assert(RetrievalIndex.loadPostings(spark, root).count() == 18L)
+    assert(RetrievalIndex.serveBm25TopK(spark, root).count() > 0)
   }
 }

@@ -306,4 +306,39 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
     assert(feats.count() == 3L)
   }
+
+  test("AudioPcmDecoder: WAV roundtrip is sample-exact; window features are the integer definitions") {
+    // known samples: one positive/negative alternation in window 0,
+    // a constant run in window 1 — features computable by hand
+    val smp: Array[Short] = (Array.fill(8)(Seq(100, -200)).flatten ++
+      Array.fill(16)(300)).map(_.toShort)
+    val wav = Multimodal.encodePcm16Wav(8000, smp)
+    // container sanity: the JDK's own reader parses our header
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate == 8000f &&
+      in.getFormat.getChannels == 1 &&
+      in.getFormat.getSampleSizeInBits == 16)
+    val d = new Multimodal.AudioPcmDecoder(16).decode("audio", wav)
+    assert(d.width == 32 && d.height == 8000 && d.n_frames == 2)
+    // window 0: 8×(100+200) = 2400 abs-sum, 15 sign changes; window 1:
+    // 16×300 = 4800, 0 crossings
+    assert(d.features.toSeq == Seq(2400f, 4800f, 15f, 0f))
+    // full int16 range survives the encode → decode roundtrip exactly
+    val edge: Array[Short] =
+      Array(Short.MinValue, Short.MaxValue, 0, -1, 1, -32767, 32766, 5)
+    val de = new Multimodal.AudioPcmDecoder(8).decode("audio",
+      Multimodal.encodePcm16Wav(16000, edge))
+    assert(de.width == 8 && de.n_frames == 1)
+    assert(de.features(0) ==
+      edge.map(v => math.abs(v.toLong)).sum.toFloat)
+    // a short tail window grids like audioWindows' clamp (3 samples)
+    val dt = new Multimodal.AudioPcmDecoder(16).decode("audio",
+      Multimodal.encodePcm16Wav(8000, Array[Short](1, -1, 1)))
+    assert(dt.n_frames == 1 && dt.features.toSeq == Seq(3f, 2f))
+    // garbage fails loudly, never a silent zero-vector
+    intercept[Exception] {
+      new Multimodal.AudioPcmDecoder().decode("audio", Array[Byte](9, 9, 9))
+    }
+  }
 }

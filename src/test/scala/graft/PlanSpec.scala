@@ -147,7 +147,8 @@ class PlanSpec extends SparkSpec {
       "t19_histogram_quantiles" -> "histogram bins: ≤ 64 rows",
       "t33_concurrent_sessions" -> "boundary minutes: calendar-bounded frame",
       "d25_sequence_packing" -> "bucket-offset frame: |docs|/100 buckets",
-      "d28_length_histogram" -> "4 fixed length bands")
+      "d28_length_histogram" -> "4 fixed length bands",
+      "d85_bm25_daat_topk" -> "rank over the TakeOrdered ≤10-row doc shortlist")
     def windows(p: SparkPlan): Seq[WindowExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

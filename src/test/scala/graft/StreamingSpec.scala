@@ -1176,6 +1176,54 @@ class StreamingSpec extends SparkSpec {
       RetrievalIndex.serveBm25TopK(spark, rootB).collect().map(_.toSeq).toSeq)
   }
 
+  test("bm25 indexForgetSink: streamed two-batch forget == from-scratch build over the survivors") {
+    import graft.ext.RetrievalIndex
+    import spark.implicits._
+    def mkText(stem: String, n: Int) = (1 to n).map(i => s"$stem$i").mkString(" ")
+    val all = (1L to 24L).map(i => (i, mkText(s"g${i}t", 10 + (i % 4).toInt)))
+    val rootS = java.nio.file.Files
+      .createTempDirectory("graft-bm25-fstream").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-bm25-fbatch").toString
+    RetrievalIndex.buildIndexFrom(all.toDF("doc_id", "text"), rootS)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // forget requests carry (doc_id, text) from the primary store —
+    // the O(forgotten) −df/−stats derivation re-tokenizes the batch
+    val q = RetrievalIndex.indexForgetSink(
+      ms.toDF().toDF("doc_id", "text"), rootS).start()
+    val gone1 = all.filter(_._1 % 5 == 0)
+    val gone2 = all.filter(_._1 % 7 == 3)
+    try {
+      ms.addData(gone1)
+      q.processAllAvailable()
+      assert(RetrievalIndex.latestVersion(spark, rootS).contains(1L))
+      assert(new java.io.File(rootS, "v1/tombstones").exists() &&
+        !new java.io.File(rootS, "v1/postings").exists(),
+        "a forget on a clean base must commit metadata-only")
+      ms.addData(gone2)
+      q.processAllAvailable()
+      assert(RetrievalIndex.latestVersion(spark, rootS).contains(2L))
+    } finally q.stop()
+    // convergence target: the from-scratch build over the survivors —
+    // postings, df vocabulary, corpus stats and the served ranking
+    val goneIds = (gone1 ++ gone2).map(_._1).toSet
+    RetrievalIndex.buildIndexFrom(
+      all.filterNot(t => goneIds(t._1)).toDF("doc_id", "text"), rootB)
+    def postings(root: String) = RetrievalIndex.loadPostings(spark, root)
+      .select("token", "doc_id", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(postings(rootS) == postings(rootB))
+    def vocab(root: String) = RetrievalIndex.loadVocab(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab(rootS) == vocab(rootB))
+    assert(RetrievalIndex.loadStats(spark, rootS).head().toSeq ==
+      RetrievalIndex.loadStats(spark, rootB).head().toSeq)
+    assert(RetrievalIndex.serveBm25TopK(spark, rootS).collect().map(_.toSeq).toSeq ==
+      RetrievalIndex.serveBm25TopK(spark, rootB).collect().map(_.toSeq).toSeq)
+  }
+
   test("indexAppendSink: streamed two-batch append == batch-built index over the union") {
     import graft.ext.{VectorIndex, VectorOps}
     val e = VectorOps.vecs(spark, "/root/testdata/sf0.001")
