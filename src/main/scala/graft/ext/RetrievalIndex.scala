@@ -560,11 +560,50 @@ object RetrievalIndex {
 
   // ---------------------------------------------------------------- d83
 
+  /** MoreLikeThis lexical shortlist served off the committed artifact —
+    * e41's doc-as-query arm on index reads: per query doc (its distinct
+    * token set, supplied from the primary store — production reads a
+    * forward index / term-vector store; the INVERTED index is bucketed
+    * by token, so a doc-id probe into it is the wrong read), select the
+    * 5 rarest terms by the INDEX's df (keyed [[resolveTerms]] lookup),
+    * score BM25 over the term-pruned postings, sum per (query, doc) and
+    * rank top-`n` per query (self excluded). Both driver round-trips
+    * are query-batch-bounded: the distinct token set of ≤10 docs, then
+    * the ≤5·|queries| selected terms as scan literals.
+    */
+  def serveMoreLikeThis(s: SparkSession, root: String,
+      queryToks: DataFrame, n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allToks = queryToks.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val qterms = queryToks
+      .join(broadcast(resolveTerms(s, root, allToks)), Seq("token"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("df").asc, col("token").asc)))
+      .filter(col("rn") <= 5)
+      .select("qid", "token", "df")
+    val selected = qterms.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    loadPostings(s, root)
+      .filter(col("tb").isin(termBuckets(s, selected): _*))
+      .filter(col("token").isin(selected: _*))
+      .join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(loadStats(s, root)))
+      .selectExpr("qid", "doc_id", s"${TextOps.bm25TermScoreExpr} AS sc")
+      .groupBy("qid", "doc_id").agg(round(sum("sc"), 6).as("bm25"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("lex_rank") <= n)
+      .select(col("qid"), col("doc_id"),
+        col("lex_rank").cast("int").as("lex_rank"))
+  }
+
   /** Ensure the committed retrieval index over the full documents
     * corpus under its default root (fingerprint- and format-stamped) —
-    * shared by d83 and d85.
+    * shared by d83, d85 and the hybrid e65.
     */
-  private def ensureCorpusIndex(s: SparkSession, dir: String): String = {
+  private[ext] def ensureCorpusIndex(s: SparkSession, dir: String): String = {
     val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
     val root = defaultRoot(dir)
     val rootP = new org.apache.hadoop.fs.Path(root)

@@ -1440,6 +1440,137 @@ object VectorIndex {
       .orderBy("src", "rnk")
   }
 
+  // ---------------------------------------------------------------- e64
+
+  def defaultGraphLifeRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ann-graph-life/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** Resolve-or-build the FULL-LIFECYCLE graph artifact: base build on
+    * the non-inserted split (self-contained `edges/`) → one HNSW
+    * insert commit of the slice (O(touched) `edges-delta/`) → one
+    * repair-delete commit of the delete slice (`edges-delta/` +
+    * `edges-tombstones/`) — the graph family's three commit kinds
+    * composed in one chain, [[ensureLifecycleIndex]]'s shape on the
+    * fourth family. The stamp encodes both mutation rules.
+    */
+  private[graft] def ensureGraphLifecycle(s: SparkSession, dir: String,
+      root: String): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val incoming = e.filter(expr(graphInsertPred))
+    val base = e.filter(expr(s"NOT ($graphInsertPred)"))
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want =
+      s"graph+life[ins=$graphInsertPred;del=$graphDeletePred]:${fingerprint(e)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-7L, want)))
+      .getOrElse {
+        val ver = StreamOps.cdcLatestCommit(fs, rootP).map(_ + 1).getOrElse(0L)
+        commitGraphFull(s, root, ver,
+          VectorOps.knnGraphFrom(base)
+            .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+          -3L, s"graph:${fingerprint(base)}", 2)                     // v0
+        graphInsertBatch(incoming, base, root,
+          -5L, s"life-ins:$graphInsertPred")                         // v1
+        graphDeleteBatch(e.filter(expr(graphDeletePred)).select("vec_id"),
+          e, root, -7L, want)                                        // v2
+      }
+  }
+
+  /** Registry entry: the batch beam walk SERVED off the graph artifact
+    * after its full mutation history — build → HNSW insert → repair
+    * delete, then e61's 10-query serving face over the folded chain
+    * (queries restricted to live vectors). This is the composition pin
+    * for [[loadGraph]]'s commit-order fold across mutation KINDS: the
+    * insert's delta and the delete's delta + tombstones resolve
+    * against one base, and only a walk over the final adjacency
+    * observes their interaction (a stale superseded row, an unshaded
+    * tombstone or a mis-ordered fold all shift some query's beam). The
+    * oracle replays build → connect-and-prune → drop-inherit-re-prune
+    * → walk inline from raw data.
+    */
+  def graphLifecycleServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = defaultGraphLifeRoot(dir)
+    ensureGraphLifecycle(s, dir, root)
+    graft.functions.GraftFunctions.register(s)
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    // three-kind chain → truncate lineage before the multi-hop walk
+    // (the measured Catalyst chain-subtree blowup, round-13 lesson)
+    val g = loadGraph(s, root).localCheckpoint()
+    val q = e.filter(col("vec_id") < 10 && !expr(graphDeletePred))
+      .selectExpr("vec_id AS qid", "v AS qv")
+    VectorOps.walkFinalBeam(e, g, q)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("vid"))))
+      .filter(col("rnk") <= 5)
+      .selectExpr("qid", "CAST(rnk AS INT) AS rnk", "vid", "c AS cos_sim")
+      .orderBy("qid", "rnk")
+  }
+
+  // ---------------------------------------------------------------- e65
+
+  /** HYBRID RRF retrieval served off BOTH committed artifacts — e41's
+    * fusion with the inline stacks replaced by index reads, the serving
+    * face a RAG deployment actually runs: the lexical arm is
+    * [[RetrievalIndex.serveMoreLikeThis]] over the committed BM25
+    * index (keyed df resolution, bucket-pruned term-pushed postings),
+    * the dense arm is this family's batched two-stage serve (ADC
+    * shortlist of 20 from the probed cells' stored codes, exact-cosine
+    * re-rank of the shortlist only — e47's discipline ×10 queries),
+    * fused by rrf(d) = Σ_side 1/(60 + rank_side(d)) in e41's exact
+    * arithmetic. Note the dense arm is the INDEX's answer, not e41's
+    * exact top-20 — the oracle replays the ADC chain, so the hash pins
+    * what the artifact genuinely serves, shortlist membership included.
+    *
+    * Scale shape: every read is an index read — ≤50 term posting
+    * lists + ≤8-row keyed vocab lookups on the lexical side, nprobe-
+    * pruned code partitions + a 20-row-per-query raw-vector fetch on
+    * the dense side; fusion runs on two 20-row-per-query shortlists.
+    * No corpus scan anywhere — that is the entire point of serving off
+    * the committed artifacts.
+    */
+  def hybridRrfServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val broot = RetrievalIndex.ensureCorpusIndex(s, dir)
+    val vroot = defaultRoot(dir)
+    ensureIndex(s, dir, vroot)
+    // query-doc token sets from the primary store (production keeps a
+    // forward index for this read; the inverted index is the wrong
+    // layout for a doc-id probe)
+    val qtoks = graft.Tables.documents(s, dir).filter(col("doc_id") < 10)
+      .selectExpr("doc_id AS qid", "explode(split(text, ' ')) AS token")
+      .distinct()
+    val lex = RetrievalIndex.serveMoreLikeThis(s, broot, qtoks, n = 20)
+    val e = VectorOps.vecs(s, dir).select("vec_id", "v")
+    val qs = e.filter(col("vec_id") < 10).selectExpr("vec_id AS qid", "v AS qv")
+    val dense = serveIvfPqKnnBatch(s, dir, vroot, nQueries = 10, k = 20)
+      .select("qid", "vec_id")
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .selectExpr("qid", "vec_id AS doc_id",
+        "round(cosine_similarity(v, qv), 6) AS c")
+      .withColumn("dense_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("doc_id"))))
+      .select(col("qid"), col("doc_id"),
+        col("dense_rank").cast("int").as("dense_rank"))
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf0",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf0").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("doc_id"),
+        round(col("rrf0"), 6).as("rrf"), col("lex_rank"), col("dense_rank"))
+      .orderBy("qid", "rank")
+  }
+
   // ---------------------------------------------------------------- e48
 
   /** Registry entry: the 10-query batch served off the ensured index;
@@ -1969,7 +2100,11 @@ object VectorIndex {
     QueryDef("e61_graph_batch_served", graphBatchServed,
       Some(VectorOps.graphBatchServedOracle)),
     QueryDef("e62_index_lifecycle_served", ivfPqLifecycleServed,
-      Some(VectorOps.ivfPqLifecycleOracle)))
+      Some(VectorOps.ivfPqLifecycleOracle)),
+    QueryDef("e64_graph_lifecycle_served", graphLifecycleServed,
+      Some(VectorOps.graphLifecycleOracle)),
+    QueryDef("e65_hybrid_index_served", hybridRrfServed,
+      Some(VectorOps.hybridServedOracle)))
 
   // ---------------------------------------------------------------- e56
 

@@ -399,8 +399,11 @@ class DedupSpec extends SparkSpec {
     bsweep.foreach { case (_, h, r) => assert(r == h / 50.0) }
   }
 
-  test("e41 hybrid RRF: fused scores restate the reported ranks, shortlist membership holds") {
-    val rows = VectorOps.hybridRrfRetrieval(spark, sf0001).collect()
+  /** The e41 gate body, shared with e65 (the same fusion served off
+    * the two committed artifacts): rank completeness, no self-hit,
+    * shortlist membership, rrf restatement, consensus dominance.
+    */
+  private def assertHybridGates(rows: Array[org.apache.spark.sql.Row]): Unit = {
     assert(rows.length == 50) // 10 queries x top-5
     rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
       assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"q$qid ranks")
@@ -432,6 +435,15 @@ class DedupSpec extends SparkSpec {
           "a single-shortlist doc outranked a consensus doc")
       }
     }
+  }
+
+  test("e41 hybrid RRF: fused scores restate the reported ranks, shortlist membership holds") {
+    assertHybridGates(VectorOps.hybridRrfRetrieval(spark, sf0001).collect())
+  }
+
+  test("e65 hybrid served: the e41 gates hold with both arms read off the committed artifacts") {
+    assertHybridGates(
+      graft.ext.VectorIndex.hybridRrfServed(spark, sf0001).collect())
   }
 
   test("d78 applied minhash dedup: one canonical keeper per cluster, agrees with d13, stricter than d29") {
