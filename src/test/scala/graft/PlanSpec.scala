@@ -242,7 +242,11 @@ class PlanSpec extends SparkSpec {
       "d45_ngram_novelty", "d46_dup_substring_spans", "d62_bm25_retrieval",
       // signature-index admission shingles the incoming split's text
       // (and the base split's, on a cold index root / for the verify)
-      "d79_index_near_dedup", "d80_index_forget")
+      "d79_index_near_dedup", "d80_index_forget",
+      // the hybrid serve reads the 10 QUERY docs' token sets from the
+      // primary store (a doc_id<10-pushed 10-row read — the forward-
+      // index stand-in; the corpus-side reads are all index reads)
+      "e65_hybrid_index_served")
     val embReaders = Set(
       "e01_knn_brute_force", "e02_label_centroids", "e03_lsh_buckets",
       "e04_top_similar_pairs", "e05_ann_lsh_top5", "e06_cosine_near_dup",
@@ -282,7 +286,13 @@ class PlanSpec extends SparkSpec {
       "e59_knn_label_eval_sampled", "e60_top_pairs_sampled",
       "e61_graph_batch_served",
       // the maintained-recall walk + exact witness score raw vectors
-      "e56_graph_maintained_recall")
+      "e56_graph_maintained_recall",
+      // the lifecycle walk scores beam candidates against raw vectors
+      // (and builds/mutates the graph on a cold root)
+      "e64_graph_lifecycle_served",
+      // the hybrid dense arm reads the 10 query vectors + the 20-row
+      // re-rank shortlist from the primary store (two-stage serve)
+      "e65_hybrid_index_served")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
