@@ -730,6 +730,170 @@ object Multimodal {
       |FROM sa LEFT JOIN zc USING (media_id, window_idx)
       |ORDER BY media_id, window_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+
+  /** Minimal ANIMATED-GIF encoder over the JDK's own ImageIO GIF writer
+    * — the multi-frame container its reader decodes exactly: each
+    * frame is an 8-bit INDEXED image over an explicit 256-gray palette
+    * (index i ↦ gray i — the writer keeps the image's own palette, so
+    * the roundtrip is lossless by construction; a TYPE_BYTE_GRAY input
+    * would leave palette choice to the writer). Frames are full
+    * replacements (no partial-frame disposal), so per-frame reads need
+    * no compositing. The video analogue of [[encodeGrayBmp]] /
+    * [[encodePcm16Wav]].
+    */
+  private[graft] def encodeGrayGif(w: Int, h: Int, nFrames: Int,
+      pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h * nFrames,
+      s"need ${w * h * nFrames} pixels, got ${pixels.length}")
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, pixels(f * w * h + y * w + x) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      // the JDK writer's DEFAULT is an INTERLACED image descriptor —
+      // rows stored in four-pass order, which permutes (and on tiny
+      // heights truncates) a sequential read-back; force it off so the
+      // stored raster is row-exact
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img),
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val tree = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = tree.getChildNodes
+      var k = 0
+      while (k < kids.getLength) {
+        kids.item(k) match {
+          case n: javax.imageio.metadata.IIOMetadataNode
+              if n.getNodeName == "ImageDescriptor" =>
+            n.setAttribute("interlaceFlag", "FALSE")
+          case _ =>
+        }
+        k += 1
+      }
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL-codec multi-frame decoder over the JDK's ImageIO sequence
+    * reader (animated GIF — zero new dependencies): n_frames is the
+    * container's TRUE frame count (`getNumImages`), and the feature
+    * vector carries one INTEGER-exact value per frame — the frame's
+    * pixel-gray sum (≤ 64·255 for 8×8, exactly representable in the
+    * Float slot). This is the rung that makes the video path real:
+    * frame COUNTS and frame CONTENT both come from an actual codec
+    * read, so [[sampleFrames]]-style gridding downstream runs on
+    * decoded truth, not metadata. Undecodable payloads fail loudly.
+    */
+  class GifFramesDecoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(
+          if (payload == null) Array.emptyByteArray else payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        "payload is not an image container the JDK can decode")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val feats = new Array[Float](n)
+      var w = 0; var h = 0
+      var f = 0
+      while (f < n) {
+        val img = reader.read(f)
+        w = img.getWidth; h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        feats(f) = sum.toFloat
+        f += 1
+      }
+      reader.dispose(); iis.close()
+      DecodedMedia0(w, h, n, feats)
+    }
+  }
+
+  /** Registry entry: frame sampling over REAL decoded video frames —
+    * the video rung joining m03 (image) and m05 (audio): per document
+    * a deterministic animated GIF with 2 + (doc_id mod 3) frames of
+    * 8×8 grayscale (frame f, pixel i = first byte of
+    * md5("<doc_id>:v<f>:<i>")), encoded through the JDK's own GIF
+    * sequence writer, decoded through the REAL multi-frame reader
+    * ([[GifFramesDecoder]]), then every 2nd frame (the
+    * [[sampleFrames]] stride discipline, applied to the DECODED frame
+    * count) emits its integer pixel-sum. The oracle replays frame
+    * count, stride and sums from the pixel definition in pure integer
+    * SQL — a frame the codec roundtrip drops, reorders or perturbs
+    * shifts a row or a sum. Scale shape: row-local encode/decode
+    * behind the per-partition decoder (≤4 frames × 64 md5s per doc);
+    * the only shuffle is the output sort.
+    */
+  def mediaVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val px = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "CAST(2 + pmod(doc_id, 3) AS INT) AS nf",
+        """transform(sequence(0, CAST((2 + pmod(doc_id, 3)) * 64 - 1 AS INT)), i ->
+          |  CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), ':v',
+          |    CAST(i div 64 AS STRING), ':', CAST(pmod(i, 64) AS STRING))
+          |    AS BINARY)), 1, 2), 16, 10) AS INT)) AS pixels""".stripMargin)
+      .as[(Long, Int, Array[Int])]
+    val media: Dataset[MediaRow] = px.mapPartitions(_.map {
+      case (id, nf, pixels) =>
+        MediaRow(id, "video", encodeGrayGif(8, 8, nf, pixels),
+          MediaMeta("image/gif", Some(8), Some(8), None, None))
+    })
+    decodeAndFeaturize(media, new GifFramesDecoder).toDF()
+      .selectExpr("media_id", "CAST(n_frames AS INT) AS n_frames",
+        "posexplode(features) AS (frame_idx, fs)")
+      .filter("frame_idx % 2 = 0")
+      .selectExpr("media_id", "n_frames", "CAST(frame_idx AS INT) AS frame_idx",
+        "CAST(round(fs) AS BIGINT) AS frame_sum")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  private val mediaVideoFramesSql =
+    """WITH f AS (SELECT doc_id AS media_id,
+      |        CAST(2 + doc_id % 3 AS INT) AS n_frames,
+      |        unnest(range(0, 2 + doc_id % 3)) AS frame_idx
+      |      FROM documents),
+      |fs AS (SELECT media_id, n_frames, frame_idx,
+      |         CAST(sum(CAST(('0x' || substr(
+      |           md5(media_id || ':v' || frame_idx || ':' || i), 1, 2))
+      |           AS INT)) AS BIGINT) AS frame_sum
+      |       FROM f CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |       GROUP BY 1, 2, 3)
+      |SELECT media_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+      |  frame_sum
+      |FROM fs WHERE frame_idx % 2 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   /** Oracle-gated multimodal queries (the binary-column path under the
     * driver's DuckDB hash compare; the codec-dependent ops stay
     * spec-verified on fixtures — MultimodalSpec).
@@ -744,5 +908,7 @@ object Multimodal {
     graft.QueryDef("m04_media_admission", mediaAdmission,
       Some(mediaAdmissionSql)),
     graft.QueryDef("m05_media_audio_features", mediaAudioFeatures,
-      Some(mediaAudioFeaturesSql)))
+      Some(mediaAudioFeaturesSql)),
+    graft.QueryDef("m06_media_video_frames", mediaVideoFrames,
+      Some(mediaVideoFramesSql)))
 }

@@ -72,17 +72,24 @@ object RetrievalIndex {
       "graft-bm25-index-life/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
-  /** (token, doc_id, tf, dl, tb) of a (doc_id, text) frame — d62's
-    * exact tokenization (split on single space; every downstream number
-    * derives from this one explode) with the bucket key the layout
-    * partitions by.
+  /** (token, doc_id, tf, dl, positions, tb) of a (doc_id, text) frame —
+    * d62's exact tokenization (split on single space; every downstream
+    * number derives from this one explode) with the bucket key the
+    * layout partitions by, PLUS the sorted 0-based position list per
+    * doc-token (Lucene's positional-postings layout — what phrase and
+    * proximity queries intersect; tf ≡ the list's length by
+    * construction). Consumers that never touch positions pay nothing:
+    * Catalyst prunes the column out of their scans.
     */
   private def postingsOf(docs: DataFrame): DataFrame = {
-    val tf = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = docs
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, token)")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     tf.join(dl, Seq("doc_id"))
-      .selectExpr("token", "doc_id", "tf", "dl",
+      .selectExpr("token", "doc_id", "tf", "dl", "positions",
         s"pmod(xxhash64(token), $nBuckets) AS tb")
   }
 
@@ -143,6 +150,7 @@ object RetrievalIndex {
       StructField("doc_id", LongType),
       StructField("tf", LongType),
       StructField("dl", LongType),
+      StructField("positions", ArrayType(IntegerType)),
       StructField("tb", LongType)))
   }
 
@@ -161,7 +169,7 @@ object RetrievalIndex {
     * changes (`.v`: bucketed vocab segments), so an ensure against an
     * older artifact rebuilds rather than misreads it.
     */
-  private val FormatTag = "bm25.v"
+  private val FormatTag = "bm25.p"
 
   private[graft] def buildIndexFrom(docs: DataFrame, root: String,
       retain: Int = 2): Long = {
@@ -336,8 +344,8 @@ object RetrievalIndex {
       return ver
     }
     if (chainLength(fs, root, cur) >= AppendFoldThreshold) {
-      val merged = loadPostings(s, root).select("token", "doc_id", "tf", "dl", "tb")
-        .unionByName(postingsOf(batch).select("token", "doc_id", "tf", "dl", "tb"))
+      val merged = loadPostings(s, root).select("token", "doc_id", "tf", "dl", "positions", "tb")
+        .unionByName(postingsOf(batch).select("token", "doc_id", "tf", "dl", "positions", "tb"))
       commitVersion(s, root, cur + 1, merged, batchId, incarnationId, retain)
     } else {
       val ver = cur + 1
@@ -424,7 +432,7 @@ object RetrievalIndex {
         loadPostings(s, root)
           .join(broadcast(batch.select("doc_id")), Seq("doc_id"),
             "left_anti")
-          .select("token", "doc_id", "tf", "dl", "tb"),
+          .select("token", "doc_id", "tf", "dl", "positions", "tb"),
         stampId, stampTag, retain)
     }
   }
@@ -484,7 +492,7 @@ object RetrievalIndex {
       retain: Int = 2): Option[Long] =
     latestVersion(s, root).map { cur =>
       commitVersion(s, root, cur + 1,
-        loadPostings(s, root).select("token", "doc_id", "tf", "dl", "tb"),
+        loadPostings(s, root).select("token", "doc_id", "tf", "dl", "positions", "tb"),
         -2L, "optimize", retain)
     }
 
@@ -557,6 +565,94 @@ object RetrievalIndex {
         col("bm25"), col("n_terms_hit"))
       .orderBy("rank")
   }
+
+  /** PHRASE search off the committed artifact — the query class the
+    * positional postings exist for (Lucene's PhraseQuery): for each
+    * 2-term phrase (a, b), the docs where `a` occurs IMMEDIATELY
+    * before `b`, with phrase_tf = the number of such occurrences —
+    * computed by intersecting the two terms' position lists
+    * (positions of a, shifted +1, ∩ positions of b; positions are
+    * distinct ints, so the intersection size IS the adjacency count).
+    * Reads are the DAAT discipline: both terms' posting lists come
+    * from bucket-pruned, term-pushed scans; the intersection is
+    * row-local; ranking is a phrase-partitioned window over docs that
+    * match at all.
+    */
+  def serveBm25Phrase(s: SparkSession, root: String,
+      phrases: Seq[(String, String)], k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrases.nonEmpty, "serveBm25Phrase needs at least one phrase")
+    val terms = phrases.flatMap(p => Seq(p._1, p._2)).distinct
+    val posts = loadPostings(s, root)
+      .filter(col("tb").isin(termBuckets(s, terms): _*))
+      .filter(col("token").isin(terms: _*))
+      .select("token", "doc_id", "positions")
+    val pf = phrases.map { case (a, b) => s.range(1).select(
+        lit(s"$a $b").as("phrase"), lit(a).as("a"), lit(b).as("b")) }
+      .reduce(_ unionByName _).distinct()
+    posts.select(col("token").as("ta"), col("doc_id"),
+        col("positions").as("pa"))
+      .join(broadcast(pf), col("ta") === col("a"))
+      .join(posts.select(col("token").as("tb2"), col("doc_id"),
+        col("positions").as("pb")), Seq("doc_id"))
+      .filter(col("tb2") === col("b"))
+      .selectExpr("phrase", "doc_id",
+        """CAST(size(array_intersect(
+          |  transform(pa, x -> x + 1), pb)) AS BIGINT) AS phrase_tf""".stripMargin)
+      .filter(col("phrase_tf") > 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("phrase")
+          .orderBy(col("phrase_tf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("phrase"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("phrase_tf"))
+      .orderBy("phrase", "rank")
+  }
+
+  // ---------------------------------------------------------------- d86
+
+  /** Registry entry: phrase search served off the committed positional
+    * postings — query set = each of docs 0-3's OPENING BIGRAM (first
+    * two tokens, read from the primary store like e65's query-doc
+    * tokens: a 4-row doc_id-pushed read), ranked by in-doc phrase
+    * frequency. The oracle replays tokenize-with-positions → adjacency
+    * join → rank inline in pure integer SQL, so the hash pins the
+    * position lists the layout stores (an off-by-one, a dropped or
+    * unsorted position, or a stale posting all shift a count).
+    */
+  def bm25PhraseServed(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureCorpusIndex(s, dir)
+    val phrases = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < 4)
+      .selectExpr("split(text, ' ') AS t")
+      .filter(size(col("t")) >= 2)
+      .selectExpr("t[0] AS a", "t[1] AS b").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    serveBm25Phrase(s, root, phrases, k = 5)
+  }
+
+  private val bm25PhraseSql =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents),
+      |q AS (SELECT DISTINCT toks[1] AS a, toks[2] AS b,
+      |        toks[1] || ' ' || toks[2] AS phrase
+      |      FROM sp WHERE doc_id < 4 AND len(toks) >= 2),
+      |tok AS (SELECT doc_id, pos, toks[pos] AS token FROM (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, len(toks))) AS pos FROM sp)),
+      |ph AS (SELECT q.phrase, t1.doc_id,
+      |         CAST(count(*) AS BIGINT) AS phrase_tf
+      |       FROM q JOIN tok t1 ON t1.token = q.a
+      |       JOIN tok t2 ON t2.doc_id = t1.doc_id
+      |         AND t2.pos = t1.pos + 1 AND t2.token = q.b
+      |       GROUP BY 1, 2),
+      |r AS (SELECT phrase, doc_id, phrase_tf,
+      |        row_number() OVER (PARTITION BY phrase
+      |          ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+      |      FROM ph)
+      |SELECT phrase, CAST(rank AS INT) AS rank, doc_id, phrase_tf
+      |FROM r WHERE rank <= 5
+      |ORDER BY phrase, rank""".stripMargin
 
   // ---------------------------------------------------------------- d83
 
@@ -695,5 +791,7 @@ object RetrievalIndex {
     QueryDef("d84_bm25_index_lifecycle", bm25LifecycleServed,
       Some(bm25LifecycleSql)),
     QueryDef("d85_bm25_daat_topk", bm25DaatServed,
-      Some(s"WITH ${TextOps.bm25DaatSqlOver("documents", 10)}")))
+      Some(s"WITH ${TextOps.bm25DaatSqlOver("documents", 10)}")),
+    QueryDef("d86_bm25_phrase_topk", bm25PhraseServed,
+      Some(bm25PhraseSql)))
 }

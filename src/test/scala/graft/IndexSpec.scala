@@ -1401,6 +1401,44 @@ class IndexSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
   }
 
+  test("bm25 phrase serve: positional postings give exact adjacency counts; scans stay pruned") {
+    import graft.ext.RetrievalIndex
+    import spark.implicits._
+    // doc 1: "x y x y x"  -> phrase (x,y) occurs twice, (y,x) twice
+    // doc 2: "x x y"      -> (x,y) once;  doc 3: "y x", no (x,y)
+    val docs = Seq(
+      (1L, "x y x y x"), (2L, "x x y"), (3L, "y x"), (4L, "z q z"))
+      .toDF("doc_id", "text")
+    val root = tmpRoot("bm25-phrase")
+    RetrievalIndex.buildIndexFrom(docs, root)
+    val served = RetrievalIndex.serveBm25Phrase(spark, root,
+      Seq(("x", "y"), ("y", "x"), ("z", "z")), k = 5)
+    val rows = served.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("x y", 1, 1L, 2L), ("x y", 2, 2L, 1L),
+      ("y x", 1, 1L, 2L), ("y x", 2, 3L, 1L)),
+      s"adjacency counts drifted: ${rows.toSeq}")
+    // self-phrase (z,z): doc 4 has z at 0,2 — NOT adjacent, no match;
+    // phrase hits must come from true adjacency, not co-occurrence
+    assert(!rows.exists(_._1 == "z z"))
+    // the phrase read is pruned like every other serve: bucket
+    // partition filters + the term set pushed into the postings scans
+    val scans = aqeScans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty))
+    assert(scans.forall(_.metadata("PushedFilters").contains("token")))
+    // positions survive the mutation chain: append a doc, phrase counts
+    // include it through the delta segment
+    RetrievalIndex.appendDocs(Seq((9L, "x y y x y")).toDF("doc_id", "text"),
+      root, 1L, "a")
+    val after = RetrievalIndex.serveBm25Phrase(spark, root, Seq(("x", "y")))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(after == Seq((1L, 2L), (9L, 2L), (2L, 1L)),
+      s"delta-segment positions must serve: $after")
+  }
+
   test("bm25 empty batches flip marker-only versions (the stamp survives a no-op commit)") {
     import graft.ext.RetrievalIndex
     import graft.streaming.StreamOps

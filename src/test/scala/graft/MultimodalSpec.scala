@@ -341,4 +341,40 @@ class MultimodalSpec extends SparkSpec {
       new Multimodal.AudioPcmDecoder().decode("audio", Array[Byte](9, 9, 9))
     }
   }
+
+  test("GifFramesDecoder: animated-GIF roundtrip is frame- and pixel-exact") {
+    // 3 frames of 4x4 with known pixels, incl. the 0 and 255 extremes
+    val frames = Array(
+      Array.tabulate(16)(i => if (i == 1) 255 else i),        // sum 374
+      Array.fill(16)(200),                                    // sum 3200
+      Array.tabulate(16)(i => i * 17))                        // sum 2040
+    val gif = Multimodal.encodeGrayGif(4, 4, 3, frames.flatten)
+    val d = new Multimodal.GifFramesDecoder().decode("video", gif)
+    assert(d.width == 4 && d.height == 4 && d.n_frames == 3,
+      "the decoded frame COUNT must be the container's true count")
+    assert(d.features.toSeq == Seq(374f, 3200f, 2040f),
+      "per-frame pixel sums must survive the palette roundtrip exactly")
+    // row-POSITION exactness (a sum can't see row permutation — the
+    // interlace default this encoder explicitly disables): re-read the
+    // raster through the same reader and compare row-major
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val f2 = reader.read(2)
+    val rowMajor = for (y <- 0 until 4; x <- 0 until 4)
+      yield f2.getRGB(x, y) & 0xff
+    assert(rowMajor == Seq.tabulate(16)(_ * 17),
+      "decoded raster must be row-major-identical, not just sum-equal")
+    reader.dispose(); iis.close()
+    // single-frame containers decode with n_frames = 1 (still images
+    // stay on the ImageIoDecoder path; this pins the boundary)
+    val one = new Multimodal.GifFramesDecoder().decode("video",
+      Multimodal.encodeGrayGif(4, 4, 1, Array.fill(16)(9)))
+    assert(one.n_frames == 1 && one.features.toSeq == Seq(144f))
+    // garbage fails loudly
+    intercept[Exception] {
+      new Multimodal.GifFramesDecoder().decode("video", Array[Byte](1, 2))
+    }
+  }
 }
