@@ -247,6 +247,9 @@ class PlanSpec extends SparkSpec {
       // primary store (a doc_id<10-pushed 10-row read — the forward-
       // index stand-in; the corpus-side reads are all index reads)
       "e65_hybrid_index_served")
+      // d86 is NOT here: its 4-row opening-bigram read collects
+      // EAGERLY during construction, so the returned frame's plan is
+      // pure index reads (the sweep sees no text scan)
     val embReaders = Set(
       "e01_knn_brute_force", "e02_label_centroids", "e03_lsh_buckets",
       "e04_top_similar_pairs", "e05_ann_lsh_top5", "e06_cosine_near_dup",
