@@ -138,6 +138,9 @@ object RetrievalIndex {
       .parquet(new org.apache.hadoop.fs.Path(vdir, "vocab").toString)
     statsOf(written).coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(vdir, "stats").toString)
+    docIdsOf(written).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("db")
+      .parquet(new org.apache.hadoop.fs.Path(vdir, "docs").toString)
     StreamOps.flipCommitMarker(fs, rootP, ver, stampId, stampTag)
     StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
     ver
@@ -166,10 +169,34 @@ object RetrievalIndex {
     s.read.schema(postingsSchema).parquet(path)
 
   /** The index format stamp prefix — bumped when the on-disk layout
-    * changes (`.v`: bucketed vocab segments), so an ensure against an
+    * changes (`.v`: bucketed vocab segments; `.p`: positional
+    * postings; `.d`: the doc-id sidecar), so an ensure against an
     * older artifact rebuilds rather than misreads it.
     */
-  private val FormatTag = "bm25.p"
+  private val FormatTag = "bm25.d"
+
+  /** The doc-id SIDECAR's bucket count — deliberately larger than the
+    * token-bucket count: the sidecar exists so an admission batch can
+    * check novelty by reading only ITS ids' buckets, and that prune
+    * only bites when a batch touches a minority of buckets. Rows are
+    * bare ids (orders of magnitude under the postings), sorted within
+    * partitions so row-group min/max stats prune id probes further.
+    */
+  private val nDocBuckets = 64
+
+  private def docsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("db", LongType)))
+  }
+
+  /** The distinct doc ids of a postings frame, carrying the sidecar's
+    * bucket key.
+    */
+  private def docIdsOf(postings: DataFrame): DataFrame =
+    postings.select("doc_id").distinct()
+      .selectExpr("doc_id", s"pmod(xxhash64(doc_id), $nDocBuckets) AS db")
 
   private[graft] def buildIndexFrom(docs: DataFrame, root: String,
       retain: Int = 2): Long = {
@@ -359,6 +386,9 @@ object RetrievalIndex {
         .parquet(new org.apache.hadoop.fs.Path(vdir, "vocab-delta").toString)
       statsOf(written).coalesce(1).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(vdir, "stats-delta").toString)
+      docIdsOf(written).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(new org.apache.hadoop.fs.Path(vdir, "docs-delta").toString)
       StreamOps.flipCommitMarker(fs, rootP, ver, batchId, incarnationId)
       StreamOps.pruneChainVersions(fs, rootP, retain, Seq("postings"))
       ver
@@ -481,6 +511,99 @@ object RetrievalIndex {
             .getLocalProperty("sql.streaming.queryId"))
           .getOrElse(fallbackIncarnation)
         forgetDocs(b.sparkSession, root, b.toDF(), id, incarnation, retain)
+        ()
+    }
+  }
+
+  /** The LIVE doc-id set (doc_id, db): base `docs/` ∖ tombstones ∪
+    * every `docs-delta/` — the sidecar read an admission novelty check
+    * pays. Optionally restricted to a bucket set: pass the BATCH's
+    * own db buckets and the read partition-prunes to them (the reason
+    * the sidecar is bucketed at [[nDocBuckets]], finer than the token
+    * buckets).
+    */
+  def liveDocIds(s: SparkSession, root: String,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(s, root).getOrElse(throw new IllegalStateException(
+      s"no committed index version under $root — build first"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pv = postingsVersion(fs, root, v)
+    val prune = (df: DataFrame) =>
+      buckets.fold(df)(b => df.filter(col("db").isin(b: _*)))
+    val base0 = prune(s.read.schema(docsSchema).parquet(s"$root/v$pv/docs"))
+    val ts = ((pv + 1) to v).reverseIterator
+      .map(i => new org.apache.hadoop.fs.Path(s"$root/v$i/tombstones"))
+      .find(fs.exists)
+    val base = ts match {
+      case Some(p) => base0.join(
+        broadcast(s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType)))).parquet(p.toString)),
+        Seq("doc_id"), "left_anti")
+      case None => base0
+    }
+    val deltas = ((pv + 1) to v).filter(i => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v$i/docs-delta")))
+      .map(i => prune(s.read.schema(docsSchema)
+        .parquet(s"$root/v$i/docs-delta")))
+    (base +: deltas).reduce(_ unionByName _)
+  }
+
+  /** NOVELTY-GATED append — [[appendDocs]]'s new-docs contract made
+    * MECHANICAL (the d79/e52 admission discipline on the retrieval
+    * family, with the exact-id gate this family needs): the batch
+    * anti-joins the live doc-id sidecar restricted to the batch's own
+    * buckets (a bucket-pruned, id-count-sized read — never the
+    * postings), and only the novel docs commit as the O(batch) delta.
+    * A redelivered or overlapping batch can therefore never
+    * double-count a doc's postings, df or stats. An all-duplicate
+    * batch still flips a marker-only version so the stamp survives.
+    * Exactly-once by the (batchId, incarnation) stamp, delegated to
+    * [[appendDocs]].
+    */
+  private[graft] def admitDocs(batch: DataFrame, root: String,
+      batchId: Long, incarnationId: String, retain: Int = 2): Long = {
+    val s = batch.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = StreamOps.cdcLatestCommit(fs, rootP).getOrElse(
+      throw new IllegalStateException(
+        s"admitDocs needs a committed index under $root — build first"))
+    if (StreamOps.cdcMarkerStamp(fs, rootP, cur) == ((batchId, incarnationId)))
+      return cur
+    val keyed = batch.select("doc_id", "text").dropDuplicates("doc_id")
+      .selectExpr("doc_id", "text",
+        s"pmod(xxhash64(doc_id), $nDocBuckets) AS db")
+    val bkts = keyed.select("db").distinct().collect().map(_.getLong(0)).toSeq
+    // NOT broadcast-hinted: the pruned live side is id-count-sized but
+    // still grows with the corpus slice the batch's buckets cover —
+    // AQE picks broadcast when it fits and a shuffled anti-join when
+    // it does not (either way the postings are never read)
+    val novel =
+      if (bkts.isEmpty) keyed.select("doc_id", "text")
+      else keyed.join(liveDocIds(s, root, Some(bkts)).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+    appendDocs(novel, root, batchId, incarnationId, retain)
+  }
+
+  /** Streaming ADMISSION sink — the retrieval family's ingest gate
+    * ([[graft.ext.TextIndex]]'s admission arrangement with the exact
+    * doc-id novelty check): per micro-batch, [[admitDocs]] against the
+    * re-resolved live version. Upstreams that may redeliver or overlap
+    * batches use this instead of [[indexAppendSink]]; the index can
+    * never double-count.
+    */
+  def indexAdmitSink(docs: DataFrame, root: String, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fallbackIncarnation = java.util.UUID.randomUUID().toString
+    docs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val incarnation = Option(b.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(fallbackIncarnation)
+        admitDocs(b.toDF(), root, id, incarnation, retain)
         ()
     }
   }
@@ -608,6 +731,93 @@ object RetrievalIndex {
         col("doc_id"), col("phrase_tf"))
       .orderBy("phrase", "rank")
   }
+
+  /** ORDERED PROXIMITY search off the positional postings — the phrase
+    * query's relaxation (Lucene's sloppy PhraseQuery family, pinned
+    * here to the clean definition both engines can state exactly): for
+    * (a, b, slop) count the position pairs where `b` follows `a`
+    * within `slop` positions (1 ≤ pos_b − pos_a ≤ slop; slop = 1 ≡
+    * exact phrase). The count is a row-local fold over the two
+    * df-bounded position lists (`aggregate` × `filter` — codegen'd
+    * higher-order functions, no explode); reads are [[serveBm25Phrase]]'s
+    * bucket-pruned, term-pushed scans.
+    */
+  def serveBm25Proximity(s: SparkSession, root: String,
+      phrases: Seq[(String, String)], slop: Int, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrases.nonEmpty && slop >= 1,
+      "serveBm25Proximity needs phrases and slop >= 1")
+    val terms = phrases.flatMap(p => Seq(p._1, p._2)).distinct
+    val posts = loadPostings(s, root)
+      .filter(col("tb").isin(termBuckets(s, terms): _*))
+      .filter(col("token").isin(terms: _*))
+      .select("token", "doc_id", "positions")
+    val pf = phrases.map { case (a, b) => s.range(1).select(
+        lit(s"$a $b").as("phrase"), lit(a).as("a"), lit(b).as("b")) }
+      .reduce(_ unionByName _).distinct()
+    posts.select(col("token").as("ta"), col("doc_id"),
+        col("positions").as("pa"))
+      .join(broadcast(pf), col("ta") === col("a"))
+      .join(posts.select(col("token").as("tb2"), col("doc_id"),
+        col("positions").as("pb")), Seq("doc_id"))
+      .filter(col("tb2") === col("b"))
+      .selectExpr("phrase", "doc_id",
+        s"""CAST(aggregate(pa, 0, (acc, x) ->
+           |  acc + size(filter(pb, y -> y > x AND y <= x + $slop)))
+           |  AS BIGINT) AS prox_tf""".stripMargin)
+      .filter(col("prox_tf") > 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("phrase")
+          .orderBy(col("prox_tf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("phrase"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("prox_tf"))
+      .orderBy("phrase", "rank")
+  }
+
+  // ---------------------------------------------------------------- d87
+
+  /** Registry entry: ordered proximity (slop = 3) over d86's query
+    * bigrams — the pair ranking a "terms near each other" retrieval
+    * filter runs. Same derivation discipline as d86; the oracle
+    * replays the windowed adjacency join inline, so the hash pins the
+    * position arithmetic at a width the exact-phrase query never
+    * exercises.
+    */
+  def bm25ProximityServed(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureCorpusIndex(s, dir)
+    val phrases = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < 4)
+      .selectExpr("split(text, ' ') AS t")
+      .filter(size(col("t")) >= 2)
+      .selectExpr("t[0] AS a", "t[1] AS b").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    serveBm25Proximity(s, root, phrases, slop = 3, k = 5)
+  }
+
+  private val bm25ProximitySql =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents),
+      |q AS (SELECT DISTINCT toks[1] AS a, toks[2] AS b,
+      |        toks[1] || ' ' || toks[2] AS phrase
+      |      FROM sp WHERE doc_id < 4 AND len(toks) >= 2),
+      |tok AS (SELECT doc_id, pos, toks[pos] AS token FROM (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, len(toks))) AS pos FROM sp)),
+      |ph AS (SELECT q.phrase, t1.doc_id,
+      |         CAST(count(*) AS BIGINT) AS prox_tf
+      |       FROM q JOIN tok t1 ON t1.token = q.a
+      |       JOIN tok t2 ON t2.doc_id = t1.doc_id
+      |         AND t2.pos > t1.pos AND t2.pos <= t1.pos + 3
+      |         AND t2.token = q.b
+      |       GROUP BY 1, 2),
+      |r AS (SELECT phrase, doc_id, prox_tf,
+      |        row_number() OVER (PARTITION BY phrase
+      |          ORDER BY prox_tf DESC, doc_id ASC) AS rank
+      |      FROM ph)
+      |SELECT phrase, CAST(rank AS INT) AS rank, doc_id, prox_tf
+      |FROM r WHERE rank <= 5
+      |ORDER BY phrase, rank""".stripMargin
 
   // ---------------------------------------------------------------- d86
 
@@ -778,6 +988,58 @@ object RetrievalIndex {
     serveBm25TopK(s, root)
   }
 
+  def defaultAdmitRoot(dataDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-bm25-index-admit/" + dataDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** The deterministic REDELIVERED slice d88 plants in its incoming
+    * batch — base docs an at-least-once upstream sends again.
+    */
+  private[graft] def bm25RedeliverPred = "doc_id % 9 = 4"
+
+  /** Registry entry: BM25 served after a NOVELTY-GATED ingest — build
+    * the base split, then [[admitDocs]] one incoming batch that
+    * deliberately CONTAINS redelivered base docs (the at-least-once
+    * upstream reality the append contract excludes): the gate must
+    * admit exactly the novel docs and reject the redelivered slice, or
+    * every duplicated doc doubles its tf/df/stats and shifts the
+    * ranking the oracle replays over base ∪ novel. This is the d79/e52
+    * admission arc on the retrieval family, pinned through one served
+    * answer.
+    */
+  def bm25AdmissionServed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", TextOps.docBucket)
+    val base = docs.filter(col("bucket") < TextOps.TrainCut)
+      .select("doc_id", "text")
+    val incoming = docs
+      .filter(col("bucket") >= TextOps.TrainCut && expr("doc_id % 2 = 0"))
+      .select("doc_id", "text")
+      .unionByName(base.filter(expr(bm25RedeliverPred)))
+    val root = defaultAdmitRoot(dir)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val want =
+      s"$FormatTag+admit[redeliver=$bm25RedeliverPred]:${fingerprint(docs)}"
+    StreamOps.cdcLatestCommit(fs, rootP)
+      .filter(v => StreamOps.cdcMarkerStamp(fs, rootP, v) == ((-7L, want)))
+      .getOrElse {
+        buildIndexFrom(base, root)                                // v0
+        admitDocs(incoming, root, -7L, want)                      // v1: gated
+      }
+    serveBm25TopK(s, root)
+  }
+
+  private def bm25AdmissionSql =
+    s"""WITH live AS (
+      |  SELECT doc_id, text
+      |  FROM (SELECT doc_id, text, ${TextOps.docBucketSql} FROM documents)
+      |  WHERE bucket < ${TextOps.TrainCut}
+      |     OR (bucket >= ${TextOps.TrainCut} AND doc_id % 2 = 0)),
+      |${TextOps.bm25SqlOver("live")}""".stripMargin
+
   private def bm25LifecycleSql =
     s"""WITH live AS (
       |  SELECT doc_id, text
@@ -793,5 +1055,9 @@ object RetrievalIndex {
     QueryDef("d85_bm25_daat_topk", bm25DaatServed,
       Some(s"WITH ${TextOps.bm25DaatSqlOver("documents", 10)}")),
     QueryDef("d86_bm25_phrase_topk", bm25PhraseServed,
-      Some(bm25PhraseSql)))
+      Some(bm25PhraseSql)),
+    QueryDef("d87_bm25_proximity_topk", bm25ProximityServed,
+      Some(bm25ProximitySql)),
+    QueryDef("d88_bm25_admission_served", bm25AdmissionServed,
+      Some(bm25AdmissionSql)))
 }

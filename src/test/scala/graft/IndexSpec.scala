@@ -1439,6 +1439,73 @@ class IndexSpec extends SparkSpec {
       s"delta-segment positions must serve: $after")
   }
 
+  test("bm25 admission gate: overlapping batches never double-count; the novelty read is bucket-pruned") {
+    import graft.ext.RetrievalIndex
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    def mkText(stem: String, n: Int) =
+      (1 to n).map(i => s"$stem$i").mkString(" ")
+    val base = (1L to 48L).map(i => (i, mkText(s"a${i}t", 15)))
+      .toDF("doc_id", "text")
+    val root = tmpRoot("bm25-admit")
+    RetrievalIndex.buildIndexFrom(base, root)                        // v0
+    def recount(): (Long, Long, Long) = {
+      val st = RetrievalIndex.loadStats(spark, root).head()
+      (RetrievalIndex.loadPostings(spark, root).count(),
+        st.getLong(0), st.getLong(1))
+    }
+    val before = recount()
+    // a batch that is HALF redelivered base docs, half novel
+    val overlap = base.filter(col("doc_id") <= 8)
+      .unionByName((100L to 107L).map(i => (i, mkText(s"n${i}t", 15)))
+        .toDF("doc_id", "text"))
+    RetrievalIndex.admitDocs(overlap, root, 1L, "adm")               // v1
+    val after = recount()
+    assert(after._1 == before._1 + 8 * 15,
+      s"only the 8 novel docs' postings may land: $before -> $after")
+    assert(after._2 == before._2 + 8 && after._3 == before._3 + 8 * 15,
+      "stats must count the novel docs exactly once")
+    // vocab stays a live recount through the gated commit
+    val vocab = RetrievalIndex.loadVocab(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rc = RetrievalIndex.loadPostings(spark, root)
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == rc)
+    // a redelivered admission (same stamp) no-ops entirely
+    assert(RetrievalIndex.admitDocs(overlap, root, 1L, "adm") == 1L)
+    assert(recount() == after)
+    // an ALL-duplicate batch commits marker-only (stamp survives)
+    assert(RetrievalIndex.admitDocs(base.filter(col("doc_id") <= 4),
+      root, 2L, "dup") == 2L)
+    assert(!new java.io.File(root, "v2").exists())
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(StreamOps.cdcMarkerStamp(fs,
+      new org.apache.hadoop.fs.Path(root), 2L) == ((2L, "dup")))
+    assert(recount() == after)
+    // the novelty read prunes the doc-id sidecar to the queried buckets
+    val pruned = RetrievalIndex.liveDocIds(spark, root, Some(Seq(3L)))
+    pruned.collect()
+    val scans = aqeScans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(p =>
+        p.toString.contains("/docs")))
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "the sidecar read must carry the db partition filter")
+    // forget-then-readmit: a forgotten doc is novel again (tombstones
+    // shade the BASE sidecar; the re-admitted id returns via a delta)
+    RetrievalIndex.forgetDocs(spark, root,
+      base.filter(col("doc_id") === 7L), 3L, "f")                    // v3
+    assert(RetrievalIndex.liveDocIds(spark, root)
+      .filter(col("doc_id") === 7L).count() == 0)
+    RetrievalIndex.admitDocs(base.filter(col("doc_id") === 7L),
+      root, 4L, "re")                                                // v4
+    assert(RetrievalIndex.liveDocIds(spark, root)
+      .filter(col("doc_id") === 7L).count() == 1)
+    assert(RetrievalIndex.loadPostings(spark, root)
+      .filter(col("doc_id") === 7L).count() == 15)
+  }
+
   test("bm25 empty batches flip marker-only versions (the stamp survives a no-op commit)") {
     import graft.ext.RetrievalIndex
     import graft.streaming.StreamOps

@@ -1224,6 +1224,44 @@ class StreamingSpec extends SparkSpec {
       RetrievalIndex.serveBm25TopK(spark, rootB).collect().map(_.toSeq).toSeq)
   }
 
+  test("bm25 indexAdmitSink: OVERLAPPING micro-batches converge to the distinct-doc build") {
+    import graft.ext.RetrievalIndex
+    import spark.implicits._
+    def mkText(stem: String, n: Int) = (1 to n).map(i => s"$stem$i").mkString(" ")
+    val all = (1L to 20L).map(i => (i, mkText(s"h${i}t", 9 + (i % 3).toInt)))
+    val rootS = java.nio.file.Files
+      .createTempDirectory("graft-bm25-astream").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-bm25-abatch").toString
+    RetrievalIndex.buildIndexFrom(all.take(8).toDF("doc_id", "text"), rootS)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = RetrievalIndex.indexAdmitSink(
+      ms.toDF().toDF("doc_id", "text"), rootS).start()
+    try {
+      // batch 1 OVERLAPS the base (docs 5-8 redelivered) + novel 9-14
+      ms.addData(all.slice(4, 14))
+      q.processAllAvailable()
+      // batch 2 overlaps batch 1 (docs 12-14 again) + novel 15-20
+      ms.addData(all.slice(11, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    // convergence target: the from-scratch build over the DISTINCT docs
+    RetrievalIndex.buildIndexFrom(all.toDF("doc_id", "text"), rootB)
+    def postings(root: String) = RetrievalIndex.loadPostings(spark, root)
+      .select("token", "doc_id", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(postings(rootS) == postings(rootB))
+    def vocab(root: String) = RetrievalIndex.loadVocab(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab(rootS) == vocab(rootB))
+    assert(RetrievalIndex.loadStats(spark, rootS).head().toSeq ==
+      RetrievalIndex.loadStats(spark, rootB).head().toSeq)
+    assert(RetrievalIndex.serveBm25TopK(spark, rootS).collect().map(_.toSeq).toSeq ==
+      RetrievalIndex.serveBm25TopK(spark, rootB).collect().map(_.toSeq).toSeq)
+  }
+
   test("indexAppendSink: streamed two-batch append == batch-built index over the union") {
     import graft.ext.{VectorIndex, VectorOps}
     val e = VectorOps.vecs(spark, "/root/testdata/sf0.001")
