@@ -17,6 +17,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Input-skew guard for heavy scan-fused compute (optimization guide
+    * §2.5 "input skew" / §1.2 step 1). The driver testdata ships each
+    * table as ONE parquet row group, so every leaf scan is a single
+    * task and anything Catalyst fuses into the scan stage — per-shingle
+    * hashing, per-row codec roundtrips, per-pair scoring against a
+    * broadcast side — runs on one core regardless of `local[n]`. When
+    * the frame's scan parallelism is below the session default,
+    * redistribute by hash of `key` BEFORE the heavy work; the shuffle
+    * carries only the columns projected so far, so callers project to
+    * the narrow proxy first (guide §8's decide-small discipline). On a
+    * cluster-scale input (many splits) the branch is a no-op — this is
+    * a layout fix, not a local[32] tuning constant. Hash (not
+    * round-robin) partitioning: deterministic under task retries
+    * (SPARK-38388) and exchange-reusable by downstream groupBy/window
+    * on the same key.
+    */
+  def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

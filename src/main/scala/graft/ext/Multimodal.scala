@@ -48,6 +48,85 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     def decode(kind: String, payload: Array[Byte]): DecodedMedia0
   }
+
+  /** One-time per-JVM codec posture: ImageIO's stream factories default
+    * to `useCache=true`, which backs EVERY `createImageInputStream` /
+    * `createImageOutputStream` (and the streams `ImageIO.read` makes
+    * internally) with a TEMP FILE on disk — one create+delete per
+    * asset, the dominant cost of the m03/m06 codec roundtrips measured
+    * at ~5000 docs/task (guide §1.2 step 2: per-task work). Our
+    * payloads are KB-sized in-memory arrays; memory-cached streams are
+    * strictly cheaper and bit-identical. Referenced (lazily, once) by
+    * every encode/decode entry point so the setting holds wherever the
+    * task runs.
+    */
+  private object CodecInit {
+    lazy val done: Unit = javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** The JDK's audio SPI dispatch, resolved ONCE per JVM:
+    * `AudioSystem.getAudioInputStream(stream)` re-runs the provider
+    * lookup per call through `JDK13Services.getProviders`, a GLOBAL
+    * synchronized static — measured with thread dumps at 31/32 executor
+    * threads BLOCKED on it once the audio decode pass was parallelized
+    * (the lock convoy made 32 threads SLOWER than one). Loading the
+    * `javax.sound.sampled.spi.AudioFileReader` providers through
+    * ServiceLoader once and dispatching directly replicates
+    * AudioSystem's own loop (first reader that accepts wins; the rest
+    * throw UnsupportedAudioFileException) without the per-row lock.
+    */
+  private object AudioReaders {
+    lazy val all: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.result()
+    }
+
+    /** The reader that accepted the LAST payload, tried first on the
+      * next one: the provider list includes SoftMidiAudioFileReader,
+      * whose per-attempt MIDI probe goes through MidiSystem.getProviders
+      * — the SAME global JDK13Services lock (thread dumps again showed
+      * 31/32 threads blocked there after the AudioFileReader lookup was
+      * cached). Preferring the last-successful reader skips the MIDI
+      * attempt entirely on a homogeneous stream. Only the ATTEMPT ORDER
+      * changes: container magics are disjoint (RIFF vs MThd vs .snd), so
+      * whichever reader accepts is the same reader at any order.
+      */
+    @volatile private var preferred: javax.sound.sampled.spi.AudioFileReader = null
+
+    /** AudioSystem.getAudioInputStream semantics over the cached
+      * providers; the input must support mark/reset (ours is a
+      * ByteArrayInputStream).
+      */
+    def open(in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+      val p = preferred
+      if (p != null) {
+        try return p.getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            in.reset()
+        }
+      }
+      val rs = all.iterator
+      while (rs.hasNext) {
+        val r = rs.next()
+        if (r ne p) {
+          try {
+            val s = r.getAudioInputStream(in)
+            preferred = r
+            return s
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              in.reset()
+          }
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+  }
   /** Raw decode result before the id is attached. */
   case class DecodedMedia0(width: Int, height: Int, n_frames: Int, features: Array[Float])
 
@@ -127,6 +206,7 @@ object Multimodal {
   class ImageIoDecoder(gridSize: Int = 4) extends MediaDecoder {
     require(gridSize > 0, s"gridSize must be positive, got $gridSize")
     override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      CodecInit.done // memory-cached streams, not a temp file per asset
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
         if (payload == null) Array.emptyByteArray else payload))
       require(img != null,
@@ -460,7 +540,12 @@ object Multimodal {
     */
   def mediaDhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val px = graft.Tables.documents(s, dir)
+    // the payload is GENERATED from doc_id, so fan the 8-byte proxy out
+    // BEFORE the 64-md5 + encode/decode work (guide §8: move heavy bytes
+    // zero times, decide placement on the narrow key) — a 1-row-group
+    // input otherwise runs the whole codec pass on one task
+    val px = graft.Tables.fanOut(
+        graft.Tables.documents(s, dir).select("doc_id"))
       .selectExpr("doc_id",
         """transform(sequence(0, 63), i ->
           |  CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), ':',
@@ -633,7 +718,9 @@ object Multimodal {
   class AudioPcmDecoder(windowSamples: Int = 16) extends MediaDecoder {
     require(windowSamples > 0, s"windowSamples must be positive")
     override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      // AudioSystem.getAudioInputStream semantics without its per-call
+      // global provider lock — see [[AudioReaders]]
+      val in = AudioReaders.open(
         new java.io.ByteArrayInputStream(
           if (payload == null) Array.emptyByteArray else payload))
       val fmt = in.getFormat
@@ -687,7 +774,9 @@ object Multimodal {
     */
   def mediaAudioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sm = graft.Tables.documents(s, dir)
+    // doc_id proxy fan-out before sample generation + codec (see m03)
+    val sm = graft.Tables.fanOut(
+        graft.Tables.documents(s, dir).select("doc_id"))
       .selectExpr("doc_id",
         """transform(sequence(0, 63), i ->
           |  CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), ':a',
@@ -746,6 +835,7 @@ object Multimodal {
       pixels: Array[Int]): Array[Byte] = {
     require(pixels.length == w * h * nFrames,
       s"need ${w * h * nFrames} pixels, got ${pixels.length}")
+    CodecInit.done
     val grays = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val writer = javax.imageio.ImageIO
@@ -754,41 +844,44 @@ object Multimodal {
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
+    // ONE frame image, ONE metadata DOM for the whole sequence: every
+    // frame is the same (w, h, palette), so the per-frame
+    // getDefaultImageMetadata → getAsTree → setFromTree round (three DOM
+    // builds per frame — the measured encode hot spot at 2-4 frames ×
+    // corpus) runs once; writeToSequence only reads the descriptor.
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    // the JDK writer's DEFAULT is an INTERLACED image descriptor —
+    // rows stored in four-pass order, which permutes (and on tiny
+    // heights truncates) a sequential read-back; force it off so the
+    // stored raster is row-exact
+    val meta = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img),
+      writer.getDefaultWriteParam)
+    val fmt = meta.getNativeMetadataFormatName
+    val tree = meta.getAsTree(fmt)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val kids = tree.getChildNodes
+    var k = 0
+    while (k < kids.getLength) {
+      kids.item(k) match {
+        case n: javax.imageio.metadata.IIOMetadataNode
+            if n.getNodeName == "ImageDescriptor" =>
+          n.setAttribute("interlaceFlag", "FALSE")
+        case _ =>
+      }
+      k += 1
+    }
+    meta.setFromTree(fmt, tree)
+    val frame = new Array[Byte](w * h) // bulk raster write, not per-pixel
     var f = 0
     while (f < nFrames) {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.getRaster.setSample(x, y, 0, pixels(f * w * h + y * w + x) & 0xff)
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < w * h) {
+        frame(i) = (pixels(f * w * h + i) & 0xff).toByte
+        i += 1
       }
-      // the JDK writer's DEFAULT is an INTERLACED image descriptor —
-      // rows stored in four-pass order, which permutes (and on tiny
-      // heights truncates) a sequential read-back; force it off so the
-      // stored raster is row-exact
-      val meta = writer.getDefaultImageMetadata(
-        new javax.imageio.ImageTypeSpecifier(img),
-        writer.getDefaultWriteParam)
-      val fmt = meta.getNativeMetadataFormatName
-      val tree = meta.getAsTree(fmt)
-        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-      val kids = tree.getChildNodes
-      var k = 0
-      while (k < kids.getLength) {
-        kids.item(k) match {
-          case n: javax.imageio.metadata.IIOMetadataNode
-              if n.getNodeName == "ImageDescriptor" =>
-            n.setAttribute("interlaceFlag", "FALSE")
-          case _ =>
-        }
-        k += 1
-      }
-      meta.setFromTree(fmt, tree)
+      img.getRaster.setDataElements(0, 0, w, h, frame)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
       f += 1
     }
@@ -809,6 +902,7 @@ object Multimodal {
     */
   class GifFramesDecoder extends MediaDecoder {
     override def decode(kind: String, payload: Array[Byte]): DecodedMedia0 = {
+      CodecInit.done // memory-cached streams, not a temp file per asset
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(
           if (payload == null) Array.emptyByteArray else payload))
@@ -856,7 +950,9 @@ object Multimodal {
     */
   def mediaVideoFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val px = graft.Tables.documents(s, dir)
+    // doc_id proxy fan-out before pixel generation + codec (see m03)
+    val px = graft.Tables.fanOut(
+        graft.Tables.documents(s, dir).select("doc_id"))
       .selectExpr("doc_id",
         "CAST(2 + pmod(doc_id, 3) AS INT) AS nf",
         """transform(sequence(0, CAST((2 + pmod(doc_id, 3)) * 64 - 1 AS INT)), i ->

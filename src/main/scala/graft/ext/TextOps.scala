@@ -48,6 +48,12 @@ object TextOps {
     val pre = shared.get(s"shingles:$dir")
     if (pre != null) return pre
     graft.functions.GraftFunctions.register(s)
+    // NO fanOut here, measured (round 14): the native one-pass trigram
+    // hasher is cheap enough that the single-task scan-fused cost is
+    // below the extra exchange + stage it would take to spread it —
+    // d05 1.56→1.83 s, d06 0.94→1.13 s with a fanOut; the md5-heavy
+    // sign/gram kernels (d07/d08/d74/d76, gram8/gramPos8) are where the
+    // input-skew guard pays.
     Tables.documents(s, dir)
       .selectExpr("doc_id", "array_distinct(word_trigram_hashes(text)) AS shs")
       .where("size(shs) > 0")
@@ -402,7 +408,8 @@ object TextOps {
   private[ext] def shingleTextDf(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"shingleDf:$dir")
     if (pre != null) return pre
-    Tables.documents(s, dir)
+    // fanOut before the shingle-string explode (gram8's rationale)
+    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr(
@@ -665,7 +672,7 @@ object TextOps {
     // majority votes), then recombine the bits. The nested array-lambda
     // formulation was 100× slower: projection collapse inlined the shingle
     // hashing into each of the bit-folds.
-    val hv = Tables.documents(s, dir)
+    val hv = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id",
@@ -732,7 +739,9 @@ object TextOps {
     */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    // fanOut: ~296 substring-md5s per doc, fully row-local — the whole
+    // fingerprint pass is scan-fused onto one task without it
+    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .where("length(text) >= 8")
       .selectExpr("doc_id",
         s"transform(sequence(1, length(text)-4), i -> ${md5h60("substring(text, i, 5)")}) AS hs")
@@ -1344,7 +1353,9 @@ object TextOps {
   private[graft] def gram8(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"grams8:$dir")
     if (pre != null) return pre
-    Tables.documents(s, dir)
+    // fanOut: ~290 8-gram strings + 2 hashes per doc fuse into the scan
+    // stage — one task on a 1-row-group input without it (guide §2.5)
+    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 8")
       .selectExpr("doc_id",
@@ -2881,7 +2892,8 @@ object TextOps {
   private[graft] def gramPos8(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"gramPos8:$dir")
     if (pre != null) return pre
-    Tables.documents(s, dir)
+    // fanOut before the positional 8-gram explode (gram8's rationale)
+    Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text,' ') AS toks")
       .where("size(toks) >= 8")
       .selectExpr("doc_id",
@@ -4026,7 +4038,7 @@ object TextOps {
     val pairDocs = pairs
       .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
       .distinct()
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .join(broadcast(pairDocs), "doc_id") // sign ONLY audited docs
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
@@ -4802,7 +4814,7 @@ object TextOps {
     // Four consumers (df, prefix self-join sides, vector arrays) over the
     // tokenize+hash+agg subtree — registry contract: persist, no unpersist
     // here, Verify/Bench clearCache() between queries (q31's ownership).
-    val posts = Tables.documents(s, dir)
+    val posts = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 2")
       .selectExpr("doc_id",
@@ -5050,11 +5062,13 @@ object TextOps {
     *
     * Scale shape: the signature pass is corpus-wide BY DESIGN (unlike
     * d61's pair-restricted audit, candidate generation is the thing
-    * being measured) — one shingle explode, one md5 per instance, a
-    * broadcast 16-row (perm, a, b) grid and a map-side-combined
-    * min-agg, persisted once for the three configs. Each config is a
-    * band-key aggregate over the 16·|docs| signature frame and a
-    * posting-style self-join on (band, key) — bucket-bounded, the same
+    * being measured) — one shingle explode, one md5 per instance, 16
+    * WIDE min-aggregate buffers over that single stream (d06's
+    * measured signature formulation — no perm-grid crossJoin, so the
+    * shingle stream is never multiplied 16× pre-aggregation), persisted
+    * once for the three configs. Each config derives its band keys by
+    * PROJECTION off the wide signature row (stack + concat in p order)
+    * and pays only the (band, key) posting-list aggregate — the same
     * join volume d06's production banding pays. Candidate/detect
     * counts reduce through ONE left-join aggregate per config (never
     * two passes over the candidate set).
@@ -5062,33 +5076,46 @@ object TextOps {
   def lshBandSensitivity(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS shs""".stripMargin)
-    val perms = MinhashAB.zipWithIndex
-      .map { case ((a, b), p) => (p, a, b) }.toDF("p", "pa", "pb")
+    // WIDE signature aggregation (guide §2.3 "aggregate before you
+    // shuffle" / §2.4): one min-aggregate column per permutation over the
+    // single exploded shingle stream, instead of the former broadcast
+    // crossJoin with the 16-row perm grid — which multiplied every
+    // shingle instance 16× BEFORE the (doc_id, p) aggregation (16× the
+    // rows through partial agg and 16 rows/doc through the exchange).
+    // Same arithmetic ((h0·a+b) mod P per permutation, constants folded),
+    // same mins; and since the fanOut above already hash-partitioned by
+    // doc_id, the groupBy(doc_id) reuses that exchange outright.
     // registry contract: persist, no unpersist here — Verify/Bench
     // clearCache() between queries (q31's documented ownership model)
+    val minCols = MinhashAB.zipWithIndex.map { case ((a, b), p) =>
+      min(expr(s"(h0 * ${a}L + ${b}L) % ${MinhashP}L")).as(s"m$p")
+    }
     val sigs = sh.selectExpr("doc_id", "explode(shs) AS g")
       .selectExpr("doc_id", s"md5_long60(g) % ${MinhashP}L AS h0")
-      .crossJoin(broadcast(perms))
-      .selectExpr("doc_id", "p", s"(h0 * pa + pb) % ${MinhashP}L AS h")
-      .groupBy("doc_id", "p").agg(min("h").as("m"))
+      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = jaccardDupPairs(s, dir)
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"))
       .localCheckpoint() // one side per config + the n_true scalar
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
     val perConfig = BandConfigs.map { case (b, r) =>
-      val bands = sigs
-        .withColumn("band", expr(s"p DIV $r"))
-        .groupBy("doc_id", "band")
-        .agg(expr("""concat_ws(',', transform(
-          |  sort_array(collect_list(struct(p, m))),
-          |  x -> CAST(x.m AS STRING)))""".stripMargin).as("key"))
+      // band keys are now pure projection off the wide signature row —
+      // the former per-config groupBy(doc_id, band) + sorted
+      // collect_list re-shuffled the 16·|docs| signature frame once PER
+      // CONFIG; concat in p order is the same "m,m,.." key by
+      // construction
+      val bands = sigs.selectExpr("doc_id",
+        s"stack($b, ${(0 until b).map { i =>
+          val ms = (i * r until (i + 1) * r)
+            .map(p => s"CAST(m$p AS STRING)").mkString(", ")
+          s"$i, concat_ws(',', $ms)"
+        }.mkString(", ")}) AS (band, key)")
       // posting-list pair generation (d05's kernel): the bucket index is
       // built ONCE and pairs stream lazily from sorted doc lists — a
       // (band, key) self-join would compute the band aggregate per side
@@ -5178,8 +5205,10 @@ object TextOps {
     *
     * ONE signing pass serves every width: the widths are PREFIXES of a
     * single 64-permutation family, so estimate(w) = matches among the
-    * first w permutations / w — three conditional sums in one
-    * aggregate, no re-signing. The permutation family is formulaic
+    * first w permutations / w — three row-local prefix folds over the
+    * packed signature arrays, no re-signing (the signature itself is 64
+    * wide min buffers over one exploded stream — d06's measured
+    * formulation, no perm-grid crossJoin). The permutation family is formulaic
     * (aₚ = 387420489·(2p+1) mod P, bₚ = 565656565·(p+1) mod P over the
     * md5 base — both engines derive it from p directly), products
     * bounded < 2⁶⁰ (d74's overflow discipline). Signing is
@@ -5196,34 +5225,44 @@ object TextOps {
     val pairDocs = pairs
       .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
       .distinct()
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .join(broadcast(pairDocs), "doc_id")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS shs""".stripMargin)
+    // WIDE signature (d74's rewrite, at width 64): 64 min-aggregate
+    // columns over ONE pass of the exploded shingle stream, packed into
+    // a p-ordered array — the former broadcast crossJoin with the 64-row
+    // perm grid multiplied every shingle instance 64× before the
+    // (doc_id, p) aggregation, and the long-format signature then paid
+    // two 64-rows-per-doc keyed joins. The affine constants fold at plan
+    // time (aₚ = 387420489·(2p+1) mod P, bₚ = 565656565·(p+1) mod P —
+    // the identical runtime arithmetic).
+    val minCols = (0 until 64).map { p =>
+      val a = (387420489L * (2 * p + 1)) % MinhashP
+      val b = (565656565L * (p + 1)) % MinhashP
+      min(expr(s"(h0 * ${a}L + ${b}L) % ${MinhashP}L")).as(s"m$p")
+    }
     val sigs = sh.selectExpr("doc_id", "explode(shs) AS g")
       .selectExpr("doc_id", s"md5_long60(g) % ${MinhashP}L AS h0")
-      .crossJoin(broadcast(s.range(0, 64).selectExpr("CAST(id AS INT) AS p")))
-      .selectExpr("doc_id", "p",
-        s"""(h0 * ((387420489L * (2 * p + 1)) % ${MinhashP}L)
-           |  + (565656565L * (p + 1)) % ${MinhashP}L) % ${MinhashP}L
-           |  AS h""".stripMargin)
-      .groupBy("doc_id", "p").agg(min("h").as("m"))
+      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .selectExpr("doc_id",
+        s"array(${(0 until 64).map(p => s"m$p").mkString(", ")}) AS ms")
       .localCheckpoint() // both sides of the pair join
+    // prefix-match counts are row-local array folds over the two packed
+    // signatures (element i == permutation i on both engines' p order)
+    def kw(n: Int) =
+      s"""aggregate(sequence(0, ${n - 1}), 0L,
+         |  (acc, i) -> acc + IF(ms1[i] = ms2[i], 1L, 0L)) AS k$n""".stripMargin
     val ks = pairs
-      .join(sigs.select(col("doc_id").as("doc_id_1"), col("p"),
-        col("m").as("m1")), "doc_id_1")
-      .join(sigs.select(col("doc_id").as("doc_id_2"), col("p"),
-        col("m").as("m2")), Seq("doc_id_2", "p"))
-      .groupBy("doc_id_1", "doc_id_2", "jaccard")
-      .agg(
-        sum(when(col("m1") === col("m2") && col("p") < 16, 1L)
-          .otherwise(0L)).as("k16"),
-        sum(when(col("m1") === col("m2") && col("p") < 32, 1L)
-          .otherwise(0L)).as("k32"),
-        sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("k64"))
+      .join(sigs.select(col("doc_id").as("doc_id_1"), col("ms").as("ms1")),
+        "doc_id_1")
+      .join(sigs.select(col("doc_id").as("doc_id_2"), col("ms").as("ms2")),
+        "doc_id_2")
+      .selectExpr("doc_id_1", "doc_id_2", "jaccard",
+        kw(16), kw(32), kw(64))
     val perWidth = MinhashWidths.map { w =>
       ks.select(col("jaccard"), (col(s"k$w") / lit(w.toDouble)).as("est"))
         .agg(count(lit(1)).as("n_pairs"),
