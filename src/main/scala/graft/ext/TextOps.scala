@@ -361,7 +361,14 @@ object TextOps {
     // returns the already-persisted shared frame and this is a no-op);
     // runner owns cleanup, as with q31/q33/d42
     val sh = shingleHashed(s, dir).persist()
-    val ex = sh.selectExpr("doc_id", "explode(shs) AS h")
+    // fanOut (guide §2.5 input skew): the BoundedPostingAgg PARTIAL runs
+    // fused with the read of the single-partition persisted shingle
+    // frame, so the whole per-instance typed-aggregator update stream —
+    // the dominant cost of this query, far heavier per row than d05's
+    // codegen'd collect_list — otherwise runs on one task. The exchange
+    // carries only (doc_id, shs); the confirm joins below keep reading
+    // the un-fanned persisted frame.
+    val ex = Tables.fanOut(sh).selectExpr("doc_id", "explode(shs) AS h")
     val bounded = udaf(new graft.functions.BoundedPostingAgg(ShingleDfCap + 1),
       org.apache.spark.sql.Encoders.scalaLong)
     val cand = ex.groupBy("h").agg(bounded(col("doc_id")).as("p"))
@@ -1531,6 +1538,12 @@ object TextOps {
     * log values are irrational, never on a rounding boundary).
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // NO fanOut here, measured (round 14): this corpus's vocabulary is
+    // tiny, so the map-side partial aggs collapse the token stream to
+    // |vocab| (resp. |docs|) rows before any exchange and the count
+    // table broadcasts — the single-task fused pass is nearly
+    // shuffle-free, and hash-spreading the scan first measured d23
+    // 0.40→1.10 s (d70 3.92→5.21 downstream)
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(text,' ')) AS tok")
     val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
