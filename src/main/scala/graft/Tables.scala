@@ -38,6 +38,18 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
   }
 
+  /** [[fanOut]] for a BOUNDED post-cut frame (a broadcast-restricted
+    * slice, never data-scaled): unconditional, because probing `.rdd`
+    * here would finalize the AQE plan and EXECUTE the upstream stages a
+    * second time (measured: d61's broadcast-cut + probe read 3.9→4.8 s
+    * — the probe ran the pair subtree once for the partition count and
+    * once for the query). The frame is bounded by construction, so the
+    * exchange is always cheap relative to the per-row work it spreads —
+    * at any scale.
+    */
+  def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

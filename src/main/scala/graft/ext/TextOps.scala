@@ -4051,8 +4051,14 @@ object TextOps {
     val pairDocs = pairs
       .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
       .distinct()
-    val sh = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
-      .join(broadcast(pairDocs), "doc_id") // sign ONLY audited docs
+    // cut FIRST, spread the survivors: the broadcast semi-probe is a
+    // cheap scan-fused filter, and fanning out before it would push the
+    // ENTIRE corpus text through the exchange only to drop the
+    // non-audited rows on the other side (guide §2.3 — project/filter
+    // before the exchange). spread, not fanOut: the partition probe
+    // would re-execute the pair subtree (see Tables.spread)
+    val sh = Tables.spread(Tables.documents(s, dir).select("doc_id", "text")
+        .join(broadcast(pairDocs), "doc_id")) // sign ONLY audited docs
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id",
@@ -5117,42 +5123,55 @@ object TextOps {
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"))
       .localCheckpoint() // one side per config + the n_true scalar
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
-    val perConfig = BandConfigs.map { case (b, r) =>
-      // band keys are now pure projection off the wide signature row —
-      // the former per-config groupBy(doc_id, band) + sorted
-      // collect_list re-shuffled the 16·|docs| signature frame once PER
-      // CONFIG; concat in p order is the same "m,m,.." key by
-      // construction
-      val bands = sigs.selectExpr("doc_id",
+    // ONE pass for all three configs (guide §1.2 step 1 — merge passes;
+    // measured: the per-config round trio of groupBy + distinct + join
+    // dominated d74 locally after the wide-signature rewrite). The
+    // config-tagged band frames union into a single (nb, rpb, band,
+    // key) posting aggregate, ONE pair distinct, ONE left join — same
+    // total rows through the shuffle as three rounds, a third of the
+    // barriers, and one pass over the cached signature frame. Band keys
+    // stay pure projection off the wide signature row (concat in p
+    // order is the same "m,m,.." key by construction). The 3-row config
+    // anchor left-joins the grouped counts so a zero-candidate config
+    // still emits its row with the per-config empty-aggregate semantics
+    // (n_candidates 0, n_detected null) the old per-config agg had.
+    val bandsAll = BandConfigs.map { case (b, r) =>
+      sigs.selectExpr(s"$b AS nb", s"$r AS rpb", "doc_id",
         s"stack($b, ${(0 until b).map { i =>
           val ms = (i * r until (i + 1) * r)
             .map(p => s"CAST(m$p AS STRING)").mkString(", ")
           s"$i, concat_ws(',', $ms)"
         }.mkString(", ")}) AS (band, key)")
-      // posting-list pair generation (d05's kernel): the bucket index is
-      // built ONCE and pairs stream lazily from sorted doc lists — a
-      // (band, key) self-join would compute the band aggregate per side
-      // and shuffle the wider of the two
-      val cand = bands.groupBy("band", "key")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .where(size(col("ds")) > 1)
-        .selectExpr(pairExplode)
-        .select(col("x").as("d1"), col("y").as("d2")).distinct()
-      // exact binary rational: num = (2^r − 1)^b, p_detect = 1 − num/2^16
-      val num = Iterator.fill(b)((1L << r) - 1).product
-      cand
-        .join(exact.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
-        .crossJoin(broadcast(nTrue))
-        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_detected"), col("n_true"),
-          (col("n_detected") * lit(1.0) / col("n_candidates"))
-            .as("detect_precision"),
-          (col("n_detected") * lit(1.0) / col("n_true")).as("detect_recall"),
-          (lit(1.0) - lit(num) / lit(65536.0)).as("p_detect_at_tau"))
-    }
-    perConfig.reduce(_.unionByName(_)).orderBy("rows_per_band")
+    }.reduce(_ unionByName _)
+    // posting-list pair generation (d05's kernel): the bucket index is
+    // built ONCE per config tag and pairs stream lazily from sorted doc
+    // lists — a (band, key) self-join would compute the band aggregate
+    // per side and shuffle the wider of the two
+    val cand = bandsAll.groupBy("nb", "rpb", "band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .selectExpr("nb", "rpb", pairExplode)
+      .select(col("nb"), col("rpb"), col("x").as("d1"), col("y").as("d2"))
+      .distinct()
+    val counts = cand
+      .join(exact.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+      .groupBy("nb", "rpb")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+    // exact binary rational: num = (2^r − 1)^b, p_detect = 1 − num/2^16
+    val anchor = BandConfigs
+      .map { case (b, r) => (b, r, Iterator.fill(b)((1L << r) - 1).product) }
+      .toDF("nb", "rpb", "num")
+    anchor.join(counts, Seq("nb", "rpb"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("nb").as("n_bands"), col("rpb").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_detected"), col("n_true"),
+        (col("n_detected") * lit(1.0)
+          / coalesce(col("n_candidates"), lit(0L))).as("detect_precision"),
+        (col("n_detected") * lit(1.0) / col("n_true")).as("detect_recall"),
+        (lit(1.0) - col("num") / lit(65536.0)).as("p_detect_at_tau"))
+      .orderBy("rows_per_band")
   }
 
   private val lshBandSensitivitySql = {
@@ -5238,8 +5257,11 @@ object TextOps {
     val pairDocs = pairs
       .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
       .distinct()
-    val sh = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
-      .join(broadcast(pairDocs), "doc_id")
+    // cut first, spread survivors — d61's rationale (the exchange must
+    // not carry the whole corpus text past the broadcast cut, and the
+    // fanOut partition probe would re-execute the pair subtree)
+    val sh = Tables.spread(Tables.documents(s, dir).select("doc_id", "text")
+        .join(broadcast(pairDocs), "doc_id"))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id",
@@ -5276,19 +5298,27 @@ object TextOps {
         "doc_id_2")
       .selectExpr("doc_id_1", "doc_id_2", "jaccard",
         kw(16), kw(32), kw(64))
-    val perWidth = MinhashWidths.map { w =>
-      ks.select(col("jaccard"), (col(s"k$w") / lit(w.toDouble)).as("est"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("est") - col("jaccard")), 6).as("sb"),
-          round(sum(abs(col("est") - col("jaccard"))), 6).as("sa"),
-          round(sum((col("est") - col("jaccard"))
-            * (col("est") - col("jaccard"))), 6).as("sq"))
-        .select(lit(w).as("n_perms"), col("n_pairs"),
-          (col("sb") / col("n_pairs")).as("mean_bias"),
-          (col("sa") / col("n_pairs")).as("mean_abs_err"),
-          round(sqrt(col("sq") / col("n_pairs")), 6).as("rmse"))
+    // ONE aggregate for all three widths (guide §1.2 — merge passes):
+    // the per-width map re-ran the ks join subtree once per width; the
+    // twelve sums land in one row and stack() reshapes it to the same
+    // three rows (identical per-width arithmetic: est = k_w / w)
+    val sums = MinhashWidths.flatMap { w =>
+      val est = col(s"k$w") / lit(w.toDouble)
+      Seq(round(sum(est - col("jaccard")), 6).as(s"sb$w"),
+        round(sum(abs(est - col("jaccard"))), 6).as(s"sa$w"),
+        round(sum((est - col("jaccard")) * (est - col("jaccard"))), 6)
+          .as(s"sq$w"))
     }
-    perWidth.reduce(_.unionByName(_)).orderBy("n_perms")
+    val agg1 = ks.agg(count(lit(1)).as("n_pairs"), sums: _*)
+    agg1
+      .selectExpr("n_pairs",
+        s"stack(${MinhashWidths.size}, ${MinhashWidths.map(w =>
+          s"$w, sb$w, sa$w, sq$w").mkString(", ")}) AS (n_perms, sb, sa, sq)")
+      .select(col("n_perms"), col("n_pairs"),
+        (col("sb") / col("n_pairs")).as("mean_bias"),
+        (col("sa") / col("n_pairs")).as("mean_abs_err"),
+        round(sqrt(col("sq") / col("n_pairs")), 6).as("rmse"))
+      .orderBy("n_perms")
   }
 
   private val minhashWidthSweepSql = {
