@@ -287,6 +287,11 @@ object TextOps {
   def jaccardDupPairs(s: SparkSession, dir: String): DataFrame = {
     val pre = shared.get(s"pairs:$dir")
     if (pre != null) return pre
+    // NO fanOut on this kernel, measured twice (round 14): before the
+    // hash (d05 1.56→1.83) and after it (d05 1.59→1.68, d13 1.85→2.07)
+    // — the codegen'd collect_list partial is cheaper than the exchange
+    // either placement adds; contrast d39, whose typed-UDAF partial over
+    // the same stream DID pay for the spread
     val ex = shingleHashed(s, dir)
       .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS h")
     // Set sizes ride WITH the doc_id through the posting lists (a slim
