@@ -1002,7 +1002,7 @@ object Multimodal {
     graft.QueryDef("m03_media_dhash", mediaDhash,
       Some(mediaDhashSql)),
     graft.QueryDef("m04_media_admission", mediaAdmission,
-      Some(mediaAdmissionSql)),
+      Some(graft.QueryDef.materializeCtes(mediaAdmissionSql))),
     graft.QueryDef("m05_media_audio_features", mediaAudioFeatures,
       Some(mediaAudioFeaturesSql)),
     graft.QueryDef("m06_media_video_frames", mediaVideoFrames,

@@ -549,9 +549,9 @@ object TextIndex {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d79_index_near_dedup", indexNearDedup,
-      Some(indexNearDedupSql)),
+      Some(graft.QueryDef.materializeCtes(indexNearDedupSql))),
     QueryDef("d80_index_forget", indexForgetProbe,
-      Some(indexForgetProbeSql)),
+      Some(graft.QueryDef.materializeCtes(indexForgetProbeSql))),
     QueryDef("d82_index_lifecycle_state", indexLifecycleState,
       Some(indexLifecycleStateSql)))
 }

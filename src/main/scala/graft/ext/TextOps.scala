@@ -5457,7 +5457,8 @@ object TextOps {
     QueryDef("d10_bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
     QueryDef("d11_heavy_hitter_tokens", heavyHitterTokens, Some(heavyHitterTokensSql)),
     QueryDef("d12_edit_distance_dup_pairs", editDistanceDupPairs, Some(editDistanceDupPairsSql)),
-    QueryDef("d13_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("d13_dup_clusters", dupClusters,
+      Some(graft.QueryDef.materializeCtes(dupClustersSql))),
     QueryDef("d14_hash_split", hashSplit, Some(hashSplitSql)),
     QueryDef("d15_token_chunks", tokenChunks, Some(tokenChunksSql)),
     QueryDef("d16_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
@@ -5484,11 +5485,12 @@ object TextOps {
       Some(qualityWeightedSampleSql)),
     QueryDef("d33_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QueryDef("d34_cluster_weighted_sample", clusterWeightedSample,
-      Some(clusterWeightedSampleSql)),
+      Some(graft.QueryDef.materializeCtes(clusterWeightedSampleSql))),
     QueryDef("d35_containment_dup_pairs", containmentDupPairs,
       Some(containmentDupPairsSql)),
     QueryDef("d36_hapax_stats", hapaxStats, Some(hapaxStatsSql)),
-    QueryDef("d37_best_of_cluster", bestOfCluster, Some(bestOfClusterSql)),
+    QueryDef("d37_best_of_cluster", bestOfCluster,
+      Some(graft.QueryDef.materializeCtes(bestOfClusterSql))),
     QueryDef("d38_langid_confusion", langidConfusion, Some(langidConfusionSql)),
     // shares d05's oracle: the capped plan provably emits the same pair
     // set on this corpus (DedupSpec) and the same float op computes jaccard
@@ -5508,20 +5510,23 @@ object TextOps {
     QueryDef("d48_apply_substring_removal", applySubstringRemoval,
       Some(applySubstringRemovalSql)),
     QueryDef("d49_cluster_safe_split", clusterSafeSplit,
-      Some(clusterSafeSplitSql)),
-    QueryDef("d50_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+      Some(graft.QueryDef.materializeCtes(clusterSafeSplitSql))),
+    QueryDef("d50_bpe_merges", bpeMerges,
+      Some(graft.QueryDef.materializeCtes(bpeMergesSql))),
     QueryDef("d51_dup_graph_pagerank", dupGraphPagerank,
-      Some(dupGraphPagerankSql)),
-    QueryDef("d52_quality_logreg", qualityLogreg, Some(qualityLogregSql)),
+      Some(graft.QueryDef.materializeCtes(dupGraphPagerankSql))),
+    QueryDef("d52_quality_logreg", qualityLogreg,
+      Some(graft.QueryDef.materializeCtes(qualityLogregSql))),
     QueryDef("d53_apply_decontamination", applyDecontamination,
       Some(applyDecontaminationSql)),
     QueryDef("d54_heldout_perplexity", heldoutPerplexity,
       Some(heldoutPerplexitySql)),
     QueryDef("d55_temperature_mixture", temperatureMixture,
       Some(temperatureMixtureSql)),
-    QueryDef("d56_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("d56_bpe_encode", bpeEncode,
+      Some(graft.QueryDef.materializeCtes(bpeEncodeSql))),
     QueryDef("d57_dup_graph_triangles", dupGraphTriangles,
-      Some(dupGraphTrianglesSql)),
+      Some(graft.QueryDef.materializeCtes(dupGraphTrianglesSql))),
     QueryDef("d58_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("d59_source_divergence", sourceDivergence,
       Some(sourceDivergenceSql)),
@@ -5534,7 +5539,8 @@ object TextOps {
     QueryDef("d65_fuzzy_decontamination", fuzzyDecontamination,
       Some(fuzzyDecontaminationSql)),
     QueryDef("d66_filter_funnel", filterFunnel, Some(filterFunnelSql)),
-    QueryDef("d67_dup_mass_report", dupMassReport, Some(dupMassReportSql)),
+    QueryDef("d67_dup_mass_report", dupMassReport,
+      Some(graft.QueryDef.materializeCtes(dupMassReportSql))),
     QueryDef("d68_intradoc_chunk_dedup", intraDocChunkDedup,
       Some(intraDocChunkDedupSql)),
     QueryDef("d69_kn_bigram_score", knBigramScore, Some(knBigramScoreSql)),
@@ -5551,12 +5557,12 @@ object TextOps {
     QueryDef("d75_source_lang_independence", sourceLangIndependence,
       Some(sourceLangIndependenceSql)),
     QueryDef("d76_minhash_width_sweep", minhashWidthSweep,
-      Some(minhashWidthSweepSql)),
+      Some(graft.QueryDef.materializeCtes(minhashWidthSweepSql))),
     QueryDef("d77_perplexity_buckets", perplexityBuckets,
       Some(perplexityBucketsSql)),
     QueryDef("d81_curation_pipeline", curationPipeline,
-      Some(curationPipelineSql)),
+      Some(graft.QueryDef.materializeCtes(curationPipelineSql))),
     QueryDef("d78_apply_minhash_dedup", applyMinhashDedup,
-      Some(applyMinhashDedupSql)),
+      Some(graft.QueryDef.materializeCtes(applyMinhashDedupSql))),
   )
 }

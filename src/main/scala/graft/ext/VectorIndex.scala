@@ -2072,39 +2072,39 @@ object VectorIndex {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e46_ivfpq_index_served", ivfPqKnnServed,
-      Some(VectorOps.ivfPqKnnOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.ivfPqKnnOracle))),
     QueryDef("e47_ivfpq_index_rerank", ivfPqRerankServed,
-      Some(VectorOps.ivfPqRerankOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.ivfPqRerankOracle))),
     QueryDef("e48_ivfpq_batch_served", ivfPqBatchServed,
-      Some(VectorOps.ivfPqBatchOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.ivfPqBatchOracle))),
     QueryDef("e49_graph_walk_served", graphWalkServed,
       Some(VectorOps.graphWalkRecallOracle)),
     QueryDef("e50_index_delete_served", ivfPqDeleteServed,
-      Some(VectorOps.ivfPqDeleteOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.ivfPqDeleteOracle))),
     QueryDef("e51_pq_recon_audit", pqReconAudit,
       Some(VectorOps.pqReconAuditOracle)),
     QueryDef("e52_vector_admission", vectorAdmission,
-      Some(VectorOps.vectorAdmissionOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.vectorAdmissionOracle))),
     QueryDef("e53_filtered_knn_served", filteredKnnServed,
       Some(VectorOps.filteredKnnServedOracle)),
     QueryDef("e54_adaptive_nprobe", adaptiveNprobeServed,
-      Some(VectorOps.adaptiveNprobeOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.adaptiveNprobeOracle))),
     QueryDef("e55_graph_insert", graphInsertServed,
-      Some(VectorOps.graphInsertOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.graphInsertOracle))),
     QueryDef("e56_graph_maintained_recall", graphMaintainedRecall,
-      Some(VectorOps.graphMaintainedRecallOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.graphMaintainedRecallOracle))),
     QueryDef("e57_trained_shortlist_sweep", trainedShortlistSweep,
-      Some(VectorOps.trainedShortlistSweepOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.trainedShortlistSweepOracle))),
     QueryDef("e58_graph_delete_repair", graphDeleteServed,
       Some(VectorOps.graphDeleteOracle)),
     QueryDef("e61_graph_batch_served", graphBatchServed,
       Some(VectorOps.graphBatchServedOracle)),
     QueryDef("e62_index_lifecycle_served", ivfPqLifecycleServed,
-      Some(VectorOps.ivfPqLifecycleOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.ivfPqLifecycleOracle))),
     QueryDef("e64_graph_lifecycle_served", graphLifecycleServed,
-      Some(VectorOps.graphLifecycleOracle)),
+      Some(graft.QueryDef.materializeCtes(VectorOps.graphLifecycleOracle))),
     QueryDef("e65_hybrid_index_served", hybridRrfServed,
-      Some(VectorOps.hybridServedOracle)))
+      Some(graft.QueryDef.materializeCtes(VectorOps.hybridServedOracle))))
 
   // ---------------------------------------------------------------- e56
 
