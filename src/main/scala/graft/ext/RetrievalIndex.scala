@@ -888,6 +888,9 @@ object RetrievalIndex {
         Window.partitionBy("qid").orderBy(col("df").asc, col("token").asc)))
       .filter(col("rn") <= 5)
       .select("qid", "token", "df")
+      // ≤5·|queries| rows, read twice (the selected-terms collect and
+      // the postings join's broadcast): materialize once, GC-owned
+      .localCheckpoint()
     val selected = qterms.select("token").distinct()
       .collect().map(_.getString(0)).toSeq
     loadPostings(s, root)

@@ -2621,6 +2621,13 @@ object TextOps {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("p").as("sp"),
         (round(sum("xent"), 6) / count(lit(1))).as("mean_xent"))
+      // ≤10 rows BY CONSTRUCTION, referenced by six downstream frames
+      // (byDec, cum, cum0, ivl, iso, the final join): materialize once,
+      // GC-owned — without the cut each reference re-executes the whole
+      // ntile-over-scored subtree (measured round 15: d70's plan carried
+      // 154 Exchange nodes / 46 scans before, 4.46 s noop → see
+      // OPTIMIZATION_r15.md)
+      .localCheckpoint()
     // everything below operates on the bounded 10-row bin frame; renamed
     // projections (not plan aliases) keep the self-joins unambiguous, and
     // every non-equi join carries a broadcast hint — the frames are ≤11

@@ -788,6 +788,10 @@ object VectorIndex {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cs"), col("cid"))))
       .filter(col("rn") <= 2).select(col("qid"), col("cid").as("qcell"))
+      // nQueries×2 rows, read three times (the probed-cells collect,
+      // the candidate join, the per-query ADC tables): materialize
+      // once, GC-owned
+      .localCheckpoint()
     // ≤16 distinct cells however many queries probe them — one read
     val probed = qcells.select("qcell").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1546,6 +1550,10 @@ object VectorIndex {
     val qtoks = graft.Tables.documents(s, dir).filter(col("doc_id") < 10)
       .selectExpr("doc_id AS qid", "explode(split(text, ' ')) AS token")
       .distinct()
+      // query-batch-bounded (≤10 docs' token sets) and read twice inside
+      // serveMoreLikeThis (the distinct-token collect and the term join):
+      // materialize once, GC-owned, instead of two corpus scans
+      .localCheckpoint()
     val lex = RetrievalIndex.serveMoreLikeThis(s, broot, qtoks, n = 20)
     val e = VectorOps.vecs(s, dir).select("vec_id", "v")
     val qs = e.filter(col("vec_id") < 10).selectExpr("vec_id AS qid", "v AS qv")
